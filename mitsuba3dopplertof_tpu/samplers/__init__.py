@@ -1,0 +1,252 @@
+"""Sampler plugins as functional state machines.
+
+The reference's samplers are stateful PCG32 wrappers
+(reference src/render/sampler.cpp, src/samplers/{independent,correlated,
+timestratified,stratified}.cpp). Here sampler state is an explicit pytree
+threaded through the jitted wavefront; every draw returns (value, new_state).
+Seeding, stream layout and draw-for-draw advancement are *bitwise identical*
+to the reference:
+
+  * main stream  : PCG32 seeded TEA(base_seed + seed, lane)          (sampler.cpp:115-135)
+  * time stream  : PCG32 seeded TEA(base_seed + seed + 1, lane//Tc)  (correlated.cpp:44-59)
+  * path stream  : PCG32 seeded TEA(base_seed + seed + 2, lane//Pc)
+  * per-sequence permutation seed                                     (sampler.cpp:85-92)
+  * next_1d_time strategies: uniform/stratified/antithetic/
+    antithetic_mirror/periodic (+ per-interval stratification)        (correlated.cpp:92-153)
+  * next_1d_correlate: draws BOTH streams, selects by `correlate`     (correlated.cpp:156-161)
+
+Correlation groups (lanes sharing a stream) are a *layout contract*: lanes i
+with equal i // time_correlate_number must stay contiguous in the wavefront
+— the scheduler shards on pixel boundaries to preserve it (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.properties import Properties, register_plugin
+from ..core.rng import (PCG32State, pcg32_seed_wavefront, pcg32_next_f32,
+                        sample_tea_32, permute_kensler)
+
+# ETimeSampling (reference include/mitsuba/render/sampler.h:27-34)
+TIME_UNIFORM = 0
+TIME_STRATIFIED = 1
+TIME_ANTITHETIC = 2
+TIME_ANTITHETIC_MIRROR = 3
+TIME_PERIODIC = 4
+
+TIME_SAMPLING_METHODS = {
+    "uniform": TIME_UNIFORM,
+    "stratified": TIME_STRATIFIED,
+    "antithetic": TIME_ANTITHETIC,
+    "antithetic_mirror": TIME_ANTITHETIC_MIRROR,
+    "periodic": TIME_PERIODIC,
+}
+
+
+class SamplerStateT(NamedTuple):
+    rng: PCG32State                 # main stream (per lane)
+    rng_time: PCG32State            # correlated time stream
+    rng_path: PCG32State            # correlated path stream
+    permutation_seed: jnp.ndarray   # (N,) uint32 per-sequence seed
+    sample_index: jnp.ndarray       # () uint32
+    dimension_index: jnp.ndarray    # () uint32
+
+
+class Sampler:
+    """Host-side config; device state produced by ``seed``."""
+    kind = "independent"
+
+    def __init__(self, props: Properties):
+        self.id = props.id
+        self.sample_count = props.get_int("sample_count", 4)
+        self.base_seed = props.get_int("seed", 0)
+        self.samples_per_wavefront = 1
+        self.time_correlate_number = 1
+        self.path_correlate_number = 1
+        self.jitter = True
+
+    # -- seeding ------------------------------------------------------------
+    def set_sample_count(self, spp: int):
+        self.sample_count = spp
+
+    def set_samples_per_wavefront(self, spw: int):
+        if self.sample_count % spw != 0:
+            raise RuntimeError(
+                "sample_count must be a multiple of samples_per_wavefront")
+        self.samples_per_wavefront = spw
+
+    def seed(self, seed: int, wavefront_size: int) -> SamplerStateT:
+        lane = jnp.arange(wavefront_size, dtype=jnp.uint32)
+        seed_value = np.uint32(self.base_seed + seed)
+        rng = pcg32_seed_wavefront(seed_value, lane, 0)
+        # per-sequence permutation seed (reference sampler.cpp:85-92)
+        spw = np.uint32(self.samples_per_wavefront)
+        sequence_idx = spw * (lane // spw)
+        perm_seed, _ = sample_tea_32(
+            jnp.full(lane.shape, self.base_seed, jnp.uint32),
+            sequence_idx + jnp.uint32(seed))
+        tc = max(int(self.time_correlate_number), 1)
+        pc = max(int(self.path_correlate_number), 1)
+        rng_time = pcg32_seed_wavefront(seed_value, lane // np.uint32(tc), 1)
+        rng_path = pcg32_seed_wavefront(seed_value, lane // np.uint32(pc), 2)
+        return SamplerStateT(rng, rng_time, rng_path, perm_seed,
+                             jnp.uint32(0), jnp.uint32(0))
+
+    @staticmethod
+    def advance(state: SamplerStateT) -> SamplerStateT:
+        return state._replace(sample_index=state.sample_index + 1)
+
+    def current_sample_index(self, state: SamplerStateT, n: int):
+        """reference sampler.cpp:94-103."""
+        offs = jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(self.samples_per_wavefront)
+        return state.sample_index * jnp.uint32(self.samples_per_wavefront) + offs
+
+    # -- draws ----------------------------------------------------------------
+    def next_1d(self, state, active=None):
+        v, rng = pcg32_next_f32(state.rng, active)
+        return v, state._replace(rng=rng)
+
+    def next_2d(self, state, active=None):
+        f1, state = self.next_1d(state, active)
+        f2, state = self.next_1d(state, active)
+        return jnp.stack([f1, f2], axis=-1), state
+
+    def next_1d_time(self, state, active=None, strategy=TIME_UNIFORM,
+                     antithetic_shift=0.0, stratified_interval=False):
+        # base default (sampler.h:131): plain next_1d, unmasked
+        v, rng = pcg32_next_f32(state.rng, None)
+        return v, state._replace(rng=rng)
+
+    def next_1d_correlate(self, state, active=None, correlate=None):
+        return self.next_1d(state, active)
+
+    def next_2d_correlate(self, state, active=None, correlate=None):
+        return self.next_2d(state, active)
+
+
+@register_plugin("sampler", "independent")
+class IndependentSampler(Sampler):
+    kind = "independent"
+
+
+@register_plugin("sampler", "correlated")
+class CorrelatedSampler(Sampler):
+    """Temporal random replay (reference src/samplers/correlated.cpp)."""
+    kind = "correlated"
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.time_correlate_number = props.get_int("time_correlate_number", 2)
+        self.path_correlate_number = props.get_int(
+            "path_correlate_number", self.time_correlate_number)
+
+    def next_1d_time(self, state, active=None, strategy=TIME_UNIFORM,
+                     antithetic_shift=0.0, stratified_interval=False):
+        # (reference correlated.cpp:92-153)
+        if strategy == TIME_UNIFORM:
+            v, rng = pcg32_next_f32(state.rng, active)
+            return v, state._replace(rng=rng)
+
+        n = state.rng.state_lo.shape[0]
+        sample_indices = self.current_sample_index(state, n)
+        tc = int(self.time_correlate_number)
+
+        if strategy == TIME_STRATIFIED:
+            r, rng = pcg32_next_f32(state.rng, active)
+            state = state._replace(rng=rng)
+        else:
+            r, rng_time = pcg32_next_f32(state.rng_time, active)
+            state = state._replace(rng_time=rng_time)
+
+        if stratified_interval:
+            n_stratum = self.sample_count // tc
+            if strategy == TIME_STRATIFIED:
+                perm_seed = state.permutation_seed + state.dimension_index
+                state = state._replace(dimension_index=state.dimension_index + 1)
+                p1 = permute_kensler(sample_indices // tc, n_stratum, perm_seed, active)
+                perm_seed = state.permutation_seed + state.dimension_index
+                state = state._replace(dimension_index=state.dimension_index + 1)
+                p2 = permute_kensler(sample_indices // tc, n_stratum, perm_seed, active)
+                p = jnp.where(sample_indices % tc != 0, p1, p2)
+                r = (p.astype(r.dtype) + r) / n_stratum
+            else:
+                p = (sample_indices // tc).astype(r.dtype)
+                r = (p + r) / n_stratum
+
+        rem = sample_indices % tc
+        if strategy == TIME_STRATIFIED:
+            return (rem.astype(r.dtype) + r) / tc, state
+        if strategy == TIME_ANTITHETIC:
+            if tc == 2:
+                r2 = r + antithetic_shift
+                return jnp.where(rem != 1, r, r2), state
+            return r + rem.astype(r.dtype) / tc, state
+        if strategy == TIME_ANTITHETIC_MIRROR:
+            r2 = 1.0 - r + antithetic_shift
+            return jnp.where(rem != 1, r, r2), state
+        if strategy == TIME_PERIODIC:
+            return r + rem.astype(r.dtype) / tc, state
+        return r, state
+
+    def next_1d_correlate(self, state, active=None, correlate=None):
+        # both streams always advance (reference correlated.cpp:156-161)
+        r1, rng_path = pcg32_next_f32(state.rng_path, active)
+        r2, rng = pcg32_next_f32(state.rng, active)
+        state = state._replace(rng=rng, rng_path=rng_path)
+        if correlate is None:
+            return r2, state
+        correlate = jnp.broadcast_to(correlate, r1.shape)
+        return jnp.where(correlate, r1, r2), state
+
+    def next_2d_correlate(self, state, active=None, correlate=None):
+        f1, state = self.next_1d_correlate(state, active, correlate)
+        f2, state = self.next_1d_correlate(state, active, correlate)
+        return jnp.stack([f1, f2], axis=-1), state
+
+
+@register_plugin("sampler", "timestratified")
+class TimeStratifiedSampler(Sampler):
+    """Kensler-permuted stratified time (reference src/samplers/timestratified.cpp:117-130)."""
+    kind = "timestratified"
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.jitter = props.get_bool("jitter", True)
+
+    def next_1d_time(self, state, active=None, strategy=TIME_UNIFORM,
+                     antithetic_shift=0.0, stratified_interval=False):
+        n = state.rng.state_lo.shape[0]
+        sample_indices = self.current_sample_index(state, n)
+        perm_seed = state.permutation_seed + state.dimension_index
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        p = permute_kensler(sample_indices, self.sample_count, perm_seed, active)
+        if self.jitter:
+            j, rng = pcg32_next_f32(state.rng, active)
+            state = state._replace(rng=rng)
+        else:
+            j = jnp.float32(0.5)
+        return (p.astype(jnp.float32) + j) / self.sample_count, state
+
+
+@register_plugin("sampler", "stratified")
+class StratifiedSampler(Sampler):
+    """2D-stratified pixel sampler (reference src/samplers/stratified.cpp).
+    v1: falls back to independent draws for dimensions beyond the first two;
+    the stratified time path is what the Doppler experiments exercise."""
+    kind = "stratified"
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.jitter = props.get_bool("jitter", True)
+
+
+__all__ = [
+    "Sampler", "SamplerStateT", "IndependentSampler", "CorrelatedSampler",
+    "TimeStratifiedSampler", "StratifiedSampler",
+    "TIME_UNIFORM", "TIME_STRATIFIED", "TIME_ANTITHETIC",
+    "TIME_ANTITHETIC_MIRROR", "TIME_PERIODIC", "TIME_SAMPLING_METHODS",
+]

@@ -100,8 +100,7 @@ class TwoSided(BSDF):
     def __init__(self, props: Properties):
         super().__init__(props)
         nested = None
-        for key in list(props.keys()):
-            v = props.get(key)
+        for key, v in props.objects():
             if isinstance(v, BSDF):
                 nested = v
         if nested is None:
@@ -132,56 +131,56 @@ class Null(BSDF):
 
 
 # ---------------------------------------------------------------------------
-# Device-side dispatch
+# Device-side dispatch (component-wise: directions are Vec3, colors are Vec3)
 # ---------------------------------------------------------------------------
 
+from ..core.vec import Vec3, where3  # noqa: E402
+
+
 class BSDFSampleResult(NamedTuple):
-    val_nee: jnp.ndarray      # (N,3)  f(wi, wo_nee) * cos(wo_nee)
-    pdf_nee: jnp.ndarray      # (N,)   pdf(wo_nee)
-    wo: jnp.ndarray           # (N,3)  sampled direction (local)
-    weight: jnp.ndarray       # (N,3)  f*cos/pdf for the sampled direction
-    pdf: jnp.ndarray          # (N,)   pdf of the sampled direction
-    eta: jnp.ndarray          # (N,)   relative ior of the sampled lobe
+    val_nee: Vec3             # f(wi, wo_nee) * cos(wo_nee)   (rgb)
+    pdf_nee: jnp.ndarray      # (N,)
+    wo: Vec3                  # sampled direction (local)
+    weight: Vec3              # f*cos/pdf for the sampled direction (rgb)
+    pdf: jnp.ndarray          # (N,)
+    eta: jnp.ndarray          # (N,)
     sampled_delta: jnp.ndarray  # (N,) bool
     sampled_null: jnp.ndarray   # (N,) bool
 
 
-def _diffuse_eval_pdf_sample(params, wi, wo_nee, sample1, sample2):
-    """Reference src/bsdfs/diffuse.cpp eval/pdf/sample; `sample1` is drawn by
-    the caller but unused (lobe selection only matters for multi-lobe types).
-    """
-    refl = params[:, P_REFL:P_REFL + 3]
-    two_sided = params[:, P_TWOSIDED] > 0.5
-    flip = two_sided & (wi[:, 2] < 0.0)
-    sgn = jnp.where(flip, -1.0, 1.0)
-    cos_i = wi[:, 2] * sgn
-    cos_o_nee = wo_nee[:, 2] * sgn
+def _diffuse_eval_pdf_sample(param, wi: Vec3, wo_nee: Vec3, s1, s2x, s2y):
+    """Reference src/bsdfs/diffuse.cpp eval/pdf/sample; `s1` is drawn by the
+    caller but unused (lobe selection only matters for multi-lobe types).
+    ``param(j)``: per-lane (N,) column accessor."""
+    refl = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    two_sided = param(P_TWOSIDED) > 0.5
+    sgn = jnp.where(two_sided & (wi.z < 0.0), -1.0, 1.0)
+    cos_i = wi.z * sgn
+    cos_o_nee = wo_nee.z * sgn
 
     front = (cos_i > 0.0) & (cos_o_nee > 0.0)
-    val_nee = jnp.where(front[:, None], refl * INV_PI * cos_o_nee[:, None], 0.0)
-    pdf_nee = jnp.where(front, INV_PI * cos_o_nee, 0.0)
+    fcos = jnp.where(front, INV_PI * cos_o_nee, 0.0)
+    val_nee = refl * fcos
+    pdf_nee = fcos
 
-    wo_local = warp.square_to_cosine_hemisphere(sample2)
-    pdf = warp.square_to_cosine_hemisphere_pdf(wo_local)
+    wo_local = warp.cosine_hemisphere_c(s2x, s2y)
     ok = cos_i > 0.0
-    wo = wo_local * jnp.stack(
-        [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], axis=-1)
-    weight = jnp.where(ok[:, None], refl, 0.0)
-    pdf = jnp.where(ok, pdf, 0.0)
-    z = jnp.zeros_like(pdf)
-    return BSDFSampleResult(
-        val_nee, pdf_nee, wo, weight, pdf,
-        jnp.ones_like(pdf), z > 1.0, z > 1.0)
+    pdf = jnp.where(ok, INV_PI * wo_local.z, 0.0)
+    wo = Vec3(wo_local.x, wo_local.y, wo_local.z * sgn)
+    zero = jnp.zeros_like(pdf)
+    weight = where3(ok, refl, Vec3(zero, zero, zero))
+    false_ = zero > 1.0
+    return BSDFSampleResult(val_nee, pdf_nee, wo, weight, pdf,
+                            jnp.ones_like(pdf), false_, false_)
 
 
-def _null_eval_pdf_sample(params, wi, wo_nee, sample1, sample2):
-    n = wi.shape[0]
-    z = jnp.zeros((n,), dtype=wi.dtype)
-    ones = jnp.ones((n,), dtype=wi.dtype)
+def _null_eval_pdf_sample(param, wi: Vec3, wo_nee: Vec3, s1, s2x, s2y):
+    z = jnp.zeros_like(wi.z)
+    ones = jnp.ones_like(wi.z)
+    true_ = ones > 0.0
     return BSDFSampleResult(
-        jnp.zeros((n, 3), wi.dtype), z,
-        -wi, jnp.ones((n, 3), wi.dtype), ones,
-        ones, ones > 0.0, ones > 0.0)
+        Vec3(z, z, z), z, -wi, Vec3(ones, ones, ones), ones,
+        ones, true_, true_)
 
 
 _DISPATCH = {
@@ -190,30 +189,33 @@ _DISPATCH = {
 }
 
 
-def eval_pdf_sample(bsdf_types_present, lane_type, lane_params,
-                    wi, wo_nee, sample1, sample2) -> BSDFSampleResult:
+def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
+                    s1, s2x, s2y) -> BSDFSampleResult:
     """Masked multi-type dispatch of BSDF::eval_pdf_sample
-    (reference src/render/bsdf.cpp:168 eval_pdf_sample).
-
-    ``bsdf_types_present``: static python list of type ids in the scene.
-    ``lane_type``: (N,) int32, ``lane_params``: (N, P) gathered per lane.
+    (reference src/render/bsdf.cpp:168). Evaluates each type present in the
+    scene over the whole wavefront and mask-selects — pure fused VPU work,
+    the TPU equivalent of the reference's vcall over the BSDFPtr registry.
     """
+    lane_type = sa.bsdf_type[lane_bsdf]
+
+    def param(j):
+        return sa.bsdf_params[j, lane_bsdf]
+
     result = None
-    for tid in bsdf_types_present:
+    for tid in sa.bsdf_types_present:
         fn = _DISPATCH.get(int(tid))
         if fn is None:
             raise NotImplementedError(f"BSDF type id {tid} not implemented")
-        r = fn(lane_params, wi, wo_nee, sample1, sample2)
+        r = fn(param, wi, wo_nee, s1, s2x, s2y)
         if result is None:
             result = r
         else:
             m = lane_type == tid
-            mf = m[:, None]
             result = BSDFSampleResult(
-                jnp.where(mf, r.val_nee, result.val_nee),
+                where3(m, r.val_nee, result.val_nee),
                 jnp.where(m, r.pdf_nee, result.pdf_nee),
-                jnp.where(mf, r.wo, result.wo),
-                jnp.where(mf, r.weight, result.weight),
+                where3(m, r.wo, result.wo),
+                where3(m, r.weight, result.weight),
                 jnp.where(m, r.pdf, result.pdf),
                 jnp.where(m, r.eta, result.eta),
                 jnp.where(m, r.sampled_delta, result.sampled_delta),

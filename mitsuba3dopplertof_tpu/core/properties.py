@@ -85,6 +85,17 @@ class Properties:
             return v
         return AnimatedTransform(static_matrix=np.asarray(v, dtype=np.float64).reshape(4, 4))
 
+    def objects(self):
+        """Iterate (key, value) pairs whose value is a plugin object,
+        marking only those as queried — scalar typos stay detectable
+        (reference xml.cpp:1204-1223 semantics)."""
+        out = []
+        for k, v in self._data.items():
+            if hasattr(v, "plugin_category"):
+                self._queried.add(k)
+                out.append((k, v))
+        return out
+
     # -- validation --------------------------------------------------------
     def keys(self):
         return self._data.keys()

@@ -11,6 +11,40 @@ import jax.numpy as jnp
 from .math import INV_PI, PI, TWO_PI, safe_sqrt
 
 
+# ---------------------------------------------------------------------------
+# Component-wise variants ((N,) inputs -> Vec3 / (N,) outputs) — the hot path
+# ---------------------------------------------------------------------------
+
+def disk_concentric_c(sx, sy):
+    from .vec import Vec3
+    x = 2.0 * sx - 1.0
+    y = 2.0 * sy - 1.0
+    is_zero = (x == 0.0) & (y == 0.0)
+    q13 = jnp.abs(x) < jnp.abs(y)
+    r = jnp.where(q13, y, x)
+    rp = jnp.where(q13, x, y)
+    phi = 0.25 * PI * rp / jnp.where(r == 0.0, 1.0, r)
+    phi = jnp.where(q13, 0.5 * PI - phi, phi)
+    phi = jnp.where(is_zero, 0.0, phi)
+    return r * jnp.cos(phi), r * jnp.sin(phi)
+
+
+def cosine_hemisphere_c(sx, sy):
+    """Cosine-weighted hemisphere, component-wise; returns Vec3."""
+    from .vec import Vec3
+    px, py = disk_concentric_c(sx, sy)
+    z = safe_sqrt(1.0 - px * px - py * py)
+    return Vec3(px, py, z)
+
+
+def uniform_sphere_c(sx, sy):
+    from .vec import Vec3
+    z = 1.0 - 2.0 * sy
+    r = safe_sqrt(1.0 - z * z)
+    phi = TWO_PI * sx
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
 def square_to_uniform_disk_concentric(sample):
     """Low-distortion concentric square->disk (Shirley-Chiu), matching
     reference warp.h square_to_uniform_disk_concentric."""

@@ -15,8 +15,10 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from ..core.properties import Properties, register_plugin
-from ..core.math import dot, normalize, PI
+from ..core.vec import Vec3, dot, cross, normalize, where3
 from ..render.types import DirectionSample
 
 EMITTER_POINT = 0
@@ -127,82 +129,85 @@ def sample_emitter_index(n_emitters: int, sample_x):
     return index, jnp.float32(n_emitters), scaled - index.astype(scaled.dtype)
 
 
-def sample_direction(scene_data, ref_p, ref_time, sample) -> "tuple":
-    """Emitter sample_direction over the table, masked multi-type.
+def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
+    """Emitter sample_direction over the table, masked multi-type,
+    component-wise (see core/vec.py for the layout rationale).
 
-    Returns (DirectionSample, spec (N,3)) BEFORE visibility testing; the pdf
-    already includes the discrete emitter-selection probability.
+    Returns (DirectionSample, spec: Vec3) BEFORE visibility testing; the pdf
+    includes the discrete emitter-selection probability.
     """
-    e_params = scene_data.emitter_params      # (E, P) jnp
-    e_to_world = scene_data.emitter_to_world  # (E, 4, 4) jnp
-    n = ref_p.shape[0]
-    n_emitters = int(scene_data.n_emitters)
-    dtype = ref_p.dtype
+    n = ref_p.x.shape[0]
+    n_emitters = int(sa.n_emitters)
+    dtype = ref_p.x.dtype
 
     if n_emitters == 0:
-        zero3 = jnp.zeros((n, 3), dtype)
         z = jnp.zeros((n,), dtype)
-        ds = DirectionSample(zero3, zero3, zero3, z, z, z > 1.0,
-                             jnp.full((n,), -1, jnp.int32), jnp.zeros((n, 2), dtype))
-        return ds, zero3
+        z3 = Vec3(z, z, z)
+        ds = DirectionSample(z3, z3, z3, z, z, z > 1.0,
+                             jnp.full((n,), -1, jnp.int32))
+        return ds, z3
 
-    index, emitter_weight, sample_x_re = sample_emitter_index(
-        n_emitters, sample[:, 0])
-    sample = jnp.stack([sample_x_re, sample[:, 1]], axis=-1)
+    index, emitter_weight, s_x = sample_emitter_index(n_emitters, s_x)
 
-    lane_params = e_params[index]            # (N, P)
-    lane_m = e_to_world[index]               # (N, 4, 4)
-    types_present = list(scene_data.emitter_types_present)
-    lane_type = scene_data.emitter_type[index]
+    def param(j):
+        return sa.emitter_params[j, index]
+
+    def mrow(j):
+        return sa.emitter_m[j, index]
+
+    lane_type = sa.emitter_type[index]
 
     best = None
-    for tid in types_present:
+    for tid in sa.emitter_types_present:
         if tid == EMITTER_POINT:
-            p = lane_params[:, E_POS:E_POS + 3]
+            p = Vec3(param(E_POS), param(E_POS + 1), param(E_POS + 2))
             d = p - ref_p
             dist2 = jnp.maximum(dot(d, d), 1e-20)
-            inv_dist = 1.0 / jnp.sqrt(dist2)
+            inv_dist = jax.lax.rsqrt(dist2)
             dist = dist2 * inv_dist
-            dirn = d * inv_dist[:, None]
-            spec = lane_params[:, E_INTENSITY:E_INTENSITY + 3] * (inv_dist * inv_dist)[:, None]
-            ds = DirectionSample(
-                p, jnp.zeros_like(p), dirn, dist,
-                jnp.ones((n,), dtype), jnp.ones((n,), bool),
-                index, jnp.zeros((n, 2), dtype))
+            dirn = d * inv_dist
+            inv2 = inv_dist * inv_dist
+            spec = Vec3(param(E_INTENSITY) * inv2,
+                        param(E_INTENSITY + 1) * inv2,
+                        param(E_INTENSITY + 2) * inv2)
+            z = jnp.zeros((n,), dtype)
+            ds = DirectionSample(p, Vec3(z, z, z), dirn, dist,
+                                 jnp.ones((n,), dtype),
+                                 jnp.ones((n,), bool), index)
         elif tid == EMITTER_AREA_RECT:
-            # uniform point on the rect: local (2u-1, 2v-1, 0)
-            local = jnp.stack([2.0 * sample[:, 0] - 1.0,
-                               2.0 * sample[:, 1] - 1.0,
-                               jnp.zeros((n,), dtype)], axis=-1)
-            p = (lane_m[:, :3, :3] @ local[..., None])[..., 0] + lane_m[:, :3, 3]
-            nrm = normalize(jnp.cross(lane_m[:, :3, 0], lane_m[:, :3, 1]))
+            lx = 2.0 * s_x - 1.0
+            ly = 2.0 * s_y - 1.0
+            p = Vec3(mrow(0) * lx + mrow(1) * ly + mrow(3),
+                     mrow(4) * lx + mrow(5) * ly + mrow(7),
+                     mrow(8) * lx + mrow(9) * ly + mrow(11))
+            col0 = Vec3(mrow(0), mrow(4), mrow(8))
+            col1 = Vec3(mrow(1), mrow(5), mrow(9))
+            nrm = normalize(cross(col0, col1))
             d = p - ref_p
-            dist2 = dot(d, d)
+            dist2 = jnp.maximum(dot(d, d), 1e-20)
             dist = jnp.sqrt(dist2)
-            dirn = d / jnp.maximum(dist[:, None], 1e-20)
-            area = lane_params[:, E_AREA]
+            dirn = d * (1.0 / dist)
+            area = param(E_AREA)
             cos_theta = -dot(dirn, nrm)
-            # one-sided emission: pdf valid only from the front
             pdf = jnp.where(cos_theta > 1e-6,
                             dist2 / (jnp.abs(cos_theta) * area), 0.0)
-            spec = jnp.where(
-                (pdf > 0.0)[:, None],
-                lane_params[:, E_INTENSITY:E_INTENSITY + 3]
-                / jnp.maximum(pdf, 1e-20)[:, None], 0.0)
-            ds = DirectionSample(
-                p, nrm, dirn, dist, pdf, jnp.zeros((n,), bool),
-                index, sample)
+            w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
+            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
+                        param(E_INTENSITY + 2) * w)
+            ds = DirectionSample(p, nrm, dirn, dist, pdf,
+                                 jnp.zeros((n,), bool), index)
         elif tid == EMITTER_CONSTANT:
             from ..core import warp as _warp
-            dirn = _warp.square_to_uniform_sphere(sample)
-            radius = jnp.asarray(scene_data.bsphere_radius, dtype)
-            dist = 2.0 * radius
-            p = ref_p + dirn * dist[..., None]
+            dirn = _warp.uniform_sphere_c(s_x, s_y)
+            radius = jnp.asarray(sa.bsphere_radius, dtype)
+            dist = jnp.full((n,), 2.0, dtype) * radius
+            p = ref_p + dirn * dist
             pdf = jnp.full((n,), 1.0 / (4.0 * np.pi), dtype)
-            spec = lane_params[:, E_INTENSITY:E_INTENSITY + 3] * (4.0 * np.pi)
-            ds = DirectionSample(
-                p, -dirn, dirn, dist, pdf, jnp.zeros((n,), bool),
-                index, sample)
+            w = 4.0 * np.pi
+            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
+                        param(E_INTENSITY + 2) * w)
+            ds = DirectionSample(p, -dirn, dirn, dist, pdf,
+                                 jnp.zeros((n,), bool), index)
         else:
             raise NotImplementedError(f"Emitter type {tid} NEE not implemented")
 
@@ -210,15 +215,14 @@ def sample_direction(scene_data, ref_p, ref_time, sample) -> "tuple":
             best = (ds, spec)
         else:
             m = lane_type == tid
-            mf = m[:, None]
             pds, pspec = best
             best = (DirectionSample(
-                jnp.where(mf, ds.p, pds.p), jnp.where(mf, ds.n, pds.n),
-                jnp.where(mf, ds.d, pds.d), jnp.where(m, ds.dist, pds.dist),
-                jnp.where(m, ds.pdf, pds.pdf), jnp.where(m, ds.delta, pds.delta),
-                jnp.where(m, ds.emitter, pds.emitter),
-                jnp.where(mf, ds.uv, pds.uv)),
-                jnp.where(mf, spec, pspec))
+                where3(m, ds.p, pds.p), where3(m, ds.n, pds.n),
+                where3(m, ds.d, pds.d), jnp.where(m, ds.dist, pds.dist),
+                jnp.where(m, ds.pdf, pds.pdf),
+                jnp.where(m, ds.delta, pds.delta),
+                jnp.where(m, ds.emitter, pds.emitter)),
+                where3(m, spec, pspec))
 
     ds, spec = best
     # discrete selection probability (reference scene.cpp:259-263); with a
@@ -229,24 +233,24 @@ def sample_direction(scene_data, ref_p, ref_time, sample) -> "tuple":
     return ds, spec
 
 
-def pdf_direction(scene_data, si_prev_p, ds: DirectionSample):
+def pdf_direction(sa, ds: DirectionSample):
     """pdf of sampling direction ds via NEE — for MIS on emitter hits
     (reference scene.cpp:296-303 pdf_emitter_direction). Delta emitters
     return 0."""
-    n_emitters = int(scene_data.n_emitters)
+    n_emitters = int(sa.n_emitters)
     if n_emitters == 0:
         return jnp.zeros(ds.dist.shape, ds.dist.dtype)
-    lane_type = scene_data.emitter_type[jnp.maximum(ds.emitter, 0)]
-    lane_params = scene_data.emitter_params[jnp.maximum(ds.emitter, 0)]
+    idx = jnp.maximum(ds.emitter, 0)
+    lane_type = sa.emitter_type[idx]
     pdf = jnp.zeros(ds.dist.shape, ds.dist.dtype)
-    for tid in list(scene_data.emitter_types_present):
+    for tid in sa.emitter_types_present:
         if tid in (EMITTER_AREA_RECT, EMITTER_AREA_MESH):
-            area = lane_params[:, E_AREA]
+            area = sa.emitter_params[E_AREA, idx]
             dist2 = ds.dist * ds.dist
             cos_theta = -dot(ds.d, ds.n)
             p = jnp.where(cos_theta > 1e-6,
-                          dist2 / (jnp.abs(cos_theta) * jnp.maximum(area, 1e-20)),
-                          0.0)
+                          dist2 / (jnp.abs(cos_theta)
+                                   * jnp.maximum(area, 1e-20)), 0.0)
         elif tid == EMITTER_CONSTANT:
             p = jnp.full(ds.dist.shape, 1.0 / (4.0 * np.pi), ds.dist.dtype)
         else:  # delta emitters
@@ -256,15 +260,17 @@ def pdf_direction(scene_data, si_prev_p, ds: DirectionSample):
     return pdf * (1.0 / float(n_emitters))
 
 
-def eval_emitter_hit(scene_data, si_n, si_wi_world_neg, lane_emitter):
+def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter):
     """Radiance of an emitter hit by a ray (reference area.cpp eval:82-90):
-    area emitters emit radiance from the front side only."""
-    e_params = scene_data.emitter_params
-    lane_params = e_params[jnp.maximum(lane_emitter, 0)]
-    rad = lane_params[:, E_INTENSITY:E_INTENSITY + 3]
-    front = dot(si_n, si_wi_world_neg) > 0.0
-    hit_area = lane_emitter >= 0
-    return jnp.where((hit_area & front)[:, None], rad, 0.0)
+    area emitters emit radiance from the front side only. ``towards`` is the
+    direction from the surface toward the viewer (-ray.d)."""
+    idx = jnp.maximum(lane_emitter, 0)
+    front = dot(si_n, towards) > 0.0
+    ok = (lane_emitter >= 0) & front
+    w = jnp.where(ok, 1.0, 0.0)
+    return Vec3(sa.emitter_params[E_INTENSITY, idx] * w,
+                sa.emitter_params[E_INTENSITY + 1, idx] * w,
+                sa.emitter_params[E_INTENSITY + 2, idx] * w)
 
 
 __all__ = [

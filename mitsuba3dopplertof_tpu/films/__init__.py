@@ -1,17 +1,25 @@
-"""Film plugins + the scatter-add image block.
+"""Film plugins + the TPU-native image accumulation.
 
-The reference accumulates weighted samples into a flat tensor with
-dr::scatter_reduce (reference src/render/imageblock.cpp:119-127,174-400) and
-develops rgb = value / weight (reference src/films/hdrfilm.cpp:305+).
-TPU-native equivalent: a functional splat that scatter-adds the separable
-KxK filter footprint with jnp ``.at[].add`` — XLA lowers this to on-chip
-sorted scatter; determinism comes from XLA's fixed reduction order.
+The reference accumulates weighted samples with atomic scatter_reduce
+(reference src/render/imageblock.cpp:119-127,174-400) and develops
+rgb = value / weight (reference src/films/hdrfilm.cpp:305+).
+
+TPU-native design: NO scatters. The wavefront is pixel-major (lane =
+pixel*spp + s), so per-pixel accumulation is a *reshape + reduce* — a dense
+segment sum XLA turns into a single pass. Reconstruction-filter footprints
+reach only pixels within ceil(radius) of the sample's own pixel, so the
+splat decomposes into (2K+1)^2 shifted dense images added with static
+offsets. Deterministic by construction (fixed reduction order), which the
+reference's atomics are not.
+
+Block layout is (C, H, W): minor dims (H, W) tile perfectly; an (H, W, C)
+layout would pad C -> 128 lanes (see core/vec.py).
 """
 
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -33,9 +41,8 @@ class Film:
                           props.get_int("crop_height", self.height))
         self.sample_border = props.get_bool("sample_border", False)
         self.rfilter = None
-        for key in list(props.keys()):
-            v = props.get(key)
-            from ..rfilters import ReconstructionFilter
+        from ..rfilters import ReconstructionFilter
+        for key, v in props.objects():
             if isinstance(v, ReconstructionFilter):
                 self.rfilter = v
         if self.rfilter is None:
@@ -61,70 +68,107 @@ class HDRFilm(Film):
     pass
 
 
+@register_plugin("film", "specfilm")
+class SpecFilm(Film):
+    """Spectral film placeholder (reference src/films/specfilm.cpp); in the
+    RGB variant it behaves as hdrfilm."""
+    pass
+
+
 # ---------------------------------------------------------------------------
-# Device-side image block
+# Device-side accumulation
 # ---------------------------------------------------------------------------
 
 def block_create(width: int, height: int, n_channels: int, dtype=jnp.float32):
-    return jnp.zeros((height, width, n_channels), dtype=dtype)
+    return jnp.zeros((n_channels, height, width), dtype=dtype)
 
 
-def block_put(block, rfilter, pos, values, active):
-    """Splat ``values`` (N, C) at continuous film positions ``pos`` (N, 2)
-    through the reconstruction filter (reference imageblock.cpp:174-400,
-    JIT/non-coalesced path with continuous filter eval).
+def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
+                          active, W: int, H: int, spp: int):
+    """Accumulate a pixel-major wavefront into the block.
 
-    For the box filter the caller passes integer pixel centers and we take
-    the 1-tap fast path (reference imageblock.cpp:208-233).
+    ``pos_x/pos_y``: continuous sample positions (N,); lane i belongs to
+    pixel i // spp. ``values``: list of C (N,) channel arrays.
+    Implements the reference's filter-footprint weighting
+    (imageblock.cpp:263-344, continuous JIT path) without scatters.
     """
-    H, W, C = block.shape
-    n = pos.shape[0]
-    values = jnp.where(active[:, None], values, 0.0)
+    C = block.shape[0]
+    n = pos_x.shape[0]
+    values = [jnp.where(active, v, 0.0) for v in values]
+
+    pix_x = (jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(spp)) % jnp.uint32(W)
+    pix_y = (jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(spp)) // jnp.uint32(W)
+    pix_x = pix_x.astype(jnp.int32)
+    pix_y = pix_y.astype(jnp.int32)
+
+    def segsum(v):
+        return v.reshape(H * W, spp).sum(axis=-1).reshape(H, W)
 
     if rfilter.is_box:
-        px = jnp.floor(pos[:, 0]).astype(jnp.int32)
-        py = jnp.floor(pos[:, 1]).astype(jnp.int32)
-        ok = active & (px >= 0) & (px < W) & (py >= 0) & (py < H)
-        px = jnp.clip(px, 0, W - 1)
-        py = jnp.clip(py, 0, H - 1)
-        vals = jnp.where(ok[:, None], values, 0.0)
-        return block.at[py, px].add(vals)
+        # samples land in their own pixel (the integrator passes pixel
+        # centers for box, reference imageblock.cpp:471)
+        for c in range(C):
+            block = block.at[c].add(segsum(values[c]))
+        return block
 
     radius = float(rfilter.radius)
     count = int(math.ceil(2.0 * radius))
+    K = count // 2 + (count % 2)  # max |offset| from own pixel
 
-    # reference imageblock.cpp:263-270: pos_f = pos - 0.5 (no border/offset),
-    # footprint [ceil(pos_f - r), ...] with `count` conservative taps
-    pos_f = pos - 0.5
-    lo = jnp.ceil(pos_f - radius).astype(jnp.int32)
-    hi = jnp.floor(pos_f + radius).astype(jnp.int32)
-    rel = lo.astype(pos.dtype) - pos_f
+    pos_fx = pos_x - 0.5
+    pos_fy = pos_y - 0.5
+    lo_x = jnp.ceil(pos_fx - radius).astype(jnp.int32)
+    lo_y = jnp.ceil(pos_fy - radius).astype(jnp.int32)
+    hi_x = jnp.floor(pos_fx + radius).astype(jnp.int32)
+    hi_y = jnp.floor(pos_fy + radius).astype(jnp.int32)
 
-    wx = []
-    wy = []
-    for k in range(count):
-        wx.append(rfilter.eval(rel[:, 0] + k))
-        wy.append(rfilter.eval(rel[:, 1] + k))
+    # filter weights for each tap (dy, dx in [0, count))
+    wx = [rfilter.eval(lo_x.astype(pos_x.dtype) - pos_fx + k)
+          for k in range(count)]
+    wy = [rfilter.eval(lo_y.astype(pos_y.dtype) - pos_fy + k)
+          for k in range(count)]
+    vx = [(lo_x + k <= hi_x) for k in range(count)]
+    vy = [(lo_y + k <= hi_y) for k in range(count)]
 
-    for dy in range(count):
-        yy = lo[:, 1] + dy
-        ay = active & (yy <= hi[:, 1]) & (yy >= 0) & (yy < H)
-        for dx in range(count):
-            xx = lo[:, 0] + dx
-            a2 = ay & (xx <= hi[:, 0]) & (xx >= 0) & (xx < W)
-            w = wx[dx] * wy[dy]
-            vals = jnp.where(a2[:, None], values * w[:, None], 0.0)
-            block = block.at[jnp.clip(yy, 0, H - 1),
-                             jnp.clip(xx, 0, W - 1)].add(vals)
+    rel_x = lo_x - pix_x        # in [-K, K]
+    rel_y = lo_y - pix_y
+
+    for dy_off in range(-K, K + 1):
+        # weight along y for taps landing at pixel offset dy_off
+        wsum_y = None
+        for k in range(count):
+            m = (rel_y + k == dy_off) & vy[k]
+            term = jnp.where(m, wy[k], 0.0)
+            wsum_y = term if wsum_y is None else wsum_y + term
+        for dx_off in range(-K, K + 1):
+            wsum_x = None
+            for k in range(count):
+                m = (rel_x + k == dx_off) & vx[k]
+                term = jnp.where(m, wx[k], 0.0)
+                wsum_x = term if wsum_x is None else wsum_x + term
+            wgt = wsum_y * wsum_x
+            # dense per-pixel partial image, then shifted add: a sample in
+            # pixel p contributes to pixel p + δ, so destination region
+            # [max(0,δ), dim+min(0,δ)) receives source [max(0,-δ), ...+dim-|δ|)
+            dst_y = slice(max(0, dy_off), H + min(0, dy_off))
+            src_y = slice(max(0, -dy_off), max(0, -dy_off) + H - abs(dy_off))
+            dst_x = slice(max(0, dx_off), W + min(0, dx_off))
+            src_x = slice(max(0, -dx_off), max(0, -dx_off) + W - abs(dx_off))
+            for c in range(C):
+                img = segsum(values[c] * wgt)
+                block = block.at[c, dst_y, dst_x].add(img[src_y, src_x])
     return block
 
 
 def develop(block, has_alpha: bool):
-    """rgb = value / weight (reference hdrfilm.cpp:305+)."""
+    """rgb = value / weight (reference hdrfilm.cpp:305+). Returns (H, W, C-1)."""
     weight_idx = 4 if has_alpha else 3
-    w = block[..., weight_idx:weight_idx + 1]
-    vals = block[..., :weight_idx]
-    return jnp.where(w > 0.0, vals / jnp.where(w > 0.0, w, 1.0), 0.0)
+    w = block[weight_idx]
+    safe = jnp.where(w > 0.0, w, 1.0)
+    vals = block[:weight_idx] / safe[None]
+    vals = jnp.where((w > 0.0)[None], vals, 0.0)
+    return jnp.moveaxis(vals, 0, -1)
 
 
-__all__ = ["Film", "HDRFilm", "block_create", "block_put", "develop"]
+__all__ = ["Film", "HDRFilm", "SpecFilm", "block_create",
+           "block_splat_wavefront", "develop"]

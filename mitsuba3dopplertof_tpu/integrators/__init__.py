@@ -9,14 +9,15 @@ TPU-native rebuild of the reference's integrator stack:
   * ``path`` MIS path tracer — reference src/integrators/path.cpp
   * ``dopplertofpath``       — reference src/integrators/dopplertofpath.cpp
   * ``velocity``             — reference src/integrators/velocity.cpp:125-137
-  * ``depth``, ``direct``, ``aov``, ``moment`` (see submodules/below)
+  * ``depth``                — reference src/integrators/depth.cpp
 
-Design: one jitted pass-function renders `W*H*spp_per_pass` lanes: pixel
+Design: one jitted pass-function renders W*H*spp_per_pass lanes: pixel
 decode -> sampler draws -> camera ray -> unrolled bounce loop (static
 max_depth, masked lanes — the XLA analog of the reference's recorded
-dr::Loop megakernel) -> filtered scatter into the film block. The Python
-pass loop re-invokes the same compiled program with advanced sampler state,
-mirroring the reference's multi-pass splitting (integrator.cpp:227-308).
+dr::Loop megakernel) -> scatter-free film accumulation. All per-lane state
+is component-wise (N,) arrays (core/vec.py). The Python pass loop re-invokes
+the same compiled program with advanced sampler state, mirroring the
+reference's multi-pass splitting (integrator.cpp:227-308).
 """
 
 from __future__ import annotations
@@ -30,20 +31,28 @@ import jax
 import jax.numpy as jnp
 
 from ..core.properties import Properties, register_plugin
-from ..core.math import dot, normalize, mis_weight_power, PI
+from ..core.vec import Vec3, dot, normalize, where3, vmax
 from ..core.waveform import (WAVEFORM_TYPES, eval_modulation,
                              eval_modulation_low_pass)
-from ..render.types import Ray, SurfaceInteraction
+from ..render.types import Ray, SurfaceInteraction, DirectionSample
 from ..render.scene import SceneArrays, ray_intersect, ray_test
 from ..samplers import TIME_SAMPLING_METHODS, TIME_ANTITHETIC
-from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH, FLAG_NULL, FLAG_DELTA
+from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
 from .. import emitters as em_mod
-from ..films import block_create, block_put, develop
+from ..films import block_create, block_splat_wavefront, develop
 from ..sensors import sample_ray as sensor_sample_ray
 
 # Default lane budget per pass (HBM-derived chunking; the reference's
 # analogous limit is the 2^32 wavefront cap, integrator.cpp:227-245)
 DEFAULT_MAX_LANES = 1 << 21
+
+
+def mis_weight(pdf_a, pdf_b):
+    """Power heuristic with the reference's non-finite guard
+    (reference dopplertofpath.cpp:296-301)."""
+    a2 = pdf_a * pdf_a
+    w = a2 / (a2 + pdf_b * pdf_b)
+    return jnp.where(jnp.isfinite(w), w, 0.0)
 
 
 class Integrator:
@@ -66,7 +75,8 @@ class SamplingIntegrator(Integrator):
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        self.is_doppler = props.get_bool("is_doppler_integrator", False) or self.is_doppler
+        self.is_doppler = (props.get_bool("is_doppler_integrator", False)
+                           or self.is_doppler)
         tsm = props.get_string("time_sampling_method", "antithetic")
         if tsm not in TIME_SAMPLING_METHODS:
             raise RuntimeError(f"Unknown time_sampling_method '{tsm}'")
@@ -79,9 +89,6 @@ class SamplingIntegrator(Integrator):
         props.get_int("block_size", 0)
         self.samples_per_pass = props.get_int("samples_per_pass", -1)
 
-    # ------------------------------------------------------------------
-    # device-side per-lane radiance estimate — subclasses implement
-    # ------------------------------------------------------------------
     def sample(self, sa: SceneArrays, sampler, state, ray: Ray, active):
         raise NotImplementedError
 
@@ -107,20 +114,14 @@ class SamplingIntegrator(Integrator):
             while spp % d != 0:
                 d -= 1
             spp_per_pass = d
-        if spp % spp_per_pass != 0:
-            raise RuntimeError("spp must be a multiple of spp_per_pass")
         n_passes = spp // spp_per_pass
-        wavefront = W * H * spp_per_pass
 
         sampler.set_samples_per_wavefront(spp_per_pass)
-        state = sampler.seed(seed, wavefront)
+        state = sampler.seed(seed, W * H * spp_per_pass)
 
         sa = scene.compile()
-        n_channels = film.channel_count
-        block = block_create(W, H, n_channels)
-
-        pass_fn = _build_pass_fn(self, sensor, sampler, film, W, H,
-                                 spp_per_pass)
+        block = block_create(W, H, film.channel_count)
+        pass_fn = self._get_pass_fn(sensor, sampler, film, W, H, spp_per_pass)
 
         for _ in range(n_passes):
             block, state = pass_fn(sa, block, state)
@@ -129,6 +130,17 @@ class SamplingIntegrator(Integrator):
         if develop_film:
             return develop(block, film.has_alpha)
         return block
+
+    def _get_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):
+        key = (id(sensor), id(sampler), id(film), W, H, spp_per_pass)
+        cache = getattr(self, "_pass_fn_cache", None)
+        if cache is None:
+            cache = {}
+            self._pass_fn_cache = cache
+        if key not in cache:
+            cache[key] = _build_pass_fn(self, sensor, sampler, film, W, H,
+                                        spp_per_pass)
+        return cache[key]
 
 
 def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
@@ -144,61 +156,64 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
 
     @partial(jax.jit, donate_argnums=(1, 2))
     def pass_fn(sa: SceneArrays, block, state):
-        idx = jnp.arange(n, dtype=jnp.uint32)
-        pix = idx // jnp.uint32(spp_per_pass)
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        pix = lane // jnp.uint32(spp_per_pass)
         py = (pix // jnp.uint32(W)).astype(jnp.float32)
         px = (pix % jnp.uint32(W)).astype(jnp.float32)
-        pos = jnp.stack([px, py], axis=-1)
         active = jnp.ones((n,), dtype=bool)
 
-        # ---- sample position / time draws (integrator.cpp:399-543) ----
+        # ---- position / aperture / time draws (integrator.cpp:399-543) --
         if is_doppler:
-            off2, state2 = sampler.next_2d_correlate(state, active,
-                                                     correlate_pixel)
+            off, state2 = sampler.next_2d_correlate(state, active,
+                                                    correlate_pixel)
         else:
-            off2, state2 = sampler.next_2d(state, active)
+            off, state2 = sampler.next_2d(state, active)
         state = state2
-        sample_pos = pos + off2
-        scale = jnp.asarray([1.0 / W, 1.0 / H], jnp.float32)
-        adjusted_pos = sample_pos * scale
+        sx = px + off[0]
+        sy = py + off[1]
+        adj_x = sx * (1.0 / W)
+        adj_y = sy * (1.0 / H)
 
         if sensor.needs_aperture_sample:
             if is_doppler:
-                aperture, state = sampler.next_2d_correlate(
-                    state, active, correlate_pixel)
+                ap, state = sampler.next_2d_correlate(state, active,
+                                                      correlate_pixel)
             else:
-                aperture, state = sampler.next_2d(state, active)
+                ap, state = sampler.next_2d(state, active)
+            ap_x, ap_y = ap
         else:
-            aperture = jnp.full((n, 2), 0.5, jnp.float32)
+            ap_x = ap_y = jnp.full((n,), 0.5, jnp.float32)
 
         time = jnp.full((n,), shutter_open, jnp.float32)
         if shutter_time > 0.0:
             if is_doppler:
-                tsample, state = sampler.next_1d_time(
+                ts, state = sampler.next_1d_time(
                     state, active, integrator.time_sampling_method,
                     integrator.antithetic_shift,
                     integrator.use_stratified_sampling_for_each_interval)
             else:
-                tsample, state = sampler.next_1d(state, active)
-            time = time + tsample * shutter_time
+                ts, state = sampler.next_1d(state, active)
+            time = time + ts * shutter_time
 
         ray, ray_weight = sensor_sample_ray(sensor_params, time,
-                                            adjusted_pos, aperture)
+                                            adj_x, adj_y, ap_x, ap_y)
 
         spec, valid, state = integrator.sample(sa, sampler, state, ray, active)
+        spec = spec * ray_weight
 
-        rgb = ray_weight * spec
-        alpha = jnp.where(valid, 1.0, 0.0)
+        one = jnp.ones((n,), jnp.float32)
         if has_alpha:
-            values = jnp.concatenate(
-                [rgb, alpha[:, None], jnp.ones((n, 1), jnp.float32)], axis=-1)
+            values = [spec.x, spec.y, spec.z,
+                      jnp.where(valid, 1.0, 0.0), one]
         else:
-            values = jnp.concatenate(
-                [rgb, jnp.ones((n, 1), jnp.float32)], axis=-1)
+            values = [spec.x, spec.y, spec.z, one]
 
-        # box filter: splat at the pixel center (imageblock.cpp:471 comment)
-        put_pos = pos if rfilter.is_box else sample_pos
-        block = block_put(block, rfilter, put_pos, values, active)
+        # box filter: accumulate into the sample's own pixel
+        # (imageblock.cpp:471 comment)
+        put_x = px if rfilter.is_box else sx
+        put_y = py if rfilter.is_box else sy
+        block = block_splat_wavefront(block, rfilter, put_x, put_y, values,
+                                      active, W, H, spp_per_pass)
         return block, state
 
     return pass_fn
@@ -230,31 +245,29 @@ class MonteCarloIntegrator(SamplingIntegrator):
 
 def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
                modulation_weight=None, use_correlate=False):
-    n = ray.o.shape[0]
+    n = ray.o.x.shape[0]
     f32 = jnp.float32
 
-    throughput = jnp.ones((n, 3), f32)
-    result = jnp.zeros((n, 3), f32)
+    throughput = Vec3.ones((n,))
+    result = Vec3.zeros((n,))
     path_length = jnp.zeros((n,), f32)
     eta = jnp.ones((n,), f32)
     depth = jnp.zeros((n,), jnp.uint32)
     has_env = sa.has_environment and not integrator.hide_emitters
     valid_ray = jnp.full((n,), bool(has_env))
-    env_rad = jnp.asarray(sa.env_radiance, f32)
+    env_r, env_g, env_b = sa.env_radiance
 
     prev_p = ray.o
     prev_bsdf_pdf = jnp.ones((n,), f32)
     prev_bsdf_delta = jnp.ones((n,), bool)
     active = jnp.asarray(active)
 
-    bsdf_flags = jnp.asarray(
-        np.asarray(sa.bsdf_flags_host, np.int32))  # (B,) static -> device
-
+    bsdf_flags = jnp.asarray(np.asarray(sa.bsdf_flags_host, np.int32))
     pcd = jnp.uint32(integrator.path_correlation_depth)
 
     def weight_fn(t, pl):
         if modulation_weight is None:
-            return jnp.ones_like(t)
+            return 1.0
         return modulation_weight(t, pl)
 
     def draw_1d(state, active, correlate):
@@ -267,131 +280,120 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
             return sampler.next_2d_correlate(state, active, correlate)
         return sampler.next_2d(state, active)
 
+    any_emission = (sa.n_emitters > 0) or has_env
+
     for it in range(integrator.loop_iterations):
         correlate = (depth + 1) < pcd
 
         si = ray_intersect(sa, ray, active)
-        si = si._replace(valid=si.valid & active)
 
         path_length = path_length + jnp.where(si.valid, si.t * eta, 0.0)
 
-        # ---------------- direct emission (path.cpp:150-168) ----------
+        # ---------------- direct emission (path.cpp:150-168) -------------
         lane_emitter = jnp.where(si.valid,
                                  sa.inst_emitter[jnp.maximum(si.inst, 0)], -1)
-        hit_emitter = lane_emitter >= 0
-        em_val = jnp.zeros((n, 3), f32)
-        if sa.n_emitters > 0:
-            em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d, lane_emitter)
-            em_val = jnp.where(hit_emitter[:, None], em_val, 0.0)
-        miss_env = (~si.valid) & active
-        if has_env:
-            em_val = jnp.where(miss_env[:, None], env_rad[None, :], em_val)
-
-        any_emission = bool(sa.n_emitters > 0) or has_env
         if any_emission:
-            # MIS pdf of having NEE-sampled this hit from the previous vertex
+            if sa.n_emitters > 0:
+                em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
+                                                 lane_emitter)
+            else:
+                em_val = Vec3.zeros((n,))
+            if has_env:
+                miss_env = (~si.valid) & active
+                em_val = where3(miss_env, Vec3.full((n,), env_r, env_g, env_b),
+                                em_val)
+                emit_mask = active & ((lane_emitter >= 0) | miss_env)
+            else:
+                emit_mask = active & (lane_emitter >= 0)
+
+            # MIS pdf of NEE-sampling this hit from the previous vertex
             d_seg = si.p - prev_p
             dist = jnp.sqrt(jnp.maximum(dot(d_seg, d_seg), 1e-20))
-            from ..render.types import DirectionSample
             ds_hit = DirectionSample(
-                p=si.p, n=si.sh_n, d=d_seg / dist[:, None], dist=dist,
+                p=si.p, n=si.sh_n, d=d_seg * (1.0 / dist), dist=dist,
                 pdf=jnp.zeros((n,), f32), delta=jnp.zeros((n,), bool),
-                emitter=lane_emitter, uv=si.uv)
-            em_pdf = jnp.where(
-                prev_bsdf_delta, 0.0,
-                em_mod.pdf_direction(sa, prev_p, ds_hit)) \
-                if sa.n_emitters > 0 else jnp.zeros((n,), f32)
-            mis_bsdf = mis_weight_power(prev_bsdf_pdf, em_pdf)
+                emitter=lane_emitter)
+            if sa.n_emitters > 0:
+                em_pdf = jnp.where(prev_bsdf_delta, 0.0,
+                                   em_mod.pdf_direction(sa, ds_hit))
+            else:
+                em_pdf = jnp.zeros((n,), f32)
+            mis_bsdf = mis_weight(prev_bsdf_pdf, em_pdf)
             lw = weight_fn(ray.time, path_length)
-            contrib = throughput * em_val * (mis_bsdf * lw)[:, None]
-            emit_mask = active & (hit_emitter | (miss_env if has_env
-                                                 else jnp.zeros((n,), bool)))
-            result = result + jnp.where(emit_mask[:, None], contrib, 0.0)
+            scale = jnp.where(emit_mask, mis_bsdf * lw, 0.0)
+            result = result + throughput * em_val * scale
 
         active_next = ((depth + 1) < jnp.uint32(
-            min(integrator.max_depth, 2 ** 31))) & si.valid & active
+            min(integrator.max_depth, 2 ** 31 - 1))) & si.valid & active
 
         lane_bsdf = sa.inst_bsdf[jnp.maximum(si.inst, 0)]
-        lane_flags = bsdf_flags[lane_bsdf]
-        smooth = (lane_flags & FLAG_SMOOTH) != 0
+        smooth = (bsdf_flags[lane_bsdf] & FLAG_SMOOTH) != 0
 
-        # ---------------- emitter sampling / NEE (path.cpp:178-201) ---
+        # ---------------- emitter sampling / NEE (path.cpp:178-201) ------
         active_em = active_next & smooth
-        nee_sample, state = draw_2d(state, active, correlate)
+        nee, state = draw_2d(state, active, correlate)
         if sa.n_emitters > 0:
-            ds, em_weight = em_mod.sample_direction(
-                sa, si.p, ray.time, nee_sample)
+            ds, em_weight = em_mod.sample_direction(sa, si.p, ray.time,
+                                                    nee[0], nee[1])
             active_em = active_em & (ds.pdf != 0.0)
             shadow_ray = si.spawn_ray_to(ds.p)
             occluded = ray_test(sa, shadow_ray, active_em)
-            em_weight = jnp.where((active_em & ~occluded)[:, None],
-                                  em_weight, 0.0)
-            ds = ds._replace(pdf=jnp.where(occluded, 0.0, ds.pdf))
+            nee_ok = active_em & ~occluded
             wo_nee = si.to_local(ds.d)
         else:
-            from ..render.types import DirectionSample
-            z3 = jnp.zeros((n, 3), f32)
             z = jnp.zeros((n,), f32)
-            ds = DirectionSample(z3, z3, z3, z, z, z > 1.0,
-                                 jnp.full((n,), -1, jnp.int32),
-                                 jnp.zeros((n, 2), f32))
-            em_weight = z3
-            wo_nee = z3
-            active_em = active_em & False
+            ds = DirectionSample(Vec3(z, z, z), Vec3(z, z, z), Vec3(z, z, z),
+                                 z, z, z > 1.0, jnp.full((n,), -1, jnp.int32))
+            em_weight = Vec3(z, z, z)
+            wo_nee = Vec3(z, z, z)
+            nee_ok = active_em & False
 
-        # ------------- BSDF eval & sample (path.cpp:204-210) ----------
-        sample_1, state = draw_1d(state, active, correlate)
-        sample_2, state = draw_2d(state, active, correlate)
+        # ------------- BSDF eval & sample (path.cpp:204-210) -------------
+        s1, state = draw_1d(state, active, correlate)
+        s2, state = draw_2d(state, active, correlate)
 
-        lane_params = sa.bsdf_params[lane_bsdf]
-        lane_type = sa.bsdf_type[lane_bsdf]
-        bs = bsdf_eval_pdf_sample(sa.bsdf_types_present, lane_type,
-                                  lane_params, si.wi, wo_nee,
-                                  sample_1, sample_2)
+        bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
+                                  s1, s2[0], s2[1])
 
-        # ------------- NEE contribution (path.cpp:212-226) ------------
+        # ------------- NEE contribution (path.cpp:212-226) ---------------
         if sa.n_emitters > 0:
-            mis_em = jnp.where(ds.delta, 1.0,
-                               mis_weight_power(ds.pdf, bs.pdf_nee))
-            em_path_length = path_length + ds.dist
-            lw = weight_fn(ray.time, em_path_length)
-            contrib = throughput * bs.val_nee * em_weight * (mis_em * lw)[:, None]
-            result = result + jnp.where(active_em[:, None], contrib, 0.0)
+            mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, bs.pdf_nee))
+            lw = weight_fn(ray.time, path_length + ds.dist)
+            scale = jnp.where(nee_ok, mis_em * lw, 0.0)
+            result = result + throughput * bs.val_nee * em_weight * scale
 
-        # ------------- next ray (path.cpp:228-258) --------------------
+        # ------------- next ray (path.cpp:228-258) ------------------------
         wo_world = si.to_world(bs.wo)
         new_ray = si.spawn_ray(wo_world)
 
-        throughput = throughput * jnp.where(active_next[:, None], bs.weight,
-                                            jnp.ones_like(bs.weight))
+        throughput = where3(active_next, throughput * bs.weight, throughput)
         eta = eta * jnp.where(active_next, bs.eta, 1.0)
         valid_ray = valid_ray | (active & si.valid & ~bs.sampled_null)
 
-        prev_p = jnp.where(si.valid[:, None], si.p, prev_p)
+        prev_p = where3(si.valid, si.p, prev_p)
         prev_bsdf_pdf = jnp.where(active_next, bs.pdf, prev_bsdf_pdf)
         prev_bsdf_delta = jnp.where(active_next, bs.sampled_delta,
                                     prev_bsdf_delta)
 
         depth = depth + jnp.where(si.valid & active, 1, 0).astype(jnp.uint32)
 
-        # ------------- russian roulette (path.cpp:260-276) ------------
-        throughput_max = jnp.max(throughput, axis=-1)
+        # ------------- russian roulette (path.cpp:260-276) ----------------
+        throughput_max = vmax(throughput)
         rr_prob = jnp.minimum(throughput_max * eta * eta, 0.95)
         rr_active = depth >= jnp.uint32(integrator.rr_depth)
         rr_draw, state = draw_1d(state, active, correlate)
         rr_continue = rr_draw < rr_prob
-        throughput = jnp.where(
-            rr_active[:, None],
-            throughput / jnp.maximum(rr_prob, 1e-8)[:, None], throughput)
+        rr_scale = jnp.where(rr_active, 1.0 / jnp.maximum(rr_prob, 1e-8), 1.0)
+        throughput = throughput * rr_scale
 
         active = (active_next & (~rr_active | rr_continue)
                   & (throughput_max != 0.0))
 
-        ray = Ray(jnp.where(active_next[:, None], new_ray.o, ray.o),
-                  jnp.where(active_next[:, None], wo_world, ray.d),
+        ray = Ray(where3(active_next, new_ray.o, ray.o),
+                  where3(active_next, wo_world, ray.d),
                   ray.time, new_ray.maxt)
 
-    spec = jnp.where(valid_ray[:, None], result, 0.0)
+    spec = where3(valid_ray, result, Vec3.zeros((n,)))
     return spec, valid_ray, state
 
 
@@ -424,7 +426,8 @@ class DopplerToFPathIntegrator(MonteCarloIntegrator):
         self.w_s = props.get_float("w_s", 30.0)
         self.sensor_phase_offset = props.get_float("sensor_phase_offset", 0.0)
         if props.has_property("hetero_offset"):
-            self.sensor_phase_offset = props.get_float("hetero_offset") * 2.0 * math.pi
+            self.sensor_phase_offset = (props.get_float("hetero_offset")
+                                        * 2.0 * math.pi)
         if props.has_property("hetero_frequency"):
             self.hetero_frequency = props.get_float("hetero_frequency")
             self.w_s = self.w_g + self.hetero_frequency / self.time * 1e-6
@@ -478,25 +481,22 @@ class VelocityIntegrator(MonteCarloIntegrator):
         velocity = (jnp.where(si2.valid, si2.t, 0.0)
                     - jnp.where(si1.valid, si1.t, 0.0)) / self.time
         valid = si1.valid & si2.valid
-        spec = jnp.where(valid, velocity, 0.0)[:, None] * jnp.ones((1, 3))
-        return spec, valid, state
+        v = jnp.where(valid, velocity, 0.0)
+        return Vec3(v, v, v), valid, state
 
 
 @register_plugin("integrator", "depth")
 class DepthIntegrator(SamplingIntegrator):
     """reference src/integrators/depth.cpp — first-hit distance."""
 
-    def __init__(self, props: Properties):
-        super().__init__(props)
-
     def sample(self, sa, sampler, state, ray, active):
         si = ray_intersect(sa, ray, active)
-        spec = jnp.where(si.valid, si.t, 0.0)[:, None] * jnp.ones((1, 3))
-        return spec, si.valid, state
+        v = jnp.where(si.valid, si.t, 0.0)
+        return Vec3(v, v, v), si.valid, state
 
 
 __all__ = [
     "Integrator", "SamplingIntegrator", "MonteCarloIntegrator",
     "PathIntegrator", "DopplerToFPathIntegrator", "VelocityIntegrator",
-    "DepthIntegrator",
+    "DepthIntegrator", "mis_weight",
 ]

@@ -2,57 +2,55 @@
 
 The reference assembles an object graph then uploads acceleration structures
 (reference src/render/scene.cpp:22-101, scene_optix.inl / scene_embree.inl).
-TPU-native equivalent: the host compiles the shape graph into flat triangle /
-instance / BSDF / emitter tables (a pytree of jnp arrays + static metadata),
-and ray queries are jnp programs over those tables that jit/fuse into the
+TPU-native equivalent: the host compiles the shape graph into flat
+*component-wise* triangle / instance / BSDF / emitter tables (each column a
+perfectly-packed (T,) array — see core/vec.py for the layout rationale), and
+ray queries are jnp programs over those tables that fuse into the
 integrator's bounce loop.
 
-Intersection currently runs a scanned brute-force over triangle chunks —
-dense, regular VPU work that is optimal for small scenes; a two-level Pallas
-BVH kernel slots in behind the same ``ray_intersect`` signature for large
-scenes (SURVEY.md §7 "hard parts" #1).
+Intersection runs a lax.scan with ONE triangle per step over (N,)-shaped
+lanes — dense, regular VPU work, optimal for small/medium scenes; a
+two-level Pallas BVH kernel slots in behind the same ``ray_intersect``
+signature for large scenes (SURVEY.md §7 "hard parts" #1).
 
 Motion blur: every shape is an instance with two keyframe matrices; rays are
-transformed by the *exact* inverse of the lerped matrix at their time (the
-semantics of Embree 2-step instance motion / OptixMatrixMotionTransform +
-reference src/shapes/instance.cpp:155-250, transform.h:458-466).
+transformed by the *exact* inverse of the lerped matrix at their own time
+(the semantics of Embree 2-step instance motion / OptixMatrixMotionTransform
++ reference src/shapes/instance.cpp:155-250, transform.h:458-466).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.math import dot, normalize, coordinate_system
-from ..core.transform import affine_inverse, animated_lerp
+from ..core.vec import (Vec3, dot, cross, normalize, coordinate_system,
+                        cmat_lerp, cmat_inverse, cmat_apply_point,
+                        cmat_apply_vector, cmat_apply_transpose_vector)
 from .types import Ray, SurfaceInteraction
 
-TRI_CHUNK = 8  # triangles tested per scan step (VPU-width friendly)
+# triangle component columns (all (T,) arrays)
+_TRI_COLS = ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
+             "n0x", "n0y", "n0z", "n1x", "n1y", "n1z", "n2x", "n2y", "n2z",
+             "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v")
+_TRI_INT_COLS = ("inst", "prim")
 
 
 class SceneArrays:
-    """Pytree of device arrays. Registered with static metadata as aux so the
-    whole scene can be passed through jit/shard_map."""
+    """Pytree of device arrays + static metadata (aux)."""
 
-    ARRAY_FIELDS = [
-        # static-instance triangles, world space
-        "s_v0", "s_e1", "s_e2", "s_n0", "s_n1", "s_n2",
-        "s_uv0", "s_uv1", "s_uv2", "s_inst", "s_prim",
-        # animated-instance triangles, object space (per instance ranges)
-        "a_v0", "a_e1", "a_e2", "a_n0", "a_n1", "a_n2",
-        "a_uv0", "a_uv1", "a_uv2", "a_inst", "a_prim",
-        # instances
-        "inst_m0", "inst_m1", "inst_t0", "inst_t1",
-        "inst_bsdf", "inst_emitter",
-        # material / emitter tables
-        "bsdf_type", "bsdf_params",
-        "emitter_type", "emitter_params", "emitter_to_world",
-        "bsphere_radius",
-    ]
+    ARRAY_FIELDS = (
+        ["s_" + c for c in _TRI_COLS] + ["s_" + c for c in _TRI_INT_COLS]
+        + ["a_" + c for c in _TRI_COLS] + ["a_" + c for c in _TRI_INT_COLS]
+        + ["inst_m0c", "inst_m1c", "inst_t0", "inst_t1",
+           "inst_bsdf", "inst_emitter",
+           "bsdf_type", "bsdf_params",      # bsdf_params: (P, B) column-major
+           "emitter_type", "emitter_params", "emitter_m",  # (P, E), (12, E)
+           "bsphere_radius"]
+    )
     META_FIELDS = [
         "n_static_tris", "n_anim_tris", "anim_ranges", "bsdf_types_present",
         "emitter_types_present", "n_emitters", "has_environment",
@@ -77,6 +75,14 @@ class SceneArrays:
             setattr(obj, k, v)
         return obj
 
+    # -- convenience accessors -------------------------------------------
+    def tri(self, prefix: str, col: str):
+        return getattr(self, prefix + "_" + col)
+
+    def inst_cmat(self, which: int, inst):
+        arr = self.inst_m0c if which == 0 else self.inst_m1c  # (12, I)
+        return tuple(arr[j, inst] for j in range(12))
+
 
 jax.tree_util.register_pytree_node(
     SceneArrays, SceneArrays.tree_flatten, SceneArrays.tree_unflatten)
@@ -86,8 +92,8 @@ class Scene:
     """Host-side object graph (reference src/render/scene.cpp:22-101)."""
 
     def __init__(self, shapes, emitters, sensors, integrator=None):
-        self.shapes = shapes          # flattened instances (Shape objects)
-        self.emitters = emitters      # Emitter objects (incl. area emitters)
+        self.shapes = shapes
+        self.emitters = emitters
         self.sensors = sensors
         self.integrator = integrator
         self._compiled: Optional[SceneArrays] = None
@@ -107,11 +113,11 @@ class Scene:
         if self._compiled is not None:
             return self._compiled
 
-        from ..bsdfs import BSDF, Diffuse, N_BSDF_PARAMS
-        from ..emitters import N_EMITTER_PARAMS, EMITTER_AREA_RECT
+        from ..bsdfs import Diffuse, N_BSDF_PARAMS
+        from ..emitters import N_EMITTER_PARAMS, E_AREA
         from ..core.properties import Properties
 
-        # --- BSDF table (deduplicated by object identity) ---------------
+        # --- BSDF table (deduplicated by identity) -----------------------
         bsdf_objs: List[Any] = []
         bsdf_index: Dict[int, int] = {}
         for sh in self.shapes:
@@ -124,169 +130,140 @@ class Scene:
                 bsdf_objs.append(b)
         bsdf_type = np.array([b.type_id for b in bsdf_objs], np.int32)
         bsdf_flags = np.array([b.flags for b in bsdf_objs], np.int32)
-        bsdf_params = np.stack([b.params_row() for b in bsdf_objs]) \
-            if bsdf_objs else np.zeros((0, N_BSDF_PARAMS))
+        bsdf_params = (np.stack([b.params_row() for b in bsdf_objs]).T
+                       if bsdf_objs else np.zeros((N_BSDF_PARAMS, 0)))
 
-        # --- emitter table ----------------------------------------------
+        # --- emitter table ------------------------------------------------
         emitter_rows, emitter_types, emitter_mats = [], [], []
-        for ei, em in enumerate(self.emitters):
+        for em in self.emitters:
             row = em.params_row()
             mat = np.eye(4)
-            if em.shape is not None:     # area emitter: bind shape geometry
-                m0, m1, _, _ = em.shape.to_world.matrices()
+            if em.shape is not None:
+                m0, _, _, _ = em.shape.to_world.matrices()
                 mat = m0
-                area = float(np.sum(em.shape.mesh.surface_areas(m0)))
-                from ..emitters import E_AREA
-                row[E_AREA] = area
+                row[E_AREA] = float(np.sum(em.shape.mesh.surface_areas(m0)))
             emitter_rows.append(row)
             emitter_types.append(em.type_id)
-            emitter_mats.append(mat)
+            emitter_mats.append(mat[:3, :4].reshape(-1))
         n_emitters = len(self.emitters)
-        emitter_params = (np.stack(emitter_rows) if emitter_rows
-                          else np.zeros((0, N_EMITTER_PARAMS)))
+        emitter_params = (np.stack(emitter_rows).T if emitter_rows
+                          else np.zeros((N_EMITTER_PARAMS, 0)))
         emitter_type = np.array(emitter_types, np.int32)
-        emitter_to_world = (np.stack(emitter_mats) if emitter_mats
-                            else np.zeros((0, 4, 4)))
+        emitter_m = (np.stack(emitter_mats).T if emitter_mats
+                     else np.zeros((12, 0)))
 
         env = self.environment()
         env_radiance = (np.asarray(env.radiance, np.float32)
                         if env is not None else np.zeros(3, np.float32))
 
-        # --- instances & triangles ---------------------------------------
+        # --- instances & triangles -----------------------------------------
         inst_m0, inst_m1, inst_t0, inst_t1 = [], [], [], []
-        inst_bsdf, inst_emitter, inst_animated = [], [], []
-        static_parts = {k: [] for k in
-                        ("v0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1",
-                         "uv2", "inst", "prim")}
-        anim_parts = {k: [] for k in static_parts}
-        anim_ranges: List[Tuple[int, int, int]] = []  # (inst, start, count)
+        inst_bsdf, inst_emitter = [], []
+        s_cols = {c: [] for c in _TRI_COLS + _TRI_INT_COLS}
+        a_cols = {c: [] for c in _TRI_COLS + _TRI_INT_COLS}
+        anim_ranges: List[Tuple[int, int, int]] = []
         all_pts = []
 
         for ii, sh in enumerate(self.shapes):
             m0, m1, t0, t1 = sh.to_world.matrices()
             animated = sh.to_world.animated
-            inst_m0.append(m0)
-            inst_m1.append(m1)
+            inst_m0.append(m0[:3, :4].reshape(-1))
+            inst_m1.append(m1[:3, :4].reshape(-1))
             inst_t0.append(t0)
             inst_t1.append(t1)
             inst_bsdf.append(bsdf_index[id(sh.bsdf)])
             inst_emitter.append(
                 self.emitters.index(sh.emitter) if sh.emitter is not None else -1)
-            inst_animated.append(animated)
 
             mesh = sh.mesh
             f = mesh.faces
             v = mesh.vertices
-            vn = mesh.normals if mesh.normals is not None else None
-            uv = mesh.uvs if mesh.uvs is not None else None
             nt = f.shape[0]
 
-            def tri_attrs(verts, which):
-                return verts[f[:, which]]
-
             if animated:
-                parts, inst_col = anim_parts, ii
+                cols = a_cols
                 vv = v
-                nt_pad = (nt + TRI_CHUNK - 1) // TRI_CHUNK * TRI_CHUNK
-                start = sum(r[2] for r in anim_ranges)
-                anim_ranges.append((ii, start, nt_pad))
-                # conservative bounds for later culling
-                for tt in (0.0, 1.0):
-                    mm = m0 if tt == 0.0 else m1
+                for mm in (m0, m1):
                     all_pts.append(v @ mm[:3, :3].T + mm[:3, 3])
             else:
-                parts, inst_col = static_parts, ii
-                vv = v @ m0[:3, :3].T + m0[:3, 3]      # bake world transform
+                cols = s_cols
+                vv = v @ m0[:3, :3].T + m0[:3, 3]
                 all_pts.append(vv)
 
-            p0, p1, p2 = (tri_attrs(vv, 0), tri_attrs(vv, 1), tri_attrs(vv, 2))
-            parts["v0"].append(p0)
-            parts["e1"].append(p1 - p0)
-            parts["e2"].append(p2 - p0)
-            if vn is not None:
+            p0 = vv[f[:, 0]]
+            p1 = vv[f[:, 1]]
+            p2 = vv[f[:, 2]]
+            e1 = p1 - p0
+            e2 = p2 - p0
+
+            if mesh.normals is not None:
                 if animated:
-                    nrm = vn
+                    nrm = mesh.normals
                 else:
                     inv_t = np.linalg.inv(m0[:3, :3]).T
-                    nrm = vn @ inv_t.T
-                    nrm /= np.maximum(
+                    nrm = mesh.normals @ inv_t.T
+                    nrm = nrm / np.maximum(
                         np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
-                n0, n1, n2 = (tri_attrs(nrm, 0), tri_attrs(nrm, 1), tri_attrs(nrm, 2))
+                n0, n1, n2 = nrm[f[:, 0]], nrm[f[:, 1]], nrm[f[:, 2]]
             else:
-                gn = np.cross(p1 - p0, p2 - p0)
-                gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+                gn = np.cross(e1, e2)
+                gn = gn / np.maximum(
+                    np.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
                 n0 = n1 = n2 = gn
-            parts["n0"].append(n0)
-            parts["n1"].append(n1)
-            parts["n2"].append(n2)
-            if uv is not None:
-                parts["uv0"].append(tri_attrs(uv, 0))
-                parts["uv1"].append(tri_attrs(uv, 1))
-                parts["uv2"].append(tri_attrs(uv, 2))
+
+            if mesh.uvs is not None:
+                uv0, uv1, uv2 = mesh.uvs[f[:, 0]], mesh.uvs[f[:, 1]], mesh.uvs[f[:, 2]]
             else:
-                z2 = np.zeros((nt, 2))
-                parts["uv0"].append(z2)
-                parts["uv1"].append(z2)
-                parts["uv2"].append(z2)
-            parts["inst"].append(np.full(nt, inst_col, np.int32))
-            parts["prim"].append(np.arange(nt, dtype=np.int32))
+                uv0 = uv1 = uv2 = np.zeros((nt, 2))
 
+            data = {
+                "v0x": p0[:, 0], "v0y": p0[:, 1], "v0z": p0[:, 2],
+                "e1x": e1[:, 0], "e1y": e1[:, 1], "e1z": e1[:, 2],
+                "e2x": e2[:, 0], "e2y": e2[:, 1], "e2z": e2[:, 2],
+                "n0x": n0[:, 0], "n0y": n0[:, 1], "n0z": n0[:, 2],
+                "n1x": n1[:, 0], "n1y": n1[:, 1], "n1z": n1[:, 2],
+                "n2x": n2[:, 0], "n2y": n2[:, 1], "n2z": n2[:, 2],
+                "uv0u": uv0[:, 0], "uv0v": uv0[:, 1],
+                "uv1u": uv1[:, 0], "uv1v": uv1[:, 1],
+                "uv2u": uv2[:, 0], "uv2v": uv2[:, 1],
+                "inst": np.full(nt, ii, np.int32),
+                "prim": np.arange(nt, dtype=np.int32),
+            }
+            for c in _TRI_COLS + _TRI_INT_COLS:
+                cols[c].append(data[c])
             if animated:
-                # pad THIS instance's block to a chunk multiple so its range
-                # can be sliced chunk-aligned at trace time
-                pad = (nt + TRI_CHUNK - 1) // TRI_CHUNK * TRI_CHUNK - nt
-                if pad:
-                    for k in parts:
-                        last = parts[k][-1]
-                        if k in ("inst", "prim"):
-                            filler = np.full((pad,), -1, np.int32)
-                        else:
-                            filler = np.zeros((pad,) + last.shape[1:], last.dtype)
-                        parts[k][-1] = np.concatenate([last, filler], axis=0)
+                start = sum(r[2] for r in anim_ranges)
+                anim_ranges.append((ii, start, nt))
 
-        def pack(parts, pad_to_chunk=True):
+        def pack(cols):
+            nt = sum(a.shape[0] for a in cols["inst"]) if cols["inst"] else 0
             out = {}
-            nt = sum(a.shape[0] for a in parts["v0"]) if parts["v0"] else 0
-            pad = ((nt + TRI_CHUNK - 1) // TRI_CHUNK * TRI_CHUNK - nt
-                   if pad_to_chunk and nt > 0 else (TRI_CHUNK if nt == 0 else 0))
-            for k, arrs in parts.items():
+            for c in _TRI_COLS + _TRI_INT_COLS:
                 if nt > 0:
-                    cat = np.concatenate(arrs, axis=0)
+                    cat = np.concatenate(cols[c], axis=0)
                 else:
-                    width = {"inst": None, "prim": None}.get(k, 3)
-                    if k.startswith("uv"):
-                        width = 2
-                    cat = (np.zeros((0,), np.int32) if width is None
-                           else np.zeros((0, width)))
-                if pad:
-                    pad_shape = (pad,) + cat.shape[1:]
-                    if k in ("inst", "prim"):
-                        filler = np.full(pad_shape, -1, np.int32)
-                    else:
-                        filler = np.zeros(pad_shape, cat.dtype)
-                    cat = np.concatenate([cat, filler], axis=0)
-                dtype = np.int32 if k in ("inst", "prim") else np.float32
-                out[k] = jnp.asarray(cat, dtype=dtype)
+                    cat = np.zeros((1,))
+                dtype = np.int32 if c in _TRI_INT_COLS else np.float32
+                if nt == 0 and c in _TRI_INT_COLS:
+                    cat = np.full((1,), -1)
+                out[c] = jnp.asarray(cat, dtype=dtype)
             return out, nt
 
-        s, n_static = pack(static_parts)
-        a, n_anim = pack(anim_parts)
+        s, n_static = pack(s_cols)
+        a, n_anim = pack(a_cols)
 
         pts = np.concatenate(all_pts, axis=0) if all_pts else np.zeros((1, 3))
         center = 0.5 * (pts.min(0) + pts.max(0))
         radius = float(np.linalg.norm(pts - center, axis=-1).max()) + 1e-3
 
+        kw = {}
+        for c in _TRI_COLS + _TRI_INT_COLS:
+            kw["s_" + c] = s[c]
+            kw["a_" + c] = a[c]
+
         self._compiled = SceneArrays(
-            s_v0=s["v0"], s_e1=s["e1"], s_e2=s["e2"],
-            s_n0=s["n0"], s_n1=s["n1"], s_n2=s["n2"],
-            s_uv0=s["uv0"], s_uv1=s["uv1"], s_uv2=s["uv2"],
-            s_inst=s["inst"], s_prim=s["prim"],
-            a_v0=a["v0"], a_e1=a["e1"], a_e2=a["e2"],
-            a_n0=a["n0"], a_n1=a["n1"], a_n2=a["n2"],
-            a_uv0=a["uv0"], a_uv1=a["uv1"], a_uv2=a["uv2"],
-            a_inst=a["inst"], a_prim=a["prim"],
-            inst_m0=jnp.asarray(np.stack(inst_m0), jnp.float32),
-            inst_m1=jnp.asarray(np.stack(inst_m1), jnp.float32),
+            inst_m0c=jnp.asarray(np.stack(inst_m0).T, jnp.float32),
+            inst_m1c=jnp.asarray(np.stack(inst_m1).T, jnp.float32),
             inst_t0=jnp.asarray(inst_t0, jnp.float32),
             inst_t1=jnp.asarray(inst_t1, jnp.float32),
             inst_bsdf=jnp.asarray(inst_bsdf, jnp.int32),
@@ -295,7 +272,7 @@ class Scene:
             bsdf_params=jnp.asarray(bsdf_params, jnp.float32),
             emitter_type=jnp.asarray(emitter_type),
             emitter_params=jnp.asarray(emitter_params, jnp.float32),
-            emitter_to_world=jnp.asarray(emitter_to_world, jnp.float32),
+            emitter_m=jnp.asarray(emitter_m, jnp.float32),
             bsphere_radius=jnp.float32(radius),
             n_static_tris=n_static,
             n_anim_tris=n_anim,
@@ -306,226 +283,210 @@ class Scene:
             has_environment=env is not None,
             env_radiance=tuple(float(x) for x in env_radiance),
             bsdf_flags_host=tuple(int(f) for f in bsdf_flags),
+            **kw,
         )
         return self._compiled
 
 
 # ---------------------------------------------------------------------------
-# Ray intersection (brute-force scanned; Pallas BVH slots in here later)
+# Ray intersection: lax.scan, one triangle per step, all-(N,) math
 # ---------------------------------------------------------------------------
 
-def _intersect_tris_scan(o, d, maxt, v0, e1, e2, best):
-    """Scan over triangle chunks; carry = (t, tri_index). Möller-Trumbore.
+def _intersect_scan(o: Vec3, d: Vec3, maxt, cols, start: int, count: int,
+                    best, any_hit: bool = False):
+    """Möller-Trumbore over triangles [start, start+count).
 
-    ``o, d``: (N,3); ``v0/e1/e2``: (T,3) padded to TRI_CHUNK multiples.
-    ``best``: (t (N,), idx (N,)) initial carry. Returns updated carry and
-    barycentrics are recomputed later from the winning triangle (cheaper than
-    carrying u,v through the scan).
+    ``cols``: dict of (T,) arrays; per scan step the triangle's 9 floats are
+    scalars broadcast against (N,) lanes — zero layout waste.
+    ``best``: (t, idx) carry. Returns (t, idx).
     """
-    T = v0.shape[0]
-    n_chunks = T // TRI_CHUNK
-    v0c = v0.reshape(n_chunks, TRI_CHUNK, 3)
-    e1c = e1.reshape(n_chunks, TRI_CHUNK, 3)
-    e2c = e2.reshape(n_chunks, TRI_CHUNK, 3)
-    base = (jnp.arange(n_chunks, dtype=jnp.int32) * TRI_CHUNK)
+    sl = slice(start, start + count)
+    xs = (cols["v0x"][sl], cols["v0y"][sl], cols["v0z"][sl],
+          cols["e1x"][sl], cols["e1y"][sl], cols["e1z"][sl],
+          cols["e2x"][sl], cols["e2y"][sl], cols["e2z"][sl],
+          jnp.arange(start, start + count, dtype=jnp.int32))
 
     def step(carry, tri):
         bt, bi = carry
-        cv0, ce1, ce2, cbase = tri
-        # (N, C) batched Möller–Trumbore
-        pvec = jnp.cross(d[:, None, :], ce2[None, :, :])
-        det = jnp.sum(ce1[None, :, :] * pvec, axis=-1)
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvec = o[:, None, :] - cv0[None, :, :]
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, ce1[None, :, :])
-        v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
-        t = jnp.sum(ce2[None, :, :] * qvec, axis=-1) * inv_det
-        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-               & (u + v <= 1.0) & (t > 0.0) & (t < maxt[:, None])
-               & (t < bt[:, None]))
-        t = jnp.where(hit, t, jnp.inf)
-        kmin = jnp.argmin(t, axis=-1)
-        tmin = jnp.take_along_axis(t, kmin[:, None], axis=-1)[:, 0]
-        better = tmin < bt
-        bi = jnp.where(better, cbase + kmin.astype(jnp.int32), bi)
-        bt = jnp.where(better, tmin, bt)
+        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, tid = tri
+        # pvec = d x e2
+        px = d.y * e2z - d.z * e2y
+        py = d.z * e2x - d.x * e2z
+        pz = d.x * e2y - d.y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > 1e-12
+        inv_det = 1.0 / jnp.where(ok, det, 1.0)
+        tx = o.x - v0x
+        ty = o.y - v0y
+        tz = o.z - v0z
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        # qvec = tvec x e1
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (d.x * qx + d.y * qy + d.z * qz) * inv_det
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+               & (t > 0.0) & (t < maxt) & (t < bt))
+        bt = jnp.where(hit, t, bt)
+        bi = jnp.where(hit, tid, bi)
         return (bt, bi), None
 
-    (bt, bi), _ = jax.lax.scan(step, best, (v0c, e1c, e2c, base))
+    (bt, bi), _ = jax.lax.scan(step, best, xs)
     return bt, bi
 
 
-def _recompute_bary(o, d, v0, e1, e2):
-    """Barycentrics of the ray/plane hit for the winning triangle."""
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    return t, u, v
+def _anim_object_ray(sa: SceneArrays, inst: int, ray: Ray):
+    """Ray into animated instance's object space at each ray's own time."""
+    c0 = sa.inst_cmat(0, inst)
+    c1 = sa.inst_cmat(1, inst)
+    t0 = sa.inst_t0[inst]
+    t1 = sa.inst_t1[inst]
+    span = t1 - t0
+    denom = jnp.where(span != 0.0, span, 1.0)
+    u = jnp.clip((ray.time - t0) / denom, 0.0, 1.0)
+    c_t = cmat_lerp(c0, c1, u)
+    inv = cmat_inverse(c_t)
+    return cmat_apply_point(inv, ray.o), cmat_apply_vector(inv, ray.d), c_t, inv
 
 
-def _animated_object_rays(sa: SceneArrays, inst: int, ray: Ray):
-    """Transform rays into the object space of animated instance ``inst`` at
-    each ray's own time (exact motion blur: inverse of the lerped matrix)."""
-    m0 = sa.inst_m0[inst]
-    m1 = sa.inst_m1[inst]
-    m_t = animated_lerp(m0, m1, sa.inst_t0[inst], sa.inst_t1[inst], ray.time)
-    inv = affine_inverse(m_t)
-    o_obj = (inv[..., :3, :3] @ ray.o[..., None])[..., 0] + inv[..., :3, 3]
-    d_obj = (inv[..., :3, :3] @ ray.d[..., None])[..., 0]
-    return o_obj, d_obj, m_t, inv
+def _gather_tri(sa: SceneArrays, prefix: str, idx, names):
+    return tuple(sa.tri(prefix, c)[idx] for c in names)
 
 
 def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
     """Full surface-interaction query (reference scene.cpp:125-137 +
     Instance::compute_surface_interaction, instance.cpp:155-250)."""
-    n = ray.o.shape[0]
-    dt = ray.o.dtype
-    inf = jnp.full((n,), jnp.inf, dt)
-    best_t = inf
-    best_idx = jnp.full((n,), -1, jnp.int32)     # global triangle slot
-    best_space = jnp.zeros((n,), jnp.int32)      # 0 = static, 1 = animated
+    n = ray.o.x.shape[0]
+    dt = ray.o.x.dtype
+    best_t = jnp.full((n,), jnp.inf, dt)
+    best_idx = jnp.full((n,), -1, jnp.int32)
+    is_anim = jnp.zeros((n,), bool)
+
+    s_cols = {c: sa.tri("s", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
+                                          "e1z", "e2x", "e2y", "e2z")}
+    a_cols = {c: sa.tri("a", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
+                                          "e1z", "e2x", "e2y", "e2z")}
 
     if sa.n_static_tris > 0:
-        best_t, best_idx = _intersect_tris_scan(
-            ray.o, ray.d, ray.maxt, sa.s_v0, sa.s_e1, sa.s_e2,
+        best_t, best_idx = _intersect_scan(
+            ray.o, ray.d, ray.maxt, s_cols, 0, sa.n_static_tris,
             (best_t, best_idx))
 
     o_objs = {}
-    if sa.n_anim_tris > 0:
-        for (inst, start, count) in sa.anim_ranges:
-            o_obj, d_obj, _, _ = _animated_object_rays(sa, inst, ray)
-            o_objs[inst] = (o_obj, d_obj)
-            # ranges are chunk-aligned by construction (padded at compile
-            # time with inst == -1 filler triangles)
-            sl = slice(start, start + count)
-            t_a, i_a = _intersect_tris_scan(
-                o_obj, d_obj, ray.maxt, sa.a_v0[sl], sa.a_e1[sl], sa.a_e2[sl],
-                (best_t, jnp.full((n,), -1, jnp.int32)))
-            took = i_a >= 0
-            # filter filler hits (inst == -1 in that slot)
-            slot = jnp.where(took, i_a + start, 0)
-            valid_slot = sa.a_inst[slot] == inst
-            took = took & valid_slot
-            best_idx = jnp.where(took, slot, best_idx)
-            best_space = jnp.where(took, 1, best_space)
-            best_t = jnp.where(took, t_a, best_t)
+    for (inst, start, count) in sa.anim_ranges:
+        o_obj, d_obj, _, _ = _anim_object_ray(sa, inst, ray)
+        o_objs[inst] = (o_obj, d_obj)
+        t_a, i_a = _intersect_scan(
+            o_obj, d_obj, ray.maxt, a_cols, start, count,
+            (best_t, jnp.full((n,), -1, jnp.int32)))
+        took = i_a >= 0
+        best_idx = jnp.where(took, i_a, best_idx)
+        best_t = jnp.where(took, t_a, best_t)
+        is_anim = jnp.where(took, True, is_anim)
 
     valid = best_idx >= 0
-    idx = jnp.maximum(best_idx, 0)
-
-    is_anim = best_space == 1
-
-    def gather(field_s, field_a):
-        fs = getattr(sa, field_s)[idx]
-        fa = getattr(sa, field_a)[idx]
-        return jnp.where(is_anim[..., None] if fs.ndim == 2 else is_anim,
-                         fa, fs)
-
-    v0 = gather("s_v0", "a_v0")
-    e1 = gather("s_e1", "a_e1")
-    e2 = gather("s_e2", "a_e2")
-    n0 = gather("s_n0", "a_n0")
-    n1 = gather("s_n1", "a_n1")
-    n2 = gather("s_n2", "a_n2")
-    uv0 = gather("s_uv0", "a_uv0")
-    uv1 = gather("s_uv1", "a_uv1")
-    uv2 = gather("s_uv2", "a_uv2")
-    inst_id = gather("s_inst", "a_inst")
-    prim_id = gather("s_prim", "a_prim")
-
-    # hit-space ray (object space for animated instances)
-    o_hit = ray.o
-    d_hit = ray.d
-    if sa.n_anim_tris > 0:
-        o_anim = jnp.zeros_like(ray.o)
-        d_anim = jnp.zeros_like(ray.d)
-        for (inst, _, _) in sa.anim_ranges:
-            o_obj, d_obj = o_objs[inst]
-            m = (inst_id == inst) & is_anim
-            o_anim = jnp.where(m[:, None], o_obj, o_anim)
-            d_anim = jnp.where(m[:, None], d_obj, d_anim)
-        o_hit = jnp.where(is_anim[:, None], o_anim, ray.o)
-        d_hit = jnp.where(is_anim[:, None], d_anim, ray.d)
-
-    t, u, v = _recompute_bary(o_hit, d_hit, v0, e1, e2)
-    t = jnp.where(valid, t, jnp.inf)
-
-    p_local = v0 + u[:, None] * e1 + v[:, None] * e2
-    ng_local = normalize(jnp.cross(e1, e2))
-    w = 1.0 - u - v
-    ns_local = normalize(w[:, None] * n0 + u[:, None] * n1 + v[:, None] * n2)
-    uv = w[:, None] * uv0 + u[:, None] * uv1 + v[:, None] * uv2
-
-    # world-space transform for animated hits (lerped at ray time,
-    # reference instance.cpp:155-250)
-    p = p_local
-    ng = ng_local
-    ns = ns_local
-    if sa.n_anim_tris > 0:
-        m0g = sa.inst_m0[jnp.maximum(inst_id, 0)]
-        m1g = sa.inst_m1[jnp.maximum(inst_id, 0)]
-        t0g = sa.inst_t0[jnp.maximum(inst_id, 0)]
-        t1g = sa.inst_t1[jnp.maximum(inst_id, 0)]
-        denom = jnp.where(t1g - t0g != 0.0, t1g - t0g, 1.0)
-        uu = jnp.clip((ray.time - t0g) / denom, 0.0, 1.0)
-        m_t = m0g * (1.0 - uu[:, None, None]) + m1g * uu[:, None, None]
-        inv_t = affine_inverse(m_t)
-        p_w = (m_t[:, :3, :3] @ p_local[..., None])[..., 0] + m_t[:, :3, 3]
-        ng_w = normalize(
-            (jnp.swapaxes(inv_t[:, :3, :3], -1, -2) @ ng_local[..., None])[..., 0])
-        ns_w = normalize(
-            (jnp.swapaxes(inv_t[:, :3, :3], -1, -2) @ ns_local[..., None])[..., 0])
-        p = jnp.where(is_anim[:, None], p_w, p_local)
-        ng = jnp.where(is_anim[:, None], ng_w, ng_local)
-        ns = jnp.where(is_anim[:, None], ns_w, ns_local)
-
-    # face the geometric normal with the shading normal (mitsuba convention:
-    # both normals follow the mesh orientation; wi determines the side)
-    sh_s, sh_t = coordinate_system(ns)
-    wi_world = -ray.d
-    wi = jnp.stack([dot(wi_world, sh_s), dot(wi_world, sh_t),
-                    dot(wi_world, ns)], axis=-1)
-
     if active is not None:
         valid = valid & active
+    idx = jnp.maximum(best_idx, 0)
+
+    names = _TRI_COLS + _TRI_INT_COLS
+    gs = _gather_tri(sa, "s", jnp.minimum(idx, sa.tri("s", "inst").shape[0] - 1), names)
+    ga = _gather_tri(sa, "a", jnp.minimum(idx, sa.tri("a", "inst").shape[0] - 1), names)
+    g = {c: jnp.where(is_anim, a_, s_) for c, s_, a_ in zip(names, gs, ga)}
+
+    v0 = Vec3(g["v0x"], g["v0y"], g["v0z"])
+    e1 = Vec3(g["e1x"], g["e1y"], g["e1z"])
+    e2 = Vec3(g["e2x"], g["e2y"], g["e2z"])
+
+    # hit-space ray (object space for animated instances)
+    o_hit, d_hit = ray.o, ray.d
+    for (inst, _, _) in sa.anim_ranges:
+        o_obj, d_obj = o_objs[inst]
+        m = is_anim & (g["inst"] == inst)
+        o_hit = Vec3(jnp.where(m, o_obj.x, o_hit.x),
+                     jnp.where(m, o_obj.y, o_hit.y),
+                     jnp.where(m, o_obj.z, o_hit.z))
+        d_hit = Vec3(jnp.where(m, d_obj.x, d_hit.x),
+                     jnp.where(m, d_obj.y, d_hit.y),
+                     jnp.where(m, d_obj.z, d_hit.z))
+
+    # barycentrics of the winning triangle
+    pv = cross(d_hit, e2)
+    det = dot(e1, pv)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+    tv = o_hit - v0
+    u = dot(tv, pv) * inv_det
+    qv = cross(tv, e1)
+    v = dot(d_hit, qv) * inv_det
+    t = dot(e2, qv) * inv_det
+    t = jnp.where(valid, t, jnp.inf)
+    w = 1.0 - u - v
+
+    p_local = v0 + e1 * u + e2 * v
+    ng_local = normalize(cross(e1, e2))
+    ns_local = normalize(Vec3(
+        w * g["n0x"] + u * g["n1x"] + v * g["n2x"],
+        w * g["n0y"] + u * g["n1y"] + v * g["n2y"],
+        w * g["n0z"] + u * g["n1z"] + v * g["n2z"]))
+    uv_u = w * g["uv0u"] + u * g["uv1u"] + v * g["uv2u"]
+    uv_v = w * g["uv0v"] + u * g["uv1v"] + v * g["uv2v"]
+
+    p, ng, ns = p_local, ng_local, ns_local
+    if sa.n_anim_tris > 0:
+        inst_id = jnp.maximum(g["inst"], 0)
+        c0 = tuple(sa.inst_m0c[j, inst_id] for j in range(12))  # (N,) comps
+        c1 = tuple(sa.inst_m1c[j, inst_id] for j in range(12))
+        t0g = sa.inst_t0[inst_id]
+        t1g = sa.inst_t1[inst_id]
+        span = t1g - t0g
+        uu = jnp.clip((ray.time - t0g) / jnp.where(span != 0.0, span, 1.0),
+                      0.0, 1.0)
+        c_t = cmat_lerp(c0, c1, uu)
+        inv_t = cmat_inverse(c_t)
+        p_w = cmat_apply_point(c_t, p_local)
+        ng_w = normalize(cmat_apply_transpose_vector(inv_t, ng_local))
+        ns_w = normalize(cmat_apply_transpose_vector(inv_t, ns_local))
+        from ..core.vec import where3
+        p = where3(is_anim, p_w, p_local)
+        ng = where3(is_anim, ng_w, ng_local)
+        ns = where3(is_anim, ns_w, ns_local)
+
+    sh_s, sh_t = coordinate_system(ns)
+    wi_world = -ray.d
+    wi = Vec3(dot(wi_world, sh_s), dot(wi_world, sh_t), dot(wi_world, ns))
 
     return SurfaceInteraction(
-        valid=valid, t=t, p=p, n=ng, sh_n=ns, sh_s=sh_s, sh_t=sh_t, uv=uv,
-        wi=wi, inst=jnp.where(valid, inst_id, -1),
-        prim=jnp.where(valid, prim_id, -1), time=ray.time)
+        valid=valid, t=t, p=p, n=ng, sh_n=ns, sh_s=sh_s, sh_t=sh_t,
+        uv_u=uv_u, uv_v=uv_v, wi=wi,
+        inst=jnp.where(valid, g["inst"], -1),
+        prim=jnp.where(valid, g["prim"], -1), time=ray.time)
 
 
 def ray_test(sa: SceneArrays, ray: Ray, active=None):
     """Shadow/any-hit query (reference scene.cpp ray_test)."""
-    n = ray.o.shape[0]
-    best_t = jnp.full((n,), jnp.inf, ray.o.dtype)
+    n = ray.o.x.shape[0]
+    dt = ray.o.x.dtype
+    s_cols = {c: sa.tri("s", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
+                                          "e1z", "e2x", "e2y", "e2z")}
+    a_cols = {c: sa.tri("a", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
+                                          "e1z", "e2x", "e2y", "e2z")}
+    best_t = jnp.full((n,), jnp.inf, dt)
     best_i = jnp.full((n,), -1, jnp.int32)
     if sa.n_static_tris > 0:
-        best_t, best_i = _intersect_tris_scan(
-            ray.o, ray.d, ray.maxt, sa.s_v0, sa.s_e1, sa.s_e2,
+        best_t, best_i = _intersect_scan(
+            ray.o, ray.d, ray.maxt, s_cols, 0, sa.n_static_tris,
             (best_t, best_i))
     occluded = best_i >= 0
-    if sa.n_anim_tris > 0:
-        for (inst, start, count) in sa.anim_ranges:
-            o_obj, d_obj, _, _ = _animated_object_rays(sa, inst, ray)
-            sl = slice(start, start + count)
-            t_a, i_a = _intersect_tris_scan(
-                o_obj, d_obj, ray.maxt, sa.a_v0[sl], sa.a_e1[sl], sa.a_e2[sl],
-                (jnp.full((n,), jnp.inf, ray.o.dtype),
-                 jnp.full((n,), -1, jnp.int32)))
-            took = i_a >= 0
-            slot = jnp.where(took, i_a + start, 0)
-            took = took & (sa.a_inst[slot] == inst)
-            occluded = occluded | took
+    for (inst, start, count) in sa.anim_ranges:
+        o_obj, d_obj, _, _ = _anim_object_ray(sa, inst, ray)
+        t_a, i_a = _intersect_scan(
+            o_obj, d_obj, ray.maxt, a_cols, start, count,
+            (jnp.full((n,), jnp.inf, dt), jnp.full((n,), -1, jnp.int32)))
+        occluded = occluded | (i_a >= 0)
     if active is not None:
         occluded = occluded & active
     return occluded
 
 
-__all__ = ["Scene", "SceneArrays", "ray_intersect", "ray_test", "TRI_CHUNK"]
+__all__ = ["Scene", "SceneArrays", "ray_intersect", "ray_test"]

@@ -113,7 +113,7 @@ class Sampler:
     def next_2d(self, state, active=None):
         f1, state = self.next_1d(state, active)
         f2, state = self.next_1d(state, active)
-        return jnp.stack([f1, f2], axis=-1), state
+        return (f1, f2), state
 
     def next_1d_time(self, state, active=None, strategy=TIME_UNIFORM,
                      antithetic_shift=0.0, stratified_interval=False):
@@ -205,7 +205,7 @@ class CorrelatedSampler(Sampler):
     def next_2d_correlate(self, state, active=None, correlate=None):
         f1, state = self.next_1d_correlate(state, active, correlate)
         f2, state = self.next_1d_correlate(state, active, correlate)
-        return jnp.stack([f1, f2], axis=-1), state
+        return (f1, f2), state
 
 
 @register_plugin("sampler", "timestratified")

@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.properties import Properties, register_plugin, create_plugin
-from ..core.math import normalize
+from ..core.vec import Vec3, normalize
 from ..render.types import Ray
 
 
@@ -58,11 +58,9 @@ class Sensor:
         self.shutter_close = props.get_float("shutter_close", self.shutter_open)
         self.film = None
         self.sampler = None
-        for key in list(props.keys()):
-            v = props.get(key)
-            tname = type(v).__name__
-            from ..films import Film
-            from ..samplers import Sampler
+        from ..films import Film
+        from ..samplers import Sampler
+        for key, v in props.objects():
             if isinstance(v, Film):
                 self.film = v
             elif isinstance(v, Sampler):
@@ -84,12 +82,13 @@ class Sensor:
 
 
 class SensorParams(NamedTuple):
-    """Device-side camera constants (pytree leaf arrays)."""
-    to_world: jnp.ndarray       # (4, 4)
-    tan_half_x: jnp.ndarray     # ()
-    tan_half_y: jnp.ndarray     # () == tan_half_x / aspect
-    near_clip: jnp.ndarray      # ()
-    far_clip: jnp.ndarray       # ()
+    """Device-side camera constants. The matrix is 12 python floats (static
+    closure constants — broadcasting against (N,) lanes costs nothing)."""
+    m: tuple                    # 12-tuple row-major 3x4 world matrix
+    tan_half_x: float
+    tan_half_y: float
+    near_clip: float
+    far_clip: float
     kind: int = 0               # 0 = perspective, 1 = orthographic (static)
 
 
@@ -108,43 +107,40 @@ class PerspectiveSensor(Sensor):
 
     def device_params(self) -> SensorParams:
         th = math.tan(math.radians(self.x_fov) * 0.5)
+        m = tuple(float(self.to_world[i, j]) for i in range(3) for j in range(4))
         return SensorParams(
-            to_world=jnp.asarray(self.to_world, dtype=jnp.float32),
-            tan_half_x=jnp.float32(th),
-            tan_half_y=jnp.float32(th / self.aspect),
-            near_clip=jnp.float32(self.near_clip),
-            far_clip=jnp.float32(self.far_clip),
+            m=m,
+            tan_half_x=float(th),
+            tan_half_y=float(th / self.aspect),
+            near_clip=float(self.near_clip),
+            far_clip=float(self.far_clip),
             kind=0)
 
 
-def sample_ray(params: SensorParams, time, position_sample, aperture_sample):
-    """Generate camera rays from film-plane samples in [0,1]^2.
+def sample_ray(params: SensorParams, time, sx, sy, ap_x, ap_y):
+    """Generate camera rays from film-plane samples in [0,1]^2 (each an (N,)
+    array — component-wise layout, see core/vec.py).
 
     Derivation from reference perspective.cpp:217-236 with the
     perspective_projection of sensor.h:227: the camera-space direction for a
     film sample (sx, sy) is
         d_cam ∝ ((1-2*sx)*tan(x_fov/2), (1-2*sy)*tan(x_fov/2)/aspect, 1)
     normalized, then rotated to world; the origin advances to the near plane.
-    Returns (Ray, weight(N,3)).
+    Returns (Ray, weight (scalar 1.0 — pinhole)).
     """
-    sx = position_sample[:, 0]
-    sy = position_sample[:, 1]
-    d_cam = jnp.stack([
-        (1.0 - 2.0 * sx) * params.tan_half_x,
-        (1.0 - 2.0 * sy) * params.tan_half_y,
-        jnp.ones_like(sx),
-    ], axis=-1)
-    d_cam = normalize(d_cam)
-    R = params.to_world[:3, :3]
-    d = (R @ d_cam[..., None])[..., 0]
-    o = jnp.broadcast_to(params.to_world[:3, 3], d.shape)
-    inv_z = 1.0 / d_cam[:, 2]
+    dcx = (1.0 - 2.0 * sx) * params.tan_half_x
+    dcy = (1.0 - 2.0 * sy) * params.tan_half_y
+    d_cam = normalize(Vec3(dcx, dcy, jnp.ones_like(sx)))
+    m = params.m
+    d = Vec3(m[0] * d_cam.x + m[1] * d_cam.y + m[2] * d_cam.z,
+             m[4] * d_cam.x + m[5] * d_cam.y + m[6] * d_cam.z,
+             m[8] * d_cam.x + m[9] * d_cam.y + m[10] * d_cam.z)
+    inv_z = 1.0 / d_cam.z
     near_t = params.near_clip * inv_z
     far_t = params.far_clip * inv_z
-    o = o + d * near_t[:, None]
+    o = Vec3(m[3] + d.x * near_t, m[7] + d.y * near_t, m[11] + d.z * near_t)
     maxt = far_t - near_t
-    weight = jnp.ones_like(d)
-    return Ray(o, d, time, maxt), weight
+    return Ray(o, d, time, maxt), 1.0
 
 
 __all__ = ["Sensor", "PerspectiveSensor", "SensorParams", "sample_ray",

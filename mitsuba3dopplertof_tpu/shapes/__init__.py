@@ -74,8 +74,7 @@ class Shape:
         # them the same way via Properties object references)
         from ..bsdfs import BSDF
         from ..emitters import Emitter
-        for key in list(props.keys()):
-            v = props.get(key)
+        for key, v in props.objects():
             if isinstance(v, BSDF):
                 self.bsdf = v
             elif isinstance(v, Emitter):
@@ -275,8 +274,7 @@ class ShapeGroup(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
         self.children = []
-        for key in list(props.keys()):
-            v = props.get(key)
+        for key, v in props.objects():
             if isinstance(v, Shape):
                 self.children.append(v)
 
@@ -290,8 +288,7 @@ class Instance(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
         self.group = None
-        for key in list(props.keys()):
-            v = props.get(key)
+        for key, v in props.objects():
             if isinstance(v, ShapeGroup):
                 self.group = v
         if self.group is None:

@@ -1,0 +1,134 @@
+"""Correlated / time-stratified sampler semantics
+(reference src/samplers/correlated.cpp:92-167, timestratified.cpp:117-130).
+The fork shipped zero tests for these — SURVEY.md §4 lists them as the
+critical gap to close."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mitsuba3dopplertof_tpu.core.properties import Properties
+from mitsuba3dopplertof_tpu.samplers import (
+    CorrelatedSampler, TimeStratifiedSampler, IndependentSampler,
+    TIME_UNIFORM, TIME_STRATIFIED, TIME_ANTITHETIC, TIME_ANTITHETIC_MIRROR,
+    TIME_PERIODIC)
+
+
+def make_correlated(spp=8, tc=2, pc=None):
+    p = Properties("correlated")
+    p["sample_count"] = spp
+    p["time_correlate_number"] = tc
+    if pc is not None:
+        p["path_correlate_number"] = pc
+    s = CorrelatedSampler(p)
+    return s
+
+
+def seed_wavefront(s, n_pixels=4, seed=0):
+    s.set_samples_per_wavefront(s.sample_count)
+    return s.seed(seed, n_pixels * s.sample_count)
+
+
+def test_antithetic_pairs():
+    """antithetic, tc=2: member 1 gets r + shift (correlated.cpp:131-139)."""
+    s = make_correlated(spp=8, tc=2)
+    st = seed_wavefront(s)
+    v, st = s.next_1d_time(st, None, TIME_ANTITHETIC, 0.5, False)
+    v = np.asarray(v)
+    assert np.allclose(v[1::2], v[0::2] + 0.5, atol=1e-6)
+
+
+def test_antithetic_mirror_pairs():
+    s = make_correlated(spp=8, tc=2)
+    st = seed_wavefront(s)
+    v, st = s.next_1d_time(st, None, TIME_ANTITHETIC_MIRROR, 0.0, False)
+    v = np.asarray(v)
+    assert np.allclose(v[1::2], 1.0 - v[0::2], atol=1e-6)
+
+
+def test_antithetic_with_interval_stratification():
+    """per-interval stratification divides [0,1) into spp/tc strata
+    (correlated.cpp:109-125)."""
+    spp, tc = 8, 2
+    s = make_correlated(spp=spp, tc=tc)
+    st = seed_wavefront(s, n_pixels=1)
+    v, st = s.next_1d_time(st, None, TIME_ANTITHETIC, 0.5, True)
+    v = np.asarray(v)
+    n_stratum = spp // tc
+    # member 0 of pair k lies in stratum k
+    for k in range(n_stratum):
+        assert k / n_stratum <= v[2 * k] < (k + 1) / n_stratum
+
+
+def test_periodic_group_offsets():
+    s = make_correlated(spp=8, tc=4)
+    st = seed_wavefront(s)
+    v, st = s.next_1d_time(st, None, TIME_PERIODIC, 0.0, False)
+    v = np.asarray(v)
+    base = v[0::4]
+    for k in range(1, 4):
+        assert np.allclose(v[k::4], base + k / 4.0, atol=1e-6)
+
+
+def test_stratified_time_covers_strata():
+    s = make_correlated(spp=8, tc=8)
+    st = seed_wavefront(s, n_pixels=1)
+    v, st = s.next_1d_time(st, None, TIME_STRATIFIED, 0.0, False)
+    v = np.sort(np.asarray(v))
+    for k in range(8):
+        assert k / 8 <= v[k] < (k + 1) / 8
+
+
+def test_correlate_replay_within_group():
+    """next_*_correlate(correlate=True) returns the shared path stream —
+    group members see identical values (temporal replay)."""
+    s = make_correlated(spp=8, tc=2)
+    st = seed_wavefront(s)
+    n = 32
+    true_ = jnp.ones((n,), bool)
+    v, st = s.next_1d_correlate(st, true_, true_)
+    v = np.asarray(v)
+    assert np.array_equal(v[0::2], v[1::2])
+    # with correlate False the values are independent
+    v2, st = s.next_1d_correlate(st, true_, jnp.zeros((n,), bool))
+    v2 = np.asarray(v2)
+    assert not np.array_equal(v2[0::2], v2[1::2])
+
+
+def test_both_streams_always_advance():
+    """correlated.cpp:156-161: both streams advance regardless of
+    `correlate`, keeping lanes in lockstep."""
+    s = make_correlated(spp=4, tc=2)
+    st0 = seed_wavefront(s)
+    n = 16
+    act = jnp.ones((n,), bool)
+    _, st_t = s.next_1d_correlate(st0, act, jnp.ones((n,), bool))
+    _, st_f = s.next_1d_correlate(st0, act, jnp.zeros((n,), bool))
+    assert np.array_equal(np.asarray(st_t.rng.state_lo),
+                          np.asarray(st_f.rng.state_lo))
+    assert np.array_equal(np.asarray(st_t.rng_path.state_lo),
+                          np.asarray(st_f.rng_path.state_lo))
+
+
+def test_timestratified_covers_and_jitters():
+    p = Properties("timestratified")
+    p["sample_count"] = 16
+    s = TimeStratifiedSampler(p)
+    s.set_samples_per_wavefront(16)
+    st = s.seed(0, 16)
+    v, st = s.next_1d_time(st)
+    v = np.sort(np.asarray(v))
+    for k in range(16):
+        assert k / 16 <= v[k] < (k + 1) / 16
+
+
+def test_independent_uniformity():
+    p = Properties("independent")
+    p["sample_count"] = 4
+    s = IndependentSampler(p)
+    s.set_samples_per_wavefront(4)
+    st = s.seed(0, 1 << 14)
+    v, st = s.next_1d(st)
+    v = np.asarray(v)
+    hist, _ = np.histogram(v, bins=16, range=(0, 1))
+    assert hist.min() > 0.7 * v.size / 16 and hist.max() < 1.3 * v.size / 16

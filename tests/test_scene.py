@@ -1,0 +1,154 @@
+"""Scene parsing, compilation, intersection and transform semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba3dopplertof_tpu as mi
+from mitsuba3dopplertof_tpu.render.scene import ray_intersect, ray_test
+from mitsuba3dopplertof_tpu.render.types import Ray
+from mitsuba3dopplertof_tpu.core.vec import Vec3
+
+
+def make_ray(o, d, time=0.0, n=1):
+    o = np.asarray(o, np.float32)
+    d = np.asarray(d, np.float32)
+    return Ray(Vec3(jnp.full(n, o[0]), jnp.full(n, o[1]), jnp.full(n, o[2])),
+               Vec3(jnp.full(n, d[0]), jnp.full(n, d[1]), jnp.full(n, d[2])),
+               jnp.full(n, time, jnp.float32), jnp.full(n, np.inf, jnp.float32))
+
+
+def simple_scene(shape_extra=""):
+    return mi.load_string(f"""
+    <scene version="3.0.0">
+      <integrator type="path"><integer name="max_depth" value="2"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <film type="hdrfilm">
+          <integer name="width" value="8"/><integer name="height" value="8"/>
+          <rfilter type="box"/>
+        </film>
+        <sampler type="independent"><integer name="sample_count" value="4"/></sampler>
+      </sensor>
+      <shape type="rectangle" id="R">
+        <transform name="to_world"><translate z="2"/></transform>
+        {shape_extra}
+      </shape>
+      <emitter type="point"><rgb name="intensity" value="1"/></emitter>
+    </scene>""")
+
+
+def test_rectangle_hit_distance():
+    scene = simple_scene()
+    sa = scene.compile()
+    si = ray_intersect(sa, make_ray([0, 0, 0], [0, 0, 1]))
+    assert bool(si.valid[0])
+    assert abs(float(si.t[0]) - 2.0) < 1e-5
+    assert abs(float(si.p.z[0]) - 2.0) < 1e-5
+    # normal +z, frame z == normal
+    assert abs(float(si.sh_n.z[0]) - 1.0) < 1e-5
+    # wi in local frame: ray comes from -z side -> wi.z = -(-1)... direction
+    # to viewer is -d = (0,0,-1), local z-component = dot(-d, n) = -1
+    assert abs(float(si.wi.z[0]) + 1.0) < 1e-5
+
+
+def test_rectangle_miss():
+    scene = simple_scene()
+    sa = scene.compile()
+    si = ray_intersect(sa, make_ray([5, 5, 0], [0, 0, 1]))
+    assert not bool(si.valid[0])
+    si2 = ray_intersect(sa, make_ray([0, 0, 0], [0, 0, -1]))
+    assert not bool(si2.valid[0])
+
+
+def test_ray_test_occlusion():
+    scene = simple_scene()
+    sa = scene.compile()
+    r = make_ray([0, 0, 0], [0, 0, 1])
+    assert bool(ray_test(sa, r)[0])
+    r2 = r._replace(maxt=jnp.asarray([1.0], jnp.float32))
+    assert not bool(ray_test(sa, r2)[0])
+
+
+ANIMATED = """
+    <scene version="3.0.0">
+      <integrator type="velocity"/>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <float name="shutter_open" value="0.0"/>
+        <float name="shutter_close" value="1.0"/>
+        <film type="hdrfilm">
+          <integer name="width" value="4"/><integer name="height" value="4"/>
+          <rfilter type="box"/>
+        </film>
+        <sampler type="independent"><integer name="sample_count" value="4"/></sampler>
+      </sensor>
+      <shape type="rectangle" id="Moving">
+        <animation name="to_world">
+          <transform time="0"><translate z="2"/></transform>
+          <transform time="1"><translate z="3"/></transform>
+        </animation>
+      </shape>
+    </scene>
+"""
+
+
+def test_animated_matrix_lerp_intersection():
+    """Hit distance tracks the 2-keyframe clamped matrix lerp
+    (reference transform.h:458-466 + instance.cpp motion)."""
+    scene = mi.load_string(ANIMATED)
+    sa = scene.compile()
+    for t, expect in [(0.0, 2.0), (0.5, 2.5), (1.0, 3.0), (2.0, 3.0),
+                      (-1.0, 2.0)]:
+        si = ray_intersect(sa, make_ray([0, 0, 0], [0, 0, 1], time=t))
+        assert bool(si.valid[0])
+        assert abs(float(si.t[0]) - expect) < 1e-4, (t, float(si.t[0]))
+
+
+def test_velocity_integrator_plane():
+    """velocity.cpp:125-137 on an analytically moving plane: (t2-t1)/T."""
+    scene = mi.load_string(ANIMATED)
+    img = np.asarray(mi.render(scene, spp=4, seed=0))
+    # plane moves +1 z over T=1 (sensor shutter [0,1], integrator time default
+    # 0.0015 -> uses its own m_time for the two traces: si2 at t=0.0015)
+    # With integrator time derived from its props (0.0015), velocity =
+    # (z(0.0015) - z(0))/0.0015 = slope dz/dt = 1.0 for the center pixel.
+    center = img[2, 2, 0]
+    assert abs(center - 1.0) < 1e-2, center
+
+
+def test_unqueried_property_raises():
+    with pytest.raises(Exception):
+        mi.load_string("""
+        <scene version="3.0.0">
+          <sensor type="perspective">
+            <float name="fov" value="45"/>
+            <float name="not_a_real_param" value="1"/>
+          </sensor>
+        </scene>""")
+
+
+def test_xml_defaults_and_overrides():
+    d = mi.xml_to_dict("/root/reference/configs_example/scene.xml",
+                       {"spp": "8", "resx": "16", "resy": "16"})
+    assert d["_sensor_0" if "_sensor_0" in d else list(
+        k for k in d if "sensor" in str(k).lower())[0]] is not None
+    scene = mi.load_file("/root/reference/configs_example/scene.xml",
+                         spp=8, resx=16, resy=16)
+    assert scene.sensor.film.size == (16, 16)
+    # the canonical scene hardcodes sample_count=1024 (its $spp default is
+    # unused by the sampler tag); spp is overridden at render() time instead
+    assert scene.sensor.sampler.sample_count == 1024
+
+
+def test_canonical_scene_structure():
+    scene = mi.load_file("/root/reference/configs_example/scene.xml",
+                         spp=8, resx=16, resy=16)
+    sa = scene.compile()
+    assert sa.n_static_tris == 10     # 5 rectangles
+    assert sa.n_anim_tris == 24       # 2 cubes
+    assert len(sa.anim_ranges) == 2
+    assert sa.n_emitters == 1
+    assert scene.integrator.plugin_name == "dopplertofpath"
+    assert scene.integrator.path_correlation_depth == 4
+    assert scene.integrator.hetero_frequency == 1.0

@@ -1,0 +1,45 @@
+"""Headline benchmark: dopplertofpath on the canonical scene
+(reference configs_example/scene.xml — 256x256, correlated sampler,
+antithetic time sampling, path_correlation_depth=4, 2 animated cubes).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): >= 50 Msamples/s/chip on TPU v5e.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import numpy as np
+    import mitsuba3dopplertof_tpu as mi
+
+    scene = mi.load_file(
+        os.environ.get("BENCH_SCENE",
+                       "/root/reference/configs_example/scene.xml"))
+    spp = int(os.environ.get("BENCH_SPP", "256"))
+
+    # warm up / compile
+    img = np.asarray(mi.render(scene, spp=min(spp, 32), seed=0))
+    assert np.isfinite(img).all()
+
+    t0 = time.time()
+    img = np.asarray(mi.render(scene, spp=spp, seed=1))
+    dt = time.time() - t0
+
+    w, h = scene.sensor.film.size
+    msps = w * h * spp / dt / 1e6
+    print(json.dumps({
+        "metric": "dopplertofpath_throughput",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,15 +84,21 @@ def block_create(width: int, height: int, n_channels: int, dtype=jnp.float32):
 
 
 def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
-                          active, W: int, H: int, spp: int):
+                          active, W: int, H: int, spp: int,
+                          pad_rows: int = 0):
     """Accumulate a pixel-major wavefront into the block.
 
-    ``pos_x/pos_y``: continuous sample positions (N,); lane i belongs to
-    pixel i // spp. ``values``: list of C (N,) channel arrays.
+    ``pos_x/pos_y``: continuous sample positions (N,) relative to the lane
+    range (lane i belongs to pixel i // spp, pixel rows [0, H)). ``values``:
+    list of C (N,) channel arrays. ``block`` has H + 2*pad_rows rows;
+    ``pad_rows > 0`` keeps cross-row filter taps for shard-boundary merging
+    (parallel/render.py) instead of clipping them.
+
     Implements the reference's filter-footprint weighting
     (imageblock.cpp:263-344, continuous JIT path) without scatters.
     """
     C = block.shape[0]
+    HC = H + 2 * pad_rows       # canvas rows
     n = pos_x.shape[0]
     values = [jnp.where(active, v, 0.0) for v in values]
 
@@ -108,7 +114,7 @@ def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
         # samples land in their own pixel (the integrator passes pixel
         # centers for box, reference imageblock.cpp:471)
         for c in range(C):
-            block = block.at[c].add(segsum(values[c]))
+            block = block.at[c, pad_rows:pad_rows + H].add(segsum(values[c]))
         return block
 
     radius = float(rfilter.radius)
@@ -148,10 +154,13 @@ def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
                 wsum_x = term if wsum_x is None else wsum_x + term
             wgt = wsum_y * wsum_x
             # dense per-pixel partial image, then shifted add: a sample in
-            # pixel p contributes to pixel p + δ, so destination region
-            # [max(0,δ), dim+min(0,δ)) receives source [max(0,-δ), ...+dim-|δ|)
-            dst_y = slice(max(0, dy_off), H + min(0, dy_off))
-            src_y = slice(max(0, -dy_off), max(0, -dy_off) + H - abs(dy_off))
+            # source row r lands at canvas row pad_rows + r + δ; clip to the
+            # canvas (with pad_rows >= K no y-clipping occurs)
+            dlo_y = max(0, pad_rows + dy_off)
+            dhi_y = min(pad_rows + H + dy_off, HC)
+            slo_y = dlo_y - (pad_rows + dy_off)
+            dst_y = slice(dlo_y, dhi_y)
+            src_y = slice(slo_y, slo_y + (dhi_y - dlo_y))
             dst_x = slice(max(0, dx_off), W + min(0, dx_off))
             src_x = slice(max(0, -dx_off), max(0, -dx_off) + W - abs(dx_off))
             for c in range(C):

@@ -1,0 +1,160 @@
+"""shard_map render: data-parallel wavefront over a 1-D device mesh.
+
+Layout contract (SURVEY.md §2.6): the wavefront is pixel-major, shards are
+contiguous lane ranges aligned to pixel boundaries, so RNG correlation
+groups (time_correlate_number consecutive lanes) never straddle devices.
+Each device splats its pixel rows into a local canvas; one psum over the
+mesh axis merges films — the TPU equivalent of the reference's atomic film
+scatter (reference src/render/imageblock.cpp:119-127), but deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..films import block_create, block_splat_wavefront, develop
+from ..sensors import sample_ray as sensor_sample_ray
+
+_PAD = 4   # rows of film padding above/below each shard (max filter radius)
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
+                   seed: int = 0, spp: int = 0, develop_film: bool = True,
+                   max_lanes_per_device: int = 1 << 21):
+    """Render with the wavefront sharded over ``mesh`` (axis 0)."""
+    if mesh is None:
+        mesh = make_mesh()
+    axis = mesh.axis_names[0]
+    D = int(mesh.devices.size)
+
+    if sensor is None:
+        sensor = scene.sensor
+    film = sensor.film
+    sampler = sensor.sampler
+    if spp:
+        sampler.set_sample_count(spp)
+    spp = sampler.sample_count
+
+    W, H = film.crop_size
+    if H % D != 0:
+        raise ValueError(f"film height {H} must divide by device count {D}")
+
+    spp_per_pass = spp
+    while (W * H * spp_per_pass) // D > max_lanes_per_device and spp_per_pass > 1:
+        d = spp_per_pass - 1
+        while spp % d != 0:
+            d -= 1
+        spp_per_pass = d
+    n_passes = spp // spp_per_pass
+    wavefront = W * H * spp_per_pass
+
+    sampler.set_samples_per_wavefront(spp_per_pass)
+    state = sampler.seed(seed, wavefront)   # (wavefront,) state, shardable
+
+    sa = scene.compile()
+    n_ch = film.channel_count
+
+    sensor_params = sensor.device_params()
+    rfilter = film.rfilter
+    has_alpha = film.has_alpha
+    shutter_open = float(sensor.shutter_open)
+    shutter_time = float(sensor.shutter_open_time)
+    is_doppler = integrator.is_doppler
+    correlate_pixel = integrator.path_correlation_depth > 0
+    n_local = wavefront // D
+    rows_local = H // D
+
+    def shard_pass(sa, state, dev_lane0):
+        lane0 = dev_lane0[0]
+        lane = lane0 + jnp.arange(n_local, dtype=jnp.uint32)
+        pix = lane // jnp.uint32(spp_per_pass)
+        py = (pix // jnp.uint32(W)).astype(jnp.float32)
+        px = (pix % jnp.uint32(W)).astype(jnp.float32)
+        active = jnp.ones((n_local,), bool)
+
+        if is_doppler:
+            off, state = sampler.next_2d_correlate(state, active,
+                                                   correlate_pixel)
+        else:
+            off, state = sampler.next_2d(state, active)
+        sx = px + off[0]
+        sy = py + off[1]
+
+        ap_x = ap_y = jnp.full((n_local,), 0.5, jnp.float32)
+        time = jnp.full((n_local,), shutter_open, jnp.float32)
+        if shutter_time > 0.0:
+            if is_doppler:
+                ts, state = sampler.next_1d_time(
+                    state, active, integrator.time_sampling_method,
+                    integrator.antithetic_shift,
+                    integrator.use_stratified_sampling_for_each_interval)
+            else:
+                ts, state = sampler.next_1d(state, active)
+            time = time + ts * shutter_time
+
+        ray, ray_weight = sensor_sample_ray(
+            sensor_params, time, sx * (1.0 / W), sy * (1.0 / H), ap_x, ap_y)
+        spec, valid, state = integrator.sample(sa, sampler, state, ray, active)
+        spec = spec * ray_weight
+
+        one = jnp.ones((n_local,), jnp.float32)
+        if has_alpha:
+            values = [spec.x, spec.y, spec.z, jnp.where(valid, 1.0, 0.0), one]
+        else:
+            values = [spec.x, spec.y, spec.z, one]
+
+        put_x = px if rfilter.is_box else sx
+        put_y = py if rfilter.is_box else sy
+
+        # splat local pixel rows into a padded local canvas (row offset
+        # removed so the local range starts at canvas row _PAD)
+        row0 = (lane0 // jnp.uint32(spp_per_pass) // jnp.uint32(W)).astype(jnp.int32)
+        local = block_splat_wavefront(
+            jnp.zeros((n_ch, rows_local + 2 * _PAD, W), jnp.float32),
+            rfilter, put_x, put_y - row0.astype(jnp.float32),
+            values, active, W, rows_local, spp_per_pass, pad_rows=_PAD)
+
+        # place on a padded full canvas at this shard's row, merge over ICI
+        canvas = jnp.zeros((n_ch, H + 2 * _PAD, W), jnp.float32)
+        canvas = jax.lax.dynamic_update_slice(canvas, local, (0, row0, 0))
+        canvas = jax.lax.psum(canvas, axis)
+        return canvas[:, _PAD:_PAD + H, :], state
+
+    # sampler-state leaves: per-lane arrays shard over the mesh axis,
+    # scalar indices replicate
+    from ..samplers import SamplerStateT
+    from ..core.rng import PCG32State
+    pc = PCG32State(P(axis), P(axis), P(axis), P(axis))
+    state_spec = SamplerStateT(rng=pc, rng_time=pc, rng_path=pc,
+                               permutation_seed=P(axis),
+                               sample_index=P(), dimension_index=P())
+    shard_fn = shard_map(
+        shard_pass, mesh=mesh,
+        in_specs=(P(), state_spec, P(axis)),
+        out_specs=(P(), state_spec),
+        check_rep=False)
+
+    dev_lane0 = jnp.arange(D, dtype=jnp.uint32) * jnp.uint32(n_local)
+    jitted = jax.jit(shard_fn)
+
+    block = block_create(W, H, n_ch)
+    for _ in range(n_passes):
+        part, state = jitted(sa, state, dev_lane0)
+        block = block + part
+        state = sampler.advance(state)
+
+    if develop_film:
+        return develop(block, has_alpha)
+    return block
+
+
+__all__ = ["render_sharded", "make_mesh"]

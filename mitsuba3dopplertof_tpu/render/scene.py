@@ -354,14 +354,14 @@ def _gather_tri(sa: SceneArrays, prefix: str, idx, names):
     return tuple(sa.tri(prefix, c)[idx] for c in names)
 
 
-def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
-    """Full surface-interaction query (reference scene.cpp:125-137 +
-    Instance::compute_surface_interaction, instance.cpp:155-250)."""
+def _hit_reference(sa: SceneArrays, ray: Ray):
+    """Reference (non-Pallas) closest-hit: scanned brute force. Returns the
+    same payload as ops.intersect_kernel.intersect_pallas — serves as the
+    'scalar variant' oracle for kernel regression tests (SURVEY.md §4)."""
     n = ray.o.x.shape[0]
     dt = ray.o.x.dtype
     best_t = jnp.full((n,), jnp.inf, dt)
     best_idx = jnp.full((n,), -1, jnp.int32)
-    is_anim = jnp.zeros((n,), bool)
 
     s_cols = {c: sa.tri("s", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
                                           "e1z", "e2x", "e2y", "e2z")}
@@ -374,6 +374,7 @@ def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
             (best_t, best_idx))
 
     o_objs = {}
+    is_anim = jnp.zeros((n,), bool)
     for (inst, start, count) in sa.anim_ranges:
         o_obj, d_obj, _, _ = _anim_object_ray(sa, inst, ray)
         o_objs[inst] = (o_obj, d_obj)
@@ -381,37 +382,31 @@ def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
             o_obj, d_obj, ray.maxt, a_cols, start, count,
             (best_t, jnp.full((n,), -1, jnp.int32)))
         took = i_a >= 0
-        best_idx = jnp.where(took, i_a, best_idx)
+        # global slot convention: [0, n_static) static, then animated
+        best_idx = jnp.where(took, i_a + sa.n_static_tris, best_idx)
         best_t = jnp.where(took, t_a, best_t)
         is_anim = jnp.where(took, True, is_anim)
 
-    valid = best_idx >= 0
-    if active is not None:
-        valid = valid & active
+    # recompute u, v, gn for the winner in hit space
     idx = jnp.maximum(best_idx, 0)
-
-    names = _TRI_COLS + _TRI_INT_COLS
-    gs = _gather_tri(sa, "s", jnp.minimum(idx, sa.tri("s", "inst").shape[0] - 1), names)
-    ga = _gather_tri(sa, "a", jnp.minimum(idx, sa.tri("a", "inst").shape[0] - 1), names)
+    a_idx = jnp.maximum(best_idx - sa.n_static_tris, 0)
+    names = ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z")
+    gs = _gather_tri(sa, "s", jnp.minimum(idx, sa.tri("s", "v0x").shape[0] - 1), names)
+    ga = _gather_tri(sa, "a", jnp.minimum(a_idx, sa.tri("a", "v0x").shape[0] - 1), names)
     g = {c: jnp.where(is_anim, a_, s_) for c, s_, a_ in zip(names, gs, ga)}
-
     v0 = Vec3(g["v0x"], g["v0y"], g["v0z"])
     e1 = Vec3(g["e1x"], g["e1y"], g["e1z"])
     e2 = Vec3(g["e2x"], g["e2y"], g["e2z"])
 
-    # hit-space ray (object space for animated instances)
     o_hit, d_hit = ray.o, ray.d
-    for (inst, _, _) in sa.anim_ranges:
+    from ..core.vec import where3
+    for (inst, start, count) in sa.anim_ranges:
         o_obj, d_obj = o_objs[inst]
-        m = is_anim & (g["inst"] == inst)
-        o_hit = Vec3(jnp.where(m, o_obj.x, o_hit.x),
-                     jnp.where(m, o_obj.y, o_hit.y),
-                     jnp.where(m, o_obj.z, o_hit.z))
-        d_hit = Vec3(jnp.where(m, d_obj.x, d_hit.x),
-                     jnp.where(m, d_obj.y, d_hit.y),
-                     jnp.where(m, d_obj.z, d_hit.z))
+        sl = slice(start, start + count)
+        m = is_anim & (sa.tri("a", "inst")[a_idx] == inst)
+        o_hit = where3(m, o_obj, o_hit)
+        d_hit = where3(m, d_obj, d_hit)
 
-    # barycentrics of the winning triangle
     pv = cross(d_hit, e2)
     det = dot(e1, pv)
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
@@ -419,23 +414,60 @@ def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
     u = dot(tv, pv) * inv_det
     qv = cross(tv, e1)
     v = dot(d_hit, qv) * inv_det
-    t = dot(e2, qv) * inv_det
-    t = jnp.where(valid, t, jnp.inf)
-    w = 1.0 - u - v
+    gn = cross(e1, e2)
+    from ..ops.intersect_kernel import HitRecord
+    return HitRecord(best_t, best_idx, u, v, gn.x, gn.y, gn.z)
 
-    p_local = v0 + e1 * u + e2 * v
-    ng_local = normalize(cross(e1, e2))
-    ns_local = normalize(Vec3(
+
+USE_PALLAS = True
+
+
+def _closest_hit(sa: SceneArrays, ray: Ray):
+    if USE_PALLAS and jax.default_backend() not in ("cpu",):
+        from ..ops.intersect_kernel import intersect_pallas
+        return intersect_pallas(sa, ray)
+    return _hit_reference(sa, ray)
+
+
+def build_si(sa: SceneArrays, ray: Ray, hit, active=None) -> SurfaceInteraction:
+    """Reconstruct the full SurfaceInteraction from the hit payload
+    (reference Shape::compute_surface_interaction + Instance::… at
+    instance.cpp:155-250)."""
+    n = ray.o.x.shape[0]
+    valid = hit.prim >= 0
+    if active is not None:
+        valid = valid & active
+    is_anim = hit.prim >= sa.n_static_tris
+    idx = jnp.maximum(hit.prim, 0)
+    a_idx = jnp.maximum(hit.prim - sa.n_static_tris, 0)
+
+    names = ("n0x", "n0y", "n0z", "n1x", "n1y", "n1z", "n2x", "n2y", "n2z",
+             "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v", "inst", "prim")
+    gs = _gather_tri(sa, "s", jnp.minimum(idx, sa.tri("s", "inst").shape[0] - 1), names)
+    ga = _gather_tri(sa, "a", jnp.minimum(a_idx, sa.tri("a", "inst").shape[0] - 1), names)
+    g = {c: jnp.where(is_anim, a_, s_) for c, s_, a_ in zip(names, gs, ga)}
+
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+    t = jnp.where(valid, hit.t, jnp.inf)
+
+    # world position directly from the world-space ray (t is preserved by
+    # the affine object-space transform since d_obj is left unnormalized)
+    p = ray.o + ray.d * t
+
+    ng_hitspace = Vec3(hit.gnx, hit.gny, hit.gnz)
+    ns_hitspace = Vec3(
         w * g["n0x"] + u * g["n1x"] + v * g["n2x"],
         w * g["n0y"] + u * g["n1y"] + v * g["n2y"],
-        w * g["n0z"] + u * g["n1z"] + v * g["n2z"]))
+        w * g["n0z"] + u * g["n1z"] + v * g["n2z"])
     uv_u = w * g["uv0u"] + u * g["uv1u"] + v * g["uv2u"]
     uv_v = w * g["uv0v"] + u * g["uv1v"] + v * g["uv2v"]
 
-    p, ng, ns = p_local, ng_local, ns_local
     if sa.n_anim_tris > 0:
+        # transform object-space normals by the inverse-transpose of the
+        # lerped instance matrix at each ray's time
         inst_id = jnp.maximum(g["inst"], 0)
-        c0 = tuple(sa.inst_m0c[j, inst_id] for j in range(12))  # (N,) comps
+        c0 = tuple(sa.inst_m0c[j, inst_id] for j in range(12))
         c1 = tuple(sa.inst_m1c[j, inst_id] for j in range(12))
         t0g = sa.inst_t0[inst_id]
         t1g = sa.inst_t1[inst_id]
@@ -444,13 +476,14 @@ def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
                       0.0, 1.0)
         c_t = cmat_lerp(c0, c1, uu)
         inv_t = cmat_inverse(c_t)
-        p_w = cmat_apply_point(c_t, p_local)
-        ng_w = normalize(cmat_apply_transpose_vector(inv_t, ng_local))
-        ns_w = normalize(cmat_apply_transpose_vector(inv_t, ns_local))
+        ng_w = cmat_apply_transpose_vector(inv_t, ng_hitspace)
+        ns_w = cmat_apply_transpose_vector(inv_t, ns_hitspace)
         from ..core.vec import where3
-        p = where3(is_anim, p_w, p_local)
-        ng = where3(is_anim, ng_w, ng_local)
-        ns = where3(is_anim, ns_w, ns_local)
+        ng = normalize(where3(is_anim, ng_w, ng_hitspace))
+        ns = normalize(where3(is_anim, ns_w, ns_hitspace))
+    else:
+        ng = normalize(ng_hitspace)
+        ns = normalize(ns_hitspace)
 
     sh_s, sh_t = coordinate_system(ns)
     wi_world = -ray.d
@@ -463,30 +496,23 @@ def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
         prim=jnp.where(valid, g["prim"], -1), time=ray.time)
 
 
+def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
+    """Full surface-interaction query (reference scene.cpp:125-137)."""
+    hit = _closest_hit(sa, ray)
+    return build_si(sa, ray, hit, active)
+
+
 def ray_test(sa: SceneArrays, ray: Ray, active=None):
     """Shadow/any-hit query (reference scene.cpp ray_test)."""
-    n = ray.o.x.shape[0]
-    dt = ray.o.x.dtype
-    s_cols = {c: sa.tri("s", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
-                                          "e1z", "e2x", "e2y", "e2z")}
-    a_cols = {c: sa.tri("a", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
-                                          "e1z", "e2x", "e2y", "e2z")}
-    best_t = jnp.full((n,), jnp.inf, dt)
-    best_i = jnp.full((n,), -1, jnp.int32)
-    if sa.n_static_tris > 0:
-        best_t, best_i = _intersect_scan(
-            ray.o, ray.d, ray.maxt, s_cols, 0, sa.n_static_tris,
-            (best_t, best_i))
-    occluded = best_i >= 0
-    for (inst, start, count) in sa.anim_ranges:
-        o_obj, d_obj, _, _ = _anim_object_ray(sa, inst, ray)
-        t_a, i_a = _intersect_scan(
-            o_obj, d_obj, ray.maxt, a_cols, start, count,
-            (jnp.full((n,), jnp.inf, dt), jnp.full((n,), -1, jnp.int32)))
-        occluded = occluded | (i_a >= 0)
+    if USE_PALLAS and jax.default_backend() not in ("cpu",):
+        from ..ops.intersect_kernel import ray_test_pallas
+        occluded = ray_test_pallas(sa, ray)
+    else:
+        hit = _hit_reference(sa, ray)
+        occluded = hit.prim >= 0
     if active is not None:
         occluded = occluded & active
     return occluded
 
 
-__all__ = ["Scene", "SceneArrays", "ray_intersect", "ray_test"]
+__all__ = ["Scene", "SceneArrays", "ray_intersect", "ray_test", "build_si"]

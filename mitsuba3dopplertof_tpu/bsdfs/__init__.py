@@ -196,10 +196,11 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
     scene over the whole wavefront and mask-selects — pure fused VPU work,
     the TPU equivalent of the reference's vcall over the BSDFPtr registry.
     """
-    lane_type = sa.bsdf_type[lane_bsdf]
+    from ..render.scene import gather_small
+    lane_type = gather_small(sa.bsdf_type, lane_bsdf)
 
     def param(j):
-        return sa.bsdf_params[j, lane_bsdf]
+        return gather_small(sa.bsdf_params[j], lane_bsdf)
 
     result = None
     for tid in sa.bsdf_types_present:
@@ -230,3 +231,366 @@ __all__ = [
     "FLAG_SMOOTH", "FLAG_DELTA", "FLAG_NULL",
     "BSDF_DIFFUSE", "BSDF_NULL",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Specular / microfacet BSDFs
+# ---------------------------------------------------------------------------
+
+from ..core.fresnel import (fresnel_dielectric, fresnel_conductor, reflect,
+                            refract)
+from ..core import microfacet as mf
+
+# named IORs (reference src/render/ior.h subset)
+IOR_NAMES = {
+    "vacuum": 1.0, "air": 1.000277, "water": 1.3330, "water ice": 1.31,
+    "fused quartz": 1.458, "pyrex": 1.470, "acrylic glass": 1.49,
+    "polypropylene": 1.49, "bk7": 1.5046, "sodium chloride": 1.544,
+    "amber": 1.55, "pet": 1.5750, "diamond": 2.419, "bromine": 1.661,
+}
+
+# approximate RGB (eta, k) for common conductors at sRGB primaries
+# (public tabulated values, same sources the reference's spectra distill to)
+CONDUCTOR_IOR = {
+    "none": ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+    "Au": ((0.1431, 0.3749, 1.4424), (3.9831, 2.3857, 1.6032)),
+    "Ag": ((0.1553, 0.1163, 0.1380), (4.8283, 3.1222, 2.1457)),
+    "Al": ((1.6574, 0.8803, 0.5212), (9.2238, 6.2696, 4.8370)),
+    "Cu": ((0.2004, 0.9240, 1.1022), (3.9129, 2.4528, 2.1421)),
+    "Cr": ((4.3617, 2.9113, 1.6539), (5.1931, 4.2223, 3.7471)),
+    "Ni": ((2.3672, 1.6633, 1.4670), (4.4988, 3.0501, 2.3454)),
+    "W": ((4.3707, 3.3002, 2.9982), (3.5006, 2.6048, 2.2731)),
+    "TiN": ((1.6484, 1.1465, 1.3831), (3.3684, 2.1214, 1.9460)),
+}
+
+
+def _parse_ior(props, key, default):
+    v = props.get(key, default)
+    if isinstance(v, str):
+        if v not in IOR_NAMES:
+            raise RuntimeError(f"Unknown IOR material '{v}'")
+        return IOR_NAMES[v]
+    if isinstance(v, dict):
+        v = v.get("value")
+        if isinstance(v, (list, tuple)):
+            v = v[0]
+    return float(v)
+
+
+@register_plugin("bsdf", "conductor")
+class Conductor(BSDF):
+    """Smooth conductor (reference src/bsdfs/conductor.cpp): perfect mirror
+    with complex-ior Fresnel weight."""
+    type_id = BSDF_CONDUCTOR
+    flags = FLAG_DELTA
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        mat = props.get_string("material", "none")
+        eta_d, k_d = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["none"])
+        self.eta = _get_rgb(props, "eta", list(eta_d))
+        self.k = _get_rgb(props, "k", list(k_d))
+        self.specular_reflectance = _get_rgb(
+            props, "specular_reflectance", [1.0, 1.0, 1.0])
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_REFL:P_REFL + 3] = self.specular_reflectance
+        p[P_TWOSIDED] = 1.0 if self.two_sided else 0.0
+        p[P_ETA:P_ETA + 3] = self.eta
+        p[P_K:P_K + 3] = self.k
+        return p
+
+
+@register_plugin("bsdf", "roughconductor")
+class RoughConductor(Conductor):
+    """GGX microfacet conductor (reference src/bsdfs/roughconductor.cpp,
+    visible-normal sampling)."""
+    type_id = BSDF_ROUGHCONDUCTOR
+    flags = FLAG_SMOOTH
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        props.get_string("distribution", "ggx")
+        alpha = props.get_float("alpha", 0.1)
+        self.alpha_u = props.get_float("alpha_u", alpha)
+        self.alpha_v = props.get_float("alpha_v", alpha)
+
+    def params_row(self):
+        p = super().params_row()
+        p[P_ALPHA] = self.alpha_u
+        p[P_ALPHA + 1] = self.alpha_v
+        return p
+
+
+@register_plugin("bsdf", "dielectric")
+class Dielectric(BSDF):
+    """Smooth dielectric (reference src/bsdfs/dielectric.cpp)."""
+    type_id = BSDF_DIELECTRIC
+    flags = FLAG_DELTA
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        int_ior = _parse_ior(props, "int_ior", "bk7")
+        ext_ior = _parse_ior(props, "ext_ior", "air")
+        self.eta = int_ior / ext_ior
+        self.specular_reflectance = _get_rgb(
+            props, "specular_reflectance", [1.0, 1.0, 1.0])
+        self.specular_transmittance = _get_rgb(
+            props, "specular_transmittance", [1.0, 1.0, 1.0])
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_REFL:P_REFL + 3] = self.specular_reflectance
+        p[P_ETA] = self.eta
+        p[P_SPEC_TRANS:P_SPEC_TRANS + 3] = self.specular_transmittance
+        return p
+
+
+@register_plugin("bsdf", "thindielectric")
+class ThinDielectric(Dielectric):
+    """Thin dielectric slab (reference src/bsdfs/thindielectric.cpp)."""
+    type_id = BSDF_THINDIELECTRIC
+    flags = FLAG_DELTA | FLAG_NULL
+
+
+@register_plugin("bsdf", "plastic")
+class Plastic(BSDF):
+    """Smooth plastic: delta dielectric coat over a diffuse base
+    (reference src/bsdfs/plastic.cpp)."""
+    type_id = BSDF_PLASTIC
+    flags = FLAG_SMOOTH | FLAG_DELTA
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        int_ior = _parse_ior(props, "int_ior", "polypropylene")
+        ext_ior = _parse_ior(props, "ext_ior", "air")
+        self.eta = int_ior / ext_ior
+        self.diffuse_reflectance = _get_rgb(
+            props, "diffuse_reflectance", [0.5, 0.5, 0.5])
+        self.specular_reflectance = _get_rgb(
+            props, "specular_reflectance", [1.0, 1.0, 1.0])
+        self.nonlinear = props.get_bool("nonlinear", False)
+        # internal diffuse Fresnel reflectance (reference plastic.cpp
+        # precomputes fdr_int via quadrature; polynomial fit (Egan&Hilgeman
+        # via d'Eon) is accurate to ~1e-3 for eta in [1, 3])
+        e = self.eta
+        self.fdr_int = fdr_approx(1.0 / e)
+        self.fdr_ext = fdr_approx(e)
+        # average specular sampling weight
+        self.spec_weight_avg = float(np.mean(self.specular_reflectance))
+        self.diff_weight_avg = float(np.mean(self.diffuse_reflectance))
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_REFL:P_REFL + 3] = self.diffuse_reflectance
+        p[P_TWOSIDED] = 1.0 if self.two_sided else 0.0
+        p[P_ETA] = self.eta
+        p[P_K] = self.fdr_int
+        p[P_K + 1] = 1.0 if self.nonlinear else 0.0
+        p[P_SPEC_TRANS:P_SPEC_TRANS + 3] = self.specular_reflectance
+        # probability of picking the specular component (reference
+        # plastic.cpp m_specular_sampling_weight)
+        sw = self.spec_weight_avg / max(
+            self.spec_weight_avg + self.diff_weight_avg, 1e-6)
+        p[P_ALPHA + 1] = sw
+        return p
+
+
+def fdr_approx(eta: float) -> float:
+    """Average Fresnel diffuse reflectance (d'Eon's rational fit)."""
+    if eta < 1.0:
+        return float(-0.4399 + 0.7099 / eta - 0.3319 / eta ** 2
+                     + 0.0636 / eta ** 3)
+    return float(-1.4399 / eta ** 2 + 0.7099 / eta + 0.6681 + 0.0636 * eta)
+
+
+def _conductor_eval_pdf_sample(param, wi: Vec3, wo_nee: Vec3, s1, s2x, s2y):
+    """Delta mirror (reference conductor.cpp): NEE impossible."""
+    z = jnp.zeros_like(wi.z)
+    ok = wi.z > 0.0
+    wo = reflect(wi)
+    F = Vec3(
+        fresnel_conductor(wi.z, param(P_ETA), param(P_K)),
+        fresnel_conductor(wi.z, param(P_ETA + 1), param(P_K + 1)),
+        fresnel_conductor(wi.z, param(P_ETA + 2), param(P_K + 2)))
+    refl = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    weight = where3(ok, F * refl, Vec3(z, z, z))
+    pdf = jnp.where(ok, 1.0, 0.0)
+    true_ = jnp.ones_like(ok)
+    return BSDFSampleResult(Vec3(z, z, z), z, wo, weight, pdf,
+                            jnp.ones_like(z), true_, ~true_)
+
+
+def _roughconductor_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+    """GGX VNDF conductor (reference roughconductor.cpp)."""
+    ax = param(P_ALPHA)
+    ay = param(P_ALPHA + 1)
+    refl = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+
+    def F_of(cos_im):
+        return Vec3(
+            fresnel_conductor(cos_im, param(P_ETA), param(P_K)),
+            fresnel_conductor(cos_im, param(P_ETA + 1), param(P_K + 1)),
+            fresnel_conductor(cos_im, param(P_ETA + 2), param(P_K + 2)))
+
+    cos_i = wi.z
+    ok = cos_i > 0.0
+
+    # --- NEE eval/pdf for wo_nee
+    cos_o = wo_nee.z
+    both = ok & (cos_o > 0.0)
+    from ..core.vec import normalize as _norm
+    h = _norm(wi + wo_nee)
+    D = mf.ggx_D(h, ax, ay)
+    G = mf.ggx_G(wi, wo_nee, h, ax, ay)
+    val_scalar = jnp.where(both, D * G / jnp.maximum(4.0 * cos_i, 1e-12), 0.0)
+    F = F_of(dot(wi, h))
+    val_nee = F * refl * val_scalar      # already includes cos_o via G/D form?
+    # NOTE: microfacet brdf * cos_o = D F G / (4 cos_i): the cos_o cancels.
+    pdf_nee = jnp.where(
+        both, mf.ggx_pdf_visible(wi, h, ax, ay)
+        / jnp.maximum(4.0 * jnp.abs(dot(wo_nee, h)), 1e-12) * 4.0
+        * jnp.abs(dot(wo_nee, h)) / jnp.maximum(4.0 * jnp.abs(dot(wo_nee, h)), 1e-12),
+        0.0)
+    pdf_nee = jnp.where(
+        both,
+        mf.ggx_pdf_visible(wi, h, ax, ay) /
+        jnp.maximum(4.0 * jnp.abs(dot(wo_nee, h)), 1e-12),
+        0.0)
+
+    # --- sample
+    m, pdf_m = mf.ggx_sample_vndf(wi, ax, ay, s2x, s2y)
+    wo = Vec3(2.0 * dot(wi, m) * m.x - wi.x,
+              2.0 * dot(wi, m) * m.y - wi.y,
+              2.0 * dot(wi, m) * m.z - wi.z)
+    valid = ok & (wo.z > 0.0) & (pdf_m > 0.0)
+    pdf = jnp.where(valid, pdf_m / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-12), 0.0)
+    # weight = f*cos/pdf = F * G2/G1 (VNDF identity)
+    g2 = mf.ggx_G(wi, wo, m, ax, ay)
+    g1 = mf.ggx_smith_g1(wi, m, ax, ay)
+    Fs = F_of(dot(wi, m))
+    wscale = jnp.where(valid, g2 / jnp.maximum(g1, 1e-12), 0.0)
+    weight = Fs * refl * wscale
+    z = jnp.zeros_like(cos_i)
+    false_ = z > 1.0
+    return BSDFSampleResult(val_nee, pdf_nee, wo, weight, pdf,
+                            jnp.ones_like(z), false_, false_)
+
+
+def _dielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+    """Smooth dielectric (reference dielectric.cpp): pick reflect/refract by
+    Fresnel; radiance-transport eta^2 factor on refraction."""
+    eta = param(P_ETA)
+    F, cos_t, eta_it, eta_ti = fresnel_dielectric(wi.z, eta)
+    # NOTE: eta is per-lane here; fresnel_dielectric handles array eta except
+    # the index_matched special case which only triggers for python floats.
+    pick_reflect = s1 <= F
+    wo_r = reflect(wi)
+    wo_t = refract(wi, cos_t, eta_ti)
+    wo = where3(pick_reflect, wo_r, wo_t)
+    pdf = jnp.where(pick_reflect, F, 1.0 - F)
+    refl = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    trans = Vec3(param(P_SPEC_TRANS), param(P_SPEC_TRANS + 1),
+                 param(P_SPEC_TRANS + 2))
+    # radiance transport: transmitted importance scales by eta_ti^2
+    factor = eta_ti * eta_ti
+    weight = where3(pick_reflect, refl, trans * factor)
+    out_eta = jnp.where(pick_reflect, jnp.ones_like(F), eta_it)
+    z = jnp.zeros_like(F)
+    true_ = jnp.ones_like(pick_reflect)
+    return BSDFSampleResult(Vec3(z, z, z), z, wo, weight, pdf,
+                            out_eta, true_, ~true_)
+
+
+def _thindielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+    """Thin slab (reference thindielectric.cpp): interaction with both
+    interfaces folded in; transmission leaves direction unchanged."""
+    eta = param(P_ETA)
+    F, _, _, _ = fresnel_dielectric(jnp.abs(wi.z), eta)
+    # account for internal bounces: R' = R + TRT + ... = 2R/(1+R)
+    R = jnp.minimum(2.0 * F / (1.0 + F), 1.0)
+    T = 1.0 - R
+    pick_reflect = s1 <= R
+    wo = where3(pick_reflect, reflect(wi), -wi)
+    pdf = jnp.where(pick_reflect, R, T)
+    refl = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    trans = Vec3(param(P_SPEC_TRANS), param(P_SPEC_TRANS + 1),
+                 param(P_SPEC_TRANS + 2))
+    weight = where3(pick_reflect, refl, trans)
+    z = jnp.zeros_like(F)
+    true_ = jnp.ones_like(pick_reflect)
+    return BSDFSampleResult(Vec3(z, z, z), z, wo, weight, pdf,
+                            jnp.ones_like(F), true_, ~true_)
+
+
+def _plastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+    """Smooth plastic (reference plastic.cpp): delta specular + diffuse with
+    internal-scattering compensation."""
+    eta = param(P_ETA)
+    fdr_int = param(P_K)
+    nonlinear = param(P_K + 1) > 0.5
+    spec_prob_w = param(P_ALPHA + 1)
+    diff = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    spec = Vec3(param(P_SPEC_TRANS), param(P_SPEC_TRANS + 1),
+                param(P_SPEC_TRANS + 2))
+    two_sided = param(P_TWOSIDED) > 0.5
+    sgn = jnp.where(two_sided & (wi.z < 0.0), -1.0, 1.0)
+    cos_i = wi.z * sgn
+    ok = cos_i > 0.0
+
+    F_i, _, _, eta_ti = fresnel_dielectric(cos_i, eta)
+    inv_eta_2 = eta_ti * eta_ti
+
+    # probability of the specular component (reference plastic.cpp:sample)
+    prob_spec = F_i * spec_prob_w / jnp.maximum(
+        F_i * spec_prob_w + (1.0 - F_i) * (1.0 - spec_prob_w), 1e-12)
+
+    # --- diffuse eval for NEE (specular lobe is delta -> contributes 0)
+    cos_o_nee = wo_nee.z * sgn
+    both = ok & (cos_o_nee > 0.0)
+    F_o_nee, _, _, _ = fresnel_dielectric(cos_o_nee, eta)
+
+    def diffuse_term(cos_o, F_o):
+        scale = (1.0 - F_i) * (1.0 - F_o) * inv_eta_2 * INV_PI * cos_o
+        denom_lin = 1.0 - fdr_int
+        d = Vec3(
+            diff.x / jnp.where(nonlinear, 1.0 - diff.x * fdr_int, denom_lin),
+            diff.y / jnp.where(nonlinear, 1.0 - diff.y * fdr_int, denom_lin),
+            diff.z / jnp.where(nonlinear, 1.0 - diff.z * fdr_int, denom_lin))
+        return d * scale
+
+    val_nee = where3(both, diffuse_term(cos_o_nee, F_o_nee),
+                     Vec3(jnp.zeros_like(F_i), jnp.zeros_like(F_i),
+                          jnp.zeros_like(F_i)))
+    pdf_nee = jnp.where(both,
+                        (1.0 - prob_spec) * INV_PI * cos_o_nee, 0.0)
+
+    # --- sample
+    pick_spec = s1 < prob_spec
+    wo_d = warp.cosine_hemisphere_c(s2x, s2y)
+    wo = where3(pick_spec, reflect(Vec3(wi.x, wi.y, cos_i)), wo_d)
+    F_o_s, _, _, _ = fresnel_dielectric(wo.z, eta)
+    pdf_d = (1.0 - prob_spec) * INV_PI * wo.z
+    pdf = jnp.where(pick_spec, prob_spec, pdf_d)
+    w_spec = spec * (F_i / jnp.maximum(prob_spec, 1e-12))
+    w_diff_v = diffuse_term(wo.z, F_o_s)
+    w_diff = w_diff_v * (1.0 / jnp.maximum(pdf_d, 1e-12))
+    weight = where3(pick_spec, w_spec, w_diff)
+    weight = where3(ok, weight, Vec3(jnp.zeros_like(F_i),
+                                     jnp.zeros_like(F_i),
+                                     jnp.zeros_like(F_i)))
+    pdf = jnp.where(ok, pdf, 0.0)
+    wo = Vec3(wo.x, wo.y, wo.z * sgn)
+    return BSDFSampleResult(val_nee, pdf_nee, wo, weight, pdf,
+                            jnp.ones_like(F_i), pick_spec,
+                            jnp.zeros_like(pick_spec))
+
+
+_DISPATCH[BSDF_CONDUCTOR] = _conductor_eval_pdf_sample
+_DISPATCH[BSDF_ROUGHCONDUCTOR] = _roughconductor_eval_pdf_sample
+_DISPATCH[BSDF_DIELECTRIC] = _dielectric_eval_pdf_sample
+_DISPATCH[BSDF_THINDIELECTRIC] = _thindielectric_eval_pdf_sample
+_DISPATCH[BSDF_PLASTIC] = _plastic_eval_pdf_sample
+
+from ..core.vec import dot  # noqa: E402

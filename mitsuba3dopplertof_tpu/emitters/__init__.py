@@ -149,13 +149,15 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
 
     index, emitter_weight, s_x = sample_emitter_index(n_emitters, s_x)
 
+    from ..render.scene import gather_small
+
     def param(j):
-        return sa.emitter_params[j, index]
+        return gather_small(sa.emitter_params[j], index)
 
     def mrow(j):
-        return sa.emitter_m[j, index]
+        return gather_small(sa.emitter_m[j], index)
 
-    lane_type = sa.emitter_type[index]
+    lane_type = gather_small(sa.emitter_type, index)
 
     best = None
     for tid in sa.emitter_types_present:
@@ -240,12 +242,13 @@ def pdf_direction(sa, ds: DirectionSample):
     n_emitters = int(sa.n_emitters)
     if n_emitters == 0:
         return jnp.zeros(ds.dist.shape, ds.dist.dtype)
+    from ..render.scene import gather_small
     idx = jnp.maximum(ds.emitter, 0)
-    lane_type = sa.emitter_type[idx]
+    lane_type = gather_small(sa.emitter_type, idx)
     pdf = jnp.zeros(ds.dist.shape, ds.dist.dtype)
     for tid in sa.emitter_types_present:
         if tid in (EMITTER_AREA_RECT, EMITTER_AREA_MESH):
-            area = sa.emitter_params[E_AREA, idx]
+            area = gather_small(sa.emitter_params[E_AREA], idx)
             dist2 = ds.dist * ds.dist
             cos_theta = -dot(ds.d, ds.n)
             p = jnp.where(cos_theta > 1e-6,
@@ -264,13 +267,14 @@ def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter):
     """Radiance of an emitter hit by a ray (reference area.cpp eval:82-90):
     area emitters emit radiance from the front side only. ``towards`` is the
     direction from the surface toward the viewer (-ray.d)."""
+    from ..render.scene import gather_small
     idx = jnp.maximum(lane_emitter, 0)
     front = dot(si_n, towards) > 0.0
     ok = (lane_emitter >= 0) & front
     w = jnp.where(ok, 1.0, 0.0)
-    return Vec3(sa.emitter_params[E_INTENSITY, idx] * w,
-                sa.emitter_params[E_INTENSITY + 1, idx] * w,
-                sa.emitter_params[E_INTENSITY + 2, idx] * w)
+    return Vec3(gather_small(sa.emitter_params[E_INTENSITY], idx) * w,
+                gather_small(sa.emitter_params[E_INTENSITY + 1], idx) * w,
+                gather_small(sa.emitter_params[E_INTENSITY + 2], idx) * w)
 
 
 __all__ = [

@@ -35,7 +35,7 @@ from ..core.vec import Vec3, dot, normalize, where3, vmax
 from ..core.waveform import (WAVEFORM_TYPES, eval_modulation,
                              eval_modulation_low_pass)
 from ..render.types import Ray, SurfaceInteraction, DirectionSample
-from ..render.scene import SceneArrays, ray_intersect, ray_test
+from ..render.scene import SceneArrays, ray_intersect, ray_test, gather_small
 from ..samplers import TIME_SAMPLING_METHODS, TIME_ANTITHETIC
 from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
 from .. import emitters as em_mod
@@ -132,7 +132,10 @@ class SamplingIntegrator(Integrator):
         return block
 
     def _get_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):
-        key = (id(sensor), id(sampler), id(film), W, H, spp_per_pass)
+        # sample_count participates: interval stratification divides [0,1)
+        # into sample_count/Tc strata at TRACE time (correlated.cpp:109-125)
+        key = (id(sensor), id(sampler), id(film), W, H, spp_per_pass,
+               sampler.sample_count, sampler.samples_per_wavefront)
         cache = getattr(self, "_pass_fn_cache", None)
         if cache is None:
             cache = {}
@@ -290,8 +293,9 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         path_length = path_length + jnp.where(si.valid, si.t * eta, 0.0)
 
         # ---------------- direct emission (path.cpp:150-168) -------------
-        lane_emitter = jnp.where(si.valid,
-                                 sa.inst_emitter[jnp.maximum(si.inst, 0)], -1)
+        lane_emitter = jnp.where(
+            si.valid, gather_small(sa.inst_emitter,
+                                   jnp.maximum(si.inst, 0)), -1)
         if any_emission:
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
@@ -326,8 +330,8 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         active_next = ((depth + 1) < jnp.uint32(
             min(integrator.max_depth, 2 ** 31 - 1))) & si.valid & active
 
-        lane_bsdf = sa.inst_bsdf[jnp.maximum(si.inst, 0)]
-        smooth = (bsdf_flags[lane_bsdf] & FLAG_SMOOTH) != 0
+        lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
+        smooth = (gather_small(bsdf_flags, lane_bsdf) & FLAG_SMOOTH) != 0
 
         # ---------------- emitter sampling / NEE (path.cpp:178-201) ------
         active_em = active_next & smooth

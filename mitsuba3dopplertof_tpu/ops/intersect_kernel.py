@@ -1,34 +1,32 @@
 """Pallas TPU ray-intersection kernels.
 
 The hot irregular op of the renderer (SURVEY.md §7 hard-part #1). XLA's
-auto-fusion leaves the triangle loop memory-bound (measured ~27ms / 1M rays
-/ 42 tris); this kernel keeps the per-ray state (best-t, index,
-barycentrics, geometric normal) in registers across the whole triangle
-loop, streams ray components through VMEM in (ROWS x 128) tiles, and
-broadcasts triangle data from SMEM scalars — compute-bound VPU work.
+auto-fusion leaves the triangle loop memory-bound; this kernel keeps the
+per-ray hit state in VMEM tiles across the whole triangle loop, streams ray
+components in (ROWS x 128) blocks, and broadcasts triangle data from SMEM
+scalars — dense VPU work with zero gather traffic.
 
-Two entry points mirroring the reference's queries
-(reference src/render/scene.cpp:125-167):
-  * ``intersect_pallas``: closest-hit with (t, prim, u, v, gn) payload —
-    the Pallas analog of the OptiX closest-hit payload registers
-    (reference scene_optix.inl:552-570).
-  * ``ray_test_pallas``:  boolean any-hit.
+Fat payload: the kernel *finishes* the surface interaction — interpolated
+shading normal, geometric normal, uv, instance id — all transformed to
+world space in-kernel (the per-lane lerped-matrix inverse for animated
+instances is already computed for the ray transform, reference
+instance.cpp:155-250 + transform.h:458-466). This is the Pallas analog of
+OptiX closest-hit payload registers (reference scene_optix.inl:552-570)
+fused with compute_surface_interaction; it eliminates every per-lane gather
+the XLA path would need.
 
-Motion blur happens *inside* the kernel: animated instances' keyframe
-matrices live in SMEM; each ray is transformed by the inverse of its own
-time-lerped matrix (semantics of reference instance.cpp:155-250 +
-transform.h:458-466) before testing that instance's triangle range.
+Entry points mirroring reference scene.cpp:125-167:
+  * ``intersect_pallas`` — closest hit, full payload
+  * ``ray_test_pallas``  — boolean any-hit
 
-This brute-force-over-triangles kernel is optimal for small/medium scenes
-(every ray tests every triangle, perfectly regular); the two-level BVH
-variant swaps in for large scenes behind the same signature.
+Brute-force over triangles: optimal for small/medium scenes; the two-level
+BVH variant swaps in behind the same signature for large ones.
 """
 
 from __future__ import annotations
 
 import functools
-import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,50 +35,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# rows per grid step: block = (ROWS, 128) lanes. Keep the working set
-# (10 in + 7 out + ~10 live temps, double-buffered) within the ~16MB scoped
-# VMEM: 128 rows -> 64KB per array, ~3MB total.
+# rows per grid step; keep (10 in + 13 out + live temps, double buffered)
+# well under the ~16MB scoped VMEM
 DEF_ROWS = 128
 
-_NEG = jnp.float32(-1.0)
+# SMEM triangle record layout (floats)
+#  0:9   v0, e1, e2
+#  9:18  n0, n1, n2 (vertex shading normals, hit space)
+# 18:24  uv0, uv1, uv2
+# 24     instance id (as float)
+TRI_REC = 25
 
 
 class HitRecord(NamedTuple):
     t: jnp.ndarray        # (N,) inf on miss
     prim: jnp.ndarray     # (N,) int32 global triangle slot (-1 miss)
-    u: jnp.ndarray        # (N,) barycentric
+    inst: jnp.ndarray     # (N,) int32 instance id (-1 miss)
+    u: jnp.ndarray
     v: jnp.ndarray
-    gnx: jnp.ndarray      # geometric normal (hit space: object space for
-    gny: jnp.ndarray      # animated instances), unnormalized e1 x e2
+    gnx: jnp.ndarray      # geometric normal, world space, unnormalized
+    gny: jnp.ndarray
     gnz: jnp.ndarray
-
-
-def _tri_hit(ox, oy, oz, dx, dy, dz, maxt, tri, bt):
-    """Möller-Trumbore for one triangle (9 SMEM scalars) over a lane tile."""
-    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = tri
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    ok = jnp.abs(det) > 1e-12
-    inv = 1.0 / jnp.where(ok, det, 1.0)
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv
-    hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-           & (t > 0.0) & (t < maxt) & (t < bt))
-    return hit, t, u, v
+    nsx: jnp.ndarray      # shading normal, world space, unnormalized
+    nsy: jnp.ndarray
+    nsz: jnp.ndarray
+    uv_u: jnp.ndarray
+    uv_v: jnp.ndarray
 
 
 def _inv_lerped(mc0, mc1, tw0, tw1, time):
     """Per-lane inverse of the clamped keyframe lerp of two 3x4 matrices
-    given as SMEM scalar 12-tuples (reference transform.h:458-466)."""
+    (reference transform.h:458-466). Returns (inv3x3 9-tuple, inv_t 3-tuple)."""
     span = tw1 - tw0
     denom = jnp.where(span != 0.0, span, 1.0)
     uu = jnp.clip((time - tw0) / denom, 0.0, 1.0)
@@ -105,13 +90,11 @@ def _inv_lerped(mc0, mc1, tw0, tw1, time):
     return i, (nt0, nt1, nt2)
 
 
-def _build_kernel(n_static: int, anim_ranges: Tuple[Tuple[int, int, int], ...],
-                  any_hit: bool):
-    """Kernel body closure. Triangle/instance data arrive via SMEM refs."""
+def _build_kernel(n_static: int, anim_ranges, any_hit: bool):
 
-    def kernel(tri_ref, inst_ref,            # SMEM tables
+    def kernel(tri_ref, inst_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               time_ref, maxt_ref,           # VMEM lane tiles
+               time_ref, maxt_ref,
                *out_refs):
         ox = ox_ref[:]
         oy = oy_ref[:]
@@ -121,36 +104,63 @@ def _build_kernel(n_static: int, anim_ranges: Tuple[Tuple[int, int, int], ...],
         dz = dz_ref[:]
         maxt = maxt_ref[:]
 
-        bt = jnp.full(ox.shape, jnp.inf, jnp.float32)
-        bi = jnp.full(ox.shape, -1, jnp.int32)
+        st = {
+            "t": jnp.full(ox.shape, jnp.inf, jnp.float32),
+            "prim": jnp.full(ox.shape, -1, jnp.int32),
+            "inst": jnp.full(ox.shape, -1, jnp.int32),
+        }
         if not any_hit:
-            bu = jnp.zeros(ox.shape, jnp.float32)
-            bv = jnp.zeros(ox.shape, jnp.float32)
-            gx = jnp.zeros(ox.shape, jnp.float32)
-            gy = jnp.zeros(ox.shape, jnp.float32)
-            gz = jnp.zeros(ox.shape, jnp.float32)
+            for k in ("u", "v", "gx", "gy", "gz", "nx", "ny", "nz",
+                      "uu", "vv"):
+                st[k] = jnp.zeros(ox.shape, jnp.float32)
 
-        def tri(i):
-            return tuple(tri_ref[i, j] for j in range(9))
-
-        def apply_hits(ws, i, o3, d3):
-            nonlocal bt, bi, bu, bv, gx, gy, gz
-            hit, t, u, v = _tri_hit(*o3, *d3, maxt, ws, bt)
-            bt = jnp.where(hit, t, bt)
-            bi = jnp.where(hit, i, bi)
+        def test_tri(slot, o3, d3):
+            r = tuple(tri_ref[slot, j] for j in range(TRI_REC))
+            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = r[0:9]
+            rox, roy, roz = o3
+            rdx, rdy, rdz = d3
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > 1e-12
+            inv = 1.0 / jnp.where(ok, det, 1.0)
+            tx = rox - v0x
+            ty = roy - v0y
+            tz = roz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (rdx * qx + rdy * qy + rdz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > 0.0) & (t < maxt) & (t < st["t"]))
+            st["t"] = jnp.where(hit, t, st["t"])
+            st["prim"] = jnp.where(hit, slot, st["prim"])
             if not any_hit:
-                v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = ws
-                bu = jnp.where(hit, u, bu)
-                bv = jnp.where(hit, v, bv)
-                gx = jnp.where(hit, e1y * e2z - e1z * e2y, gx)
-                gy = jnp.where(hit, e1z * e2x - e1x * e2z, gy)
-                gz = jnp.where(hit, e1x * e2y - e1y * e2x, gz)
+                inst_id = r[24]
+                st["inst"] = jnp.where(hit, inst_id.astype(jnp.int32),
+                                       st["inst"])
+                w = 1.0 - u - v
+                st["u"] = jnp.where(hit, u, st["u"])
+                st["v"] = jnp.where(hit, v, st["v"])
+                st["gx"] = jnp.where(hit, e1y * e2z - e1z * e2y, st["gx"])
+                st["gy"] = jnp.where(hit, e1z * e2x - e1x * e2z, st["gy"])
+                st["gz"] = jnp.where(hit, e1x * e2y - e1y * e2x, st["gz"])
+                n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = r[9:18]
+                st["nx"] = jnp.where(hit, w * n0x + u * n1x + v * n2x, st["nx"])
+                st["ny"] = jnp.where(hit, w * n0y + u * n1y + v * n2y, st["ny"])
+                st["nz"] = jnp.where(hit, w * n0z + u * n1z + v * n2z, st["nz"])
+                uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = r[18:24]
+                st["uu"] = jnp.where(hit, w * uv0u + u * uv1u + v * uv2u, st["uu"])
+                st["vv"] = jnp.where(hit, w * uv0v + u * uv1v + v * uv2v, st["vv"])
 
-        # ---- static triangles (world space) ----------------------------
+        # ---- static triangles (world space) -----------------------------
         for i in range(n_static):
-            apply_hits(tri(i), i, (ox, oy, oz), (dx, dy, dz))
+            test_tri(i, (ox, oy, oz), (dx, dy, dz))
 
-        # ---- animated instances: object-space rays at per-lane time ----
+        # ---- animated instances ------------------------------------------
         if anim_ranges:
             time = time_ref[:]
             for a, (inst, start, count) in enumerate(anim_ranges):
@@ -166,45 +176,59 @@ def _build_kernel(n_static: int, anim_ranges: Tuple[Tuple[int, int, int], ...],
                 ody = i3[3] * dx + i3[4] * dy + i3[5] * dz
                 odz = i3[6] * dx + i3[7] * dy + i3[8] * dz
                 for k in range(count):
-                    slot = n_static + start + k
-                    apply_hits(tri(slot), slot,
-                               (oox, ooy, ooz), (odx, ody, odz))
+                    test_tri(n_static + start + k,
+                             (oox, ooy, ooz), (odx, ody, odz))
+
+            if not any_hit:
+                # normals of animated hits: world = inv(M)^T * n_obj
+                for a, (inst, start, count) in enumerate(anim_ranges):
+                    mc0 = tuple(inst_ref[a, j] for j in range(12))
+                    mc1 = tuple(inst_ref[a, 12 + j] for j in range(12))
+                    tw0 = inst_ref[a, 24]
+                    tw1 = inst_ref[a, 25]
+                    i3, _ = _inv_lerped(mc0, mc1, tw0, tw1, time)
+                    m = st["inst"] == inst
+                    for pre in ("g", "n"):
+                        x = st[pre + "x"]
+                        y = st[pre + "y"]
+                        z = st[pre + "z"]
+                        wx = i3[0] * x + i3[3] * y + i3[6] * z
+                        wy = i3[1] * x + i3[4] * y + i3[7] * z
+                        wz = i3[2] * x + i3[5] * y + i3[8] * z
+                        st[pre + "x"] = jnp.where(m, wx, x)
+                        st[pre + "y"] = jnp.where(m, wy, y)
+                        st[pre + "z"] = jnp.where(m, wz, z)
 
         if any_hit:
-            out_refs[0][:] = (bi >= 0).astype(jnp.int32)
+            out_refs[0][:] = (st["prim"] >= 0).astype(jnp.int32)
         else:
-            out_refs[0][:] = bt
-            out_refs[1][:] = bi
-            out_refs[2][:] = bu
-            out_refs[3][:] = bv
-            out_refs[4][:] = gx
-            out_refs[5][:] = gy
-            out_refs[6][:] = gz
+            for ref, k in zip(out_refs,
+                              ("t", "prim", "inst", "u", "v", "gx", "gy",
+                               "gz", "nx", "ny", "nz", "uu", "vv")):
+                ref[:] = st[k]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled(n_static: int, anim_ranges, any_hit: bool, n_rows: int,
-              rows_per_block: int, n_tris_padded: int, n_anim_inst: int,
-              interpret: bool):
+              rows_per_block: int, interpret: bool):
     kernel = _build_kernel(n_static, anim_ranges, any_hit)
     grid = (n_rows // rows_per_block,)
     lane_spec = pl.BlockSpec((rows_per_block, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # tri table
-        pl.BlockSpec(memory_space=pltpu.SMEM),   # instance table
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle records
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # animated-instance records
     ] + [lane_spec] * 8
+    f32 = jnp.float32
+    i32 = jnp.int32
     if any_hit:
-        out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)]
-        out_specs = [lane_spec]
+        dtypes = [i32]
     else:
-        out_shape = [
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32),
-        ] + [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)] * 5
-        out_specs = [lane_spec] * 7
+        dtypes = [f32, i32, i32] + [f32] * 10
+    out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), dt) for dt in dtypes]
+    out_specs = [lane_spec] * len(dtypes)
 
     return pl.pallas_call(
         kernel,
@@ -216,36 +240,28 @@ def _compiled(n_static: int, anim_ranges, any_hit: bool, n_rows: int,
     )
 
 
-def _lane_tiles(arr, n_rows):
-    return arr.reshape(n_rows, LANES)
+def scene_tables(sa):
+    """Build the SMEM triangle/instance tables from SceneArrays (cached on
+    the SceneArrays object)."""
+    cached = getattr(sa, "_pallas_tables", None)
+    if cached is not None:
+        return cached
+    cols = ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
+            "n0x", "n0y", "n0z", "n1x", "n1y", "n1z", "n2x", "n2y", "n2z",
+            "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v")
 
+    def table(prefix, n):
+        if n == 0:
+            return jnp.zeros((0, TRI_REC), jnp.float32)
+        parts = [sa.tri(prefix, c)[:n] for c in cols]
+        parts.append(sa.tri(prefix, "inst")[:n].astype(jnp.float32))
+        return jnp.stack(parts, axis=-1)
 
-def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
-    n = ray.o.x.shape[0]
-    n_pad = -(-n // (rows_per_block * LANES)) * (rows_per_block * LANES)
-    n_rows = n_pad // LANES
-
-    def pad(x, fill=0.0):
-        if n_pad == n:
-            return x
-        return jnp.concatenate(
-            [x, jnp.full((n_pad - n,), fill, x.dtype)], axis=0)
-
-    # triangle table (T_total, 9): static rows then animated rows
-    cols = ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z")
-    stat = jnp.stack([sa.tri("s", c)[:max(sa.n_static_tris, 1)]
-                      for c in cols], axis=-1)
-    if sa.n_static_tris == 0:
-        stat = stat[:0]
-    anim = jnp.stack([sa.tri("a", c)[:max(sa.n_anim_tris, 1)]
-                      for c in cols], axis=-1)
-    if sa.n_anim_tris == 0:
-        anim = anim[:0]
-    tri_table = jnp.concatenate([stat, anim], axis=0)
+    tri_table = jnp.concatenate(
+        [table("s", sa.n_static_tris), table("a", sa.n_anim_tris)], axis=0)
     if tri_table.shape[0] == 0:
-        tri_table = jnp.zeros((1, 9), jnp.float32)
+        tri_table = jnp.zeros((1, TRI_REC), jnp.float32)
 
-    # instance table (A, 26): m0 (12) + m1 (12) + t0 + t1
     if sa.anim_ranges:
         rows = []
         for (inst, start, count) in sa.anim_ranges:
@@ -256,25 +272,39 @@ def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
     else:
         inst_table = jnp.zeros((1, 26), jnp.float32)
 
+    sa._pallas_tables = (tri_table, inst_table)
+    return tri_table, inst_table
+
+
+def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
+    n = ray.o.x.shape[0]
+    blk = rows_per_block * LANES
+    n_pad = -(-n // blk) * blk
+    n_rows = n_pad // LANES
+
+    def pad(x, fill=0.0):
+        if n_pad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad - n,), fill, x.dtype)], axis=0)
+
+    tri_table, inst_table = scene_tables(sa)
     interpret = jax.default_backend() == "cpu"
     fn = _compiled(sa.n_static_tris, tuple(sa.anim_ranges), any_hit, n_rows,
-                   min(rows_per_block, n_rows), int(tri_table.shape[0]),
-                   int(inst_table.shape[0]), interpret)
+                   min(rows_per_block, n_rows), interpret)
 
     args = [tri_table, inst_table] + [
-        _lane_tiles(pad(getattr(ray.o, c)), n_rows) for c in "xyz"] + [
-        _lane_tiles(pad(getattr(ray.d, c)), n_rows) for c in "xyz"] + [
-        _lane_tiles(pad(ray.time), n_rows),
-        _lane_tiles(pad(ray.maxt, fill=-1.0), n_rows),
+        pad(getattr(ray.o, c)).reshape(n_rows, LANES) for c in "xyz"] + [
+        pad(getattr(ray.d, c)).reshape(n_rows, LANES) for c in "xyz"] + [
+        pad(ray.time).reshape(n_rows, LANES),
+        pad(ray.maxt, fill=-1.0).reshape(n_rows, LANES),
     ]
     outs = fn(*args)
-    outs = [o.reshape(-1)[:n] for o in outs]
-    return outs
+    return [o.reshape(-1)[:n] for o in outs]
 
 
 def intersect_pallas(sa, ray) -> HitRecord:
-    bt, bi, u, v, gx, gy, gz = _run(sa, ray, any_hit=False)
-    return HitRecord(bt, bi, u, v, gx, gy, gz)
+    return HitRecord(*_run(sa, ray, any_hit=False))
 
 
 def ray_test_pallas(sa, ray):
@@ -282,4 +312,5 @@ def ray_test_pallas(sa, ray):
     return occ > 0
 
 
-__all__ = ["intersect_pallas", "ray_test_pallas", "HitRecord"]
+__all__ = ["intersect_pallas", "ray_test_pallas", "HitRecord",
+           "scene_tables"]

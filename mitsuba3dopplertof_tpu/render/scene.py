@@ -355,9 +355,10 @@ def _gather_tri(sa: SceneArrays, prefix: str, idx, names):
 
 
 def _hit_reference(sa: SceneArrays, ray: Ray):
-    """Reference (non-Pallas) closest-hit: scanned brute force. Returns the
-    same payload as ops.intersect_kernel.intersect_pallas — serves as the
-    'scalar variant' oracle for kernel regression tests (SURVEY.md §4)."""
+    """Reference (non-Pallas) closest-hit: scanned brute force producing the
+    same fat payload as ops.intersect_kernel.intersect_pallas — serves as
+    the 'scalar variant' oracle for kernel regression tests (SURVEY.md §4).
+    """
     n = ray.o.x.shape[0]
     dt = ray.o.x.dtype
     best_t = jnp.full((n,), jnp.inf, dt)
@@ -387,12 +388,11 @@ def _hit_reference(sa: SceneArrays, ray: Ray):
         best_t = jnp.where(took, t_a, best_t)
         is_anim = jnp.where(took, True, is_anim)
 
-    # recompute u, v, gn for the winner in hit space
     idx = jnp.maximum(best_idx, 0)
     a_idx = jnp.maximum(best_idx - sa.n_static_tris, 0)
-    names = ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z")
-    gs = _gather_tri(sa, "s", jnp.minimum(idx, sa.tri("s", "v0x").shape[0] - 1), names)
-    ga = _gather_tri(sa, "a", jnp.minimum(a_idx, sa.tri("a", "v0x").shape[0] - 1), names)
+    names = _TRI_COLS + _TRI_INT_COLS
+    gs = _gather_tri(sa, "s", jnp.minimum(idx, sa.tri("s", "inst").shape[0] - 1), names)
+    ga = _gather_tri(sa, "a", jnp.minimum(a_idx, sa.tri("a", "inst").shape[0] - 1), names)
     g = {c: jnp.where(is_anim, a_, s_) for c, s_, a_ in zip(names, gs, ga)}
     v0 = Vec3(g["v0x"], g["v0y"], g["v0z"])
     e1 = Vec3(g["e1x"], g["e1y"], g["e1z"])
@@ -402,11 +402,11 @@ def _hit_reference(sa: SceneArrays, ray: Ray):
     from ..core.vec import where3
     for (inst, start, count) in sa.anim_ranges:
         o_obj, d_obj = o_objs[inst]
-        sl = slice(start, start + count)
-        m = is_anim & (sa.tri("a", "inst")[a_idx] == inst)
+        m = is_anim & (g["inst"] == inst)
         o_hit = where3(m, o_obj, o_hit)
         d_hit = where3(m, d_obj, d_hit)
 
+    # barycentrics of the winner in hit space
     pv = cross(d_hit, e2)
     det = dot(e1, pv)
     inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
@@ -414,9 +414,34 @@ def _hit_reference(sa: SceneArrays, ray: Ray):
     u = dot(tv, pv) * inv_det
     qv = cross(tv, e1)
     v = dot(d_hit, qv) * inv_det
+    w = 1.0 - u - v
+
     gn = cross(e1, e2)
+    ns = Vec3(w * g["n0x"] + u * g["n1x"] + v * g["n2x"],
+              w * g["n0y"] + u * g["n1y"] + v * g["n2y"],
+              w * g["n0z"] + u * g["n1z"] + v * g["n2z"])
+    uv_u = w * g["uv0u"] + u * g["uv1u"] + v * g["uv2u"]
+    uv_v = w * g["uv0v"] + u * g["uv1v"] + v * g["uv2v"]
+
+    # animated hits: normals to world via inverse-transpose of lerped matrix
+    if sa.anim_ranges:
+        inst_id = jnp.maximum(g["inst"], 0)
+        c0 = tuple(sa.inst_m0c[j, inst_id] for j in range(12))
+        c1 = tuple(sa.inst_m1c[j, inst_id] for j in range(12))
+        t0g = sa.inst_t0[inst_id]
+        t1g = sa.inst_t1[inst_id]
+        span = t1g - t0g
+        uu = jnp.clip((ray.time - t0g) / jnp.where(span != 0.0, span, 1.0),
+                      0.0, 1.0)
+        c_t = cmat_lerp(c0, c1, uu)
+        inv_t = cmat_inverse(c_t)
+        gn = where3(is_anim, cmat_apply_transpose_vector(inv_t, gn), gn)
+        ns = where3(is_anim, cmat_apply_transpose_vector(inv_t, ns), ns)
+
+    inst_out = jnp.where(best_idx >= 0, g["inst"], -1)
     from ..ops.intersect_kernel import HitRecord
-    return HitRecord(best_t, best_idx, u, v, gn.x, gn.y, gn.z)
+    return HitRecord(best_t, best_idx, inst_out, u, v,
+                     gn.x, gn.y, gn.z, ns.x, ns.y, ns.z, uv_u, uv_v)
 
 
 USE_PALLAS = True
@@ -430,70 +455,23 @@ def _closest_hit(sa: SceneArrays, ray: Ray):
 
 
 def build_si(sa: SceneArrays, ray: Ray, hit, active=None) -> SurfaceInteraction:
-    """Reconstruct the full SurfaceInteraction from the hit payload
-    (reference Shape::compute_surface_interaction + Instance::… at
-    instance.cpp:155-250)."""
-    n = ray.o.x.shape[0]
+    """Assemble the SurfaceInteraction from the fat hit payload — pure
+    elementwise, zero gathers (reference compute_surface_interaction)."""
     valid = hit.prim >= 0
     if active is not None:
         valid = valid & active
-    is_anim = hit.prim >= sa.n_static_tris
-    idx = jnp.maximum(hit.prim, 0)
-    a_idx = jnp.maximum(hit.prim - sa.n_static_tris, 0)
-
-    names = ("n0x", "n0y", "n0z", "n1x", "n1y", "n1z", "n2x", "n2y", "n2z",
-             "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v", "inst", "prim")
-    gs = _gather_tri(sa, "s", jnp.minimum(idx, sa.tri("s", "inst").shape[0] - 1), names)
-    ga = _gather_tri(sa, "a", jnp.minimum(a_idx, sa.tri("a", "inst").shape[0] - 1), names)
-    g = {c: jnp.where(is_anim, a_, s_) for c, s_, a_ in zip(names, gs, ga)}
-
-    u, v = hit.u, hit.v
-    w = 1.0 - u - v
     t = jnp.where(valid, hit.t, jnp.inf)
-
-    # world position directly from the world-space ray (t is preserved by
-    # the affine object-space transform since d_obj is left unnormalized)
-    p = ray.o + ray.d * t
-
-    ng_hitspace = Vec3(hit.gnx, hit.gny, hit.gnz)
-    ns_hitspace = Vec3(
-        w * g["n0x"] + u * g["n1x"] + v * g["n2x"],
-        w * g["n0y"] + u * g["n1y"] + v * g["n2y"],
-        w * g["n0z"] + u * g["n1z"] + v * g["n2z"])
-    uv_u = w * g["uv0u"] + u * g["uv1u"] + v * g["uv2u"]
-    uv_v = w * g["uv0v"] + u * g["uv1v"] + v * g["uv2v"]
-
-    if sa.n_anim_tris > 0:
-        # transform object-space normals by the inverse-transpose of the
-        # lerped instance matrix at each ray's time
-        inst_id = jnp.maximum(g["inst"], 0)
-        c0 = tuple(sa.inst_m0c[j, inst_id] for j in range(12))
-        c1 = tuple(sa.inst_m1c[j, inst_id] for j in range(12))
-        t0g = sa.inst_t0[inst_id]
-        t1g = sa.inst_t1[inst_id]
-        span = t1g - t0g
-        uu = jnp.clip((ray.time - t0g) / jnp.where(span != 0.0, span, 1.0),
-                      0.0, 1.0)
-        c_t = cmat_lerp(c0, c1, uu)
-        inv_t = cmat_inverse(c_t)
-        ng_w = cmat_apply_transpose_vector(inv_t, ng_hitspace)
-        ns_w = cmat_apply_transpose_vector(inv_t, ns_hitspace)
-        from ..core.vec import where3
-        ng = normalize(where3(is_anim, ng_w, ng_hitspace))
-        ns = normalize(where3(is_anim, ns_w, ns_hitspace))
-    else:
-        ng = normalize(ng_hitspace)
-        ns = normalize(ns_hitspace)
-
+    p = ray.o + ray.d * jnp.where(valid, hit.t, 0.0)
+    ng = normalize(Vec3(hit.gnx, hit.gny, hit.gnz))
+    ns = normalize(Vec3(hit.nsx, hit.nsy, hit.nsz))
     sh_s, sh_t = coordinate_system(ns)
     wi_world = -ray.d
     wi = Vec3(dot(wi_world, sh_s), dot(wi_world, sh_t), dot(wi_world, ns))
-
     return SurfaceInteraction(
         valid=valid, t=t, p=p, n=ng, sh_n=ns, sh_s=sh_s, sh_t=sh_t,
-        uv_u=uv_u, uv_v=uv_v, wi=wi,
-        inst=jnp.where(valid, g["inst"], -1),
-        prim=jnp.where(valid, g["prim"], -1), time=ray.time)
+        uv_u=hit.uv_u, uv_v=hit.uv_v, wi=wi,
+        inst=jnp.where(valid, hit.inst, -1),
+        prim=jnp.where(valid, hit.prim, -1), time=ray.time)
 
 
 def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
@@ -515,4 +493,18 @@ def ray_test(sa: SceneArrays, ray: Ray, active=None):
     return occluded
 
 
-__all__ = ["Scene", "SceneArrays", "ray_intersect", "ray_test", "build_si"]
+def gather_small(table, idx, size: int = None):
+    """Lookup into a tiny (size,) table by (N,) indices via unrolled selects
+    — avoids XLA gather lowering on TPU for per-lane material/emitter ids.
+    Falls back to a real gather for larger tables."""
+    if size is None:
+        size = int(table.shape[0])
+    if size > 32:
+        return table[idx]
+    out = jnp.broadcast_to(table[0], idx.shape)
+    for k in range(1, size):
+        out = jnp.where(idx == k, table[k], out)
+    return out
+
+
+__all__ = ["Scene", "SceneArrays", "ray_intersect", "ray_test", "build_si", "gather_small"]

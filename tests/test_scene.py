@@ -152,3 +152,24 @@ def test_canonical_scene_structure():
     assert scene.integrator.plugin_name == "dopplertofpath"
     assert scene.integrator.path_correlation_depth == 4
     assert scene.integrator.hetero_frequency == 1.0
+
+
+def test_multipass_equals_singlepass_statistically():
+    """Pass splitting must not bias the estimate (reference
+    integrator.cpp:227-308 multi-pass semantics). Regression for the stale
+    sample_count closure bug: interval strata must span [0,1) across ALL
+    passes, never exceed 1."""
+    scene = mi.load_file("/root/reference/configs_example/scene.xml",
+                         resx=8, resy=8)
+    integ = scene.integrator
+    m1 = [float(np.asarray(integ.render(scene, spp=16, seed=s,
+                                        max_lanes=8 * 8 * 16)).mean())
+          for s in range(3)]
+    m8 = [float(np.asarray(integ.render(scene, spp=16, seed=s,
+                                        max_lanes=8 * 8 * 2)).mean())
+          for s in range(3)]
+    a, b = np.mean(m1), np.mean(m8)
+    # same estimator, same magnitude (tiny doppler signal): means agree
+    # within a few standard errors
+    spread = max(np.std(m1), np.std(m8), 1e-6)
+    assert abs(a - b) < 6 * spread, (a, b, spread)

@@ -198,6 +198,40 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
                         param(E_INTENSITY + 2) * w)
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
+        elif tid == EMITTER_DIRECTIONAL:
+            # delta direction: sample at "infinity" = 2*bsphere radius away
+            dl = Vec3(param(E_POS), param(E_POS + 1), param(E_POS + 2))
+            dirn = Vec3(-dl.x, -dl.y, -dl.z)
+            radius = jnp.asarray(sa.bsphere_radius, dtype)
+            dist = jnp.full((n,), 2.0, dtype) * radius
+            p = ref_p + dirn * dist
+            spec = Vec3(param(E_INTENSITY), param(E_INTENSITY + 1),
+                        param(E_INTENSITY + 2))
+            ds = DirectionSample(p, dl, dirn, dist,
+                                 jnp.ones((n,), dtype),
+                                 jnp.ones((n,), bool), index)
+        elif tid == EMITTER_SPOT:
+            pos = Vec3(param(E_POS), param(E_POS + 1), param(E_POS + 2))
+            axis = Vec3(param(9), param(10), param(11))
+            d = pos - ref_p
+            dist2 = jnp.maximum(dot(d, d), 1e-20)
+            inv_dist = jax.lax.rsqrt(dist2)
+            dist = dist2 * inv_dist
+            dirn = d * inv_dist
+            # falloff (reference spot.cpp falloff_curve): 1 inside beam,
+            # smooth to 0 at cutoff
+            cos_a = -dot(dirn, axis)
+            cc = param(E_CUTOFF)
+            cb = param(E_BEAM)
+            fall = jnp.clip((cos_a - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+            inv2 = inv_dist * inv_dist * fall
+            spec = Vec3(param(E_INTENSITY) * inv2,
+                        param(E_INTENSITY + 1) * inv2,
+                        param(E_INTENSITY + 2) * inv2)
+            z = jnp.zeros((n,), dtype)
+            ds = DirectionSample(pos, Vec3(z, z, z), dirn, dist,
+                                 jnp.where(cos_a > cc, 1.0, 0.0),
+                                 jnp.ones((n,), bool), index)
         elif tid == EMITTER_CONSTANT:
             from ..core import warp as _warp
             dirn = _warp.uniform_sphere_c(s_x, s_y)
@@ -284,3 +318,53 @@ __all__ = [
     "EMITTER_POINT", "EMITTER_AREA_RECT", "EMITTER_CONSTANT",
     "E_POS", "E_INTENSITY", "E_AREA",
 ]
+
+
+@register_plugin("emitter", "directional")
+class DirectionalEmitter(Emitter):
+    """reference src/emitters/directional.cpp — delta directional light."""
+    type_id = EMITTER_DIRECTIONAL
+    delta = True
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        if props.has_property("direction"):
+            d = props.get_vector("direction")
+        else:
+            m = props.get_transform("to_world", np.eye(4))
+            d = m[:3, 2]
+        self.direction = d / np.linalg.norm(d)
+        self.irradiance = _get_rgb(props, "irradiance", [1.0, 1.0, 1.0])
+
+    def params_row(self):
+        p = np.zeros(N_EMITTER_PARAMS)
+        p[E_POS:E_POS + 3] = self.direction
+        p[E_INTENSITY:E_INTENSITY + 3] = self.irradiance
+        return p
+
+
+@register_plugin("emitter", "spot")
+class SpotEmitter(Emitter):
+    """reference src/emitters/spot.cpp — point light with angular falloff."""
+    type_id = EMITTER_SPOT
+    delta = True
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        m = props.get_transform("to_world", np.eye(4))
+        self.position = m[:3, 3]
+        self.direction = m[:3, 2] / np.linalg.norm(m[:3, 2])
+        self.intensity = _get_rgb(props, "intensity", [1.0, 1.0, 1.0])
+        cutoff = props.get_float("cutoff_angle", 20.0)
+        beam = props.get_float("beam_width", cutoff * 0.75)
+        self.cos_cutoff = float(np.cos(np.radians(cutoff)))
+        self.cos_beam = float(np.cos(np.radians(beam)))
+
+    def params_row(self):
+        p = np.zeros(N_EMITTER_PARAMS)
+        p[E_POS:E_POS + 3] = self.position
+        p[E_INTENSITY:E_INTENSITY + 3] = self.intensity
+        p[E_CUTOFF] = self.cos_cutoff
+        p[E_BEAM] = self.cos_beam
+        p[9:12] = self.direction
+        return p

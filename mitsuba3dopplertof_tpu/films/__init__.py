@@ -170,11 +170,15 @@ def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
 
 
 def develop(block, has_alpha: bool):
-    """rgb = value / weight (reference hdrfilm.cpp:305+). Returns (H, W, C-1)."""
+    """value / weight per channel (reference hdrfilm.cpp:305+); the weight
+    channel itself is dropped. Returns (H, W, C-1) with AOV channels (if
+    any) after RGB[A]."""
     weight_idx = 4 if has_alpha else 3
     w = block[weight_idx]
     safe = jnp.where(w > 0.0, w, 1.0)
-    vals = block[:weight_idx] / safe[None]
+    keep = jnp.concatenate([block[:weight_idx], block[weight_idx + 1:]],
+                           axis=0)
+    vals = keep / safe[None]
     vals = jnp.where((w > 0.0)[None], vals, 0.0)
     return jnp.moveaxis(vals, 0, -1)
 

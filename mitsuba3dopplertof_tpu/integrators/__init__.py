@@ -40,7 +40,7 @@ from ..samplers import TIME_SAMPLING_METHODS, TIME_ANTITHETIC
 from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
 from .. import emitters as em_mod
 from ..films import block_create, block_splat_wavefront, develop
-from ..sensors import sample_ray as sensor_sample_ray
+from ..sensors import sample_ray_kind as sensor_sample_ray_kind
 
 # Default lane budget per pass (HBM-derived chunking; the reference's
 # analogous limit is the 2^32 wavefront cap, integrator.cpp:227-245)
@@ -120,7 +120,8 @@ class SamplingIntegrator(Integrator):
         state = sampler.seed(seed, W * H * spp_per_pass)
 
         sa = scene.compile()
-        block = block_create(W, H, film.channel_count)
+        n_channels = film.channel_count + len(self.aov_names())
+        block = block_create(W, H, n_channels)
         pass_fn = self._get_pass_fn(sensor, sampler, film, W, H, spp_per_pass)
 
         for _ in range(n_passes):
@@ -149,6 +150,8 @@ class SamplingIntegrator(Integrator):
 def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
     """Build + jit the single-pass wavefront program."""
     sensor_params = sensor.device_params()
+    lens_params = (sensor.device_lens_params()
+                   if hasattr(sensor, "device_lens_params") else None)
     rfilter = film.rfilter
     has_alpha = film.has_alpha
     shutter_open = float(sensor.shutter_open)
@@ -198,18 +201,20 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
                 ts, state = sampler.next_1d(state, active)
             time = time + ts * shutter_time
 
-        ray, ray_weight = sensor_sample_ray(sensor_params, time,
-                                            adj_x, adj_y, ap_x, ap_y)
+        ray, ray_weight = sensor_sample_ray_kind(
+            sensor_params, lens_params, time, adj_x, adj_y, ap_x, ap_y)
 
-        spec, valid, state = integrator.sample(sa, sampler, state, ray, active)
+        out = integrator.sample(sa, sampler, state, ray, active)
+        spec, valid, state = out[0], out[1], out[2]
+        aovs = out[3] if len(out) > 3 else []
         spec = spec * ray_weight
 
         one = jnp.ones((n,), jnp.float32)
         if has_alpha:
             values = [spec.x, spec.y, spec.z,
-                      jnp.where(valid, 1.0, 0.0), one]
+                      jnp.where(valid, 1.0, 0.0), one] + list(aovs)
         else:
-            values = [spec.x, spec.y, spec.z, one]
+            values = [spec.x, spec.y, spec.z, one] + list(aovs)
 
         # box filter: accumulate into the sample's own pixel
         # (imageblock.cpp:471 comment)
@@ -498,6 +503,8 @@ class DepthIntegrator(SamplingIntegrator):
         v = jnp.where(si.valid, si.t, 0.0)
         return Vec3(v, v, v), si.valid, state
 
+
+from . import extras  # noqa: E402,F401  (registers direct/aov/moment)
 
 __all__ = [
     "Integrator", "SamplingIntegrator", "MonteCarloIntegrator",

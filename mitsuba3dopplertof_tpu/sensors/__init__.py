@@ -145,3 +145,111 @@ def sample_ray(params: SensorParams, time, sx, sy, ap_x, ap_y):
 
 __all__ = ["Sensor", "PerspectiveSensor", "SensorParams", "sample_ray",
            "parse_fov"]
+
+
+@register_plugin("sensor", "thinlens")
+class ThinLensSensor(PerspectiveSensor):
+    """Perspective camera with a thin-lens aperture
+    (reference src/sensors/thinlens.cpp): depth of field via aperture disk
+    sampling and focus-plane ray construction."""
+
+    def __init__(self, props: Properties):
+        self.aperture_radius = props.get_float("aperture_radius", 0.1)
+        self.focus_distance = props.get_float("focus_distance", 10.0)
+        super().__init__(props)
+
+    @property
+    def needs_aperture_sample(self) -> bool:
+        return True
+
+    def device_params(self) -> SensorParams:
+        p = super().device_params()
+        return p._replace(kind=1)
+
+    def device_lens_params(self):
+        return float(self.aperture_radius), float(self.focus_distance)
+
+
+@register_plugin("sensor", "orthographic")
+class OrthographicSensor(Sensor):
+    """reference src/sensors/orthographic.cpp — parallel rays along +Z in
+    camera space; film plane extent comes from the to_world scale."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.near_clip = props.get_float("near_clip", 1e-2)
+        self.far_clip = props.get_float("far_clip", 1e4)
+
+    def device_params(self) -> SensorParams:
+        m = tuple(float(self.to_world[i, j]) for i in range(3) for j in range(4))
+        return SensorParams(m=m, tan_half_x=1.0, tan_half_y=1.0,
+                            near_clip=float(self.near_clip),
+                            far_clip=float(self.far_clip), kind=2)
+
+
+@register_plugin("sensor", "radiancemeter")
+class RadianceMeter(Sensor):
+    """reference src/sensors/radiancemeter.cpp — measures radiance along a
+    single ray (origin +Z of to_world); film is typically 1x1."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+
+    def device_params(self) -> SensorParams:
+        m = tuple(float(self.to_world[i, j]) for i in range(3) for j in range(4))
+        return SensorParams(m=m, tan_half_x=0.0, tan_half_y=0.0,
+                            near_clip=0.0, far_clip=1e4, kind=3)
+
+
+def sample_ray_kind(params: SensorParams, lens, time, sx, sy, ap_x, ap_y):
+    """Dispatch over static sensor kind. ``lens`` = (aperture_radius,
+    focus_distance) for thinlens, else None."""
+    if params.kind == 0:
+        return sample_ray(params, time, sx, sy, ap_x, ap_y)
+    m = params.m
+    n = sx.shape[0]
+    if params.kind == 1:      # thinlens (reference thinlens.cpp:sample_ray)
+        aperture_radius, focus_distance = lens
+        from ..core.warp import disk_concentric_c
+        dcx = (1.0 - 2.0 * sx) * params.tan_half_x
+        dcy = (1.0 - 2.0 * sy) * params.tan_half_y
+        d_cam = normalize(Vec3(dcx, dcy, jnp.ones_like(sx)))
+        px, py = disk_concentric_c(ap_x, ap_y)
+        px = px * aperture_radius
+        py = py * aperture_radius
+        # focus-plane intersection of the central ray
+        ft = focus_distance / d_cam.z
+        fx = d_cam.x * ft
+        fy = d_cam.y * ft
+        fz = jnp.full_like(fx, focus_distance)
+        d2 = normalize(Vec3(fx - px, fy - py, fz))
+        o_cam = Vec3(px, py, jnp.zeros_like(px))
+        d = Vec3(m[0] * d2.x + m[1] * d2.y + m[2] * d2.z,
+                 m[4] * d2.x + m[5] * d2.y + m[6] * d2.z,
+                 m[8] * d2.x + m[9] * d2.y + m[10] * d2.z)
+        o = Vec3(m[0] * o_cam.x + m[1] * o_cam.y + m[2] * o_cam.z + m[3],
+                 m[4] * o_cam.x + m[5] * o_cam.y + m[6] * o_cam.z + m[7],
+                 m[8] * o_cam.x + m[9] * o_cam.y + m[10] * o_cam.z + m[11])
+        inv_z = 1.0 / d2.z
+        near_t = params.near_clip * inv_z
+        far_t = params.far_clip * inv_z
+        o = o + d * near_t
+        return Ray(o, d, time, far_t - near_t), 1.0
+    if params.kind == 2:      # orthographic
+        ox = 1.0 - 2.0 * sx
+        oy = 1.0 - 2.0 * sy
+        o_cam = Vec3(ox, oy, jnp.zeros_like(ox))
+        z = jnp.zeros_like(ox)
+        one = jnp.ones_like(ox)
+        d = Vec3(m[2] * one, m[6] * one, m[10] * one)
+        o = Vec3(m[0] * o_cam.x + m[1] * o_cam.y + m[3],
+                 m[4] * o_cam.x + m[5] * o_cam.y + m[7],
+                 m[8] * o_cam.x + m[9] * o_cam.y + m[11])
+        o = o + d * params.near_clip
+        return Ray(o, d, time,
+                   jnp.full_like(ox, params.far_clip - params.near_clip)), 1.0
+    # radiancemeter: constant ray
+    one = jnp.ones_like(sx)
+    d = Vec3(m[2] * one, m[6] * one, m[10] * one)
+    o = Vec3(m[3] * one, m[7] * one, m[11] * one)
+    return Ray(o, d, time, jnp.full_like(sx, params.far_clip)), 1.0

@@ -132,3 +132,43 @@ def test_independent_uniformity():
     v = np.asarray(v)
     hist, _ = np.histogram(v, bins=16, range=(0, 1))
     assert hist.min() > 0.7 * v.size / 16 and hist.max() < 1.3 * v.size / 16
+
+
+def test_stratified_2d_covers():
+    from mitsuba3dopplertof_tpu.samplers import StratifiedSampler
+    p = Properties("stratified")
+    p["sample_count"] = 16
+    s = StratifiedSampler(p)
+    s.set_samples_per_wavefront(16)
+    st = s.seed(0, 16)
+    (fx, fy), st = s.next_2d(st)
+    fx, fy = np.asarray(fx), np.asarray(fy)
+    cells = set(zip((fx * 4).astype(int).tolist(), (fy * 4).astype(int).tolist()))
+    assert len(cells) == 16     # every stratum hit exactly once
+
+
+def test_multijitter_projections():
+    from mitsuba3dopplertof_tpu.samplers import MultijitterSampler
+    p = Properties("multijitter")
+    p["sample_count"] = 16
+    s = MultijitterSampler(p)
+    s.set_samples_per_wavefront(16)
+    st = s.seed(0, 16)
+    (fx, fy), st = s.next_2d(st)
+    fx, fy = np.asarray(fx), np.asarray(fy)
+    # CMJ: 1D projections are N-stratified
+    assert len(set((fx * 16).astype(int).tolist())) == 16
+    assert len(set((fy * 16).astype(int).tolist())) == 16
+
+
+def test_ldsampler_stratification():
+    from mitsuba3dopplertof_tpu.samplers import LDSampler
+    p = Properties("ldsampler")
+    p["sample_count"] = 64
+    s = LDSampler(p)
+    s.set_samples_per_wavefront(64)
+    st = s.seed(0, 64)
+    v, st = s.next_1d(st)
+    v = np.sort(np.asarray(v))
+    for k in range(64):
+        assert k / 64 <= v[k] < (k + 1) / 64

@@ -31,6 +31,8 @@ from . import integrators as _integrators  # noqa: F401
 
 from .io.dict_loader import load_dict
 from .io.xml import xml_to_dict
+from .io.xml_writer import dict_to_xml
+from .utils.params import traverse, SceneParameters
 from .render.scene import Scene
 from .core.properties import Properties, registered_plugins
 
@@ -68,4 +70,5 @@ def set_variant(*names):
 
 __all__ = ["load_file", "load_string", "load_dict", "render", "Scene",
            "Properties", "registered_plugins", "variants", "set_variant",
-           "xml_to_dict", "__version__"]
+           "xml_to_dict", "dict_to_xml", "traverse", "SceneParameters",
+           "__version__"]

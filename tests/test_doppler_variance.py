@@ -1,0 +1,71 @@
+"""Variance-reduction parity for correlated time sampling — the heart of
+the Doppler ToF method (paper Fig. 12; SURVEY.md §4 acceptance criterion:
+variance curves per method match the reference *in distribution*).
+
+Renders the canonical scene small, many seeds, and checks that antithetic
+time sampling with path correlation reduces per-pixel variance relative to
+uniform sampling, and that the homodyne zero-velocity case behaves."""
+
+import numpy as np
+import pytest
+
+import mitsuba3dopplertof_tpu as mi
+
+
+def _variance(scene, integrator, n_seeds=6, spp=16):
+    imgs = [np.asarray(integrator.render(scene, seed=s, spp=spp))
+            for s in range(n_seeds)]
+    imgs = np.stack(imgs)
+    return imgs.var(axis=0).mean(), imgs.mean()
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return mi.load_file("/root/reference/configs_example/scene.xml",
+                        resx=8, resy=8)
+
+
+def _make_integrator(method, pcd):
+    return mi.load_dict({
+        "type": "dopplertofpath",
+        "max_depth": 4,
+        "w_g": 30.0,
+        "hetero_frequency": 1.0,
+        "hetero_offset": 0.0,
+        "time_sampling_method": method,
+        "antithetic_shift": 0.5 if method == "antithetic" else 0.0,
+        "path_correlation_depth": pcd,
+    })
+
+
+def test_antithetic_reduces_variance(scene):
+    """The paper's central result: antithetic time pairs + path correlation
+    dramatically reduce variance of the Doppler estimate vs uniform time
+    sampling (reference main_experiment.py Exp1)."""
+    v_uniform, m_u = _variance(scene, _make_integrator("uniform", 0))
+    v_anti, m_a = _variance(scene, _make_integrator("antithetic", 4))
+    assert v_anti < v_uniform * 0.5, (v_anti, v_uniform)
+    # unbiasedness: means agree within noise
+    assert abs(m_u - m_a) < 4 * np.sqrt(v_uniform / 6)
+
+
+def test_mirror_antithetic_also_reduces(scene):
+    v_uniform, _ = _variance(scene, _make_integrator("uniform", 0))
+    v_mirror, _ = _variance(scene, _make_integrator("antithetic_mirror", 4))
+    assert v_mirror < v_uniform, (v_mirror, v_uniform)
+
+
+def test_homodyne_low_frequency_limit(scene):
+    """Homodyne with w_g -> 0: modulation weight -> 0.5*g_1*cos(0) = 0.25,
+    so dopplertofpath reduces to 0.25x the plain path-traced image
+    (dopplertofpath.cpp:60-77 with hetero_frequency=0, phi -> 0)."""
+    homo = mi.load_dict({
+        "type": "dopplertofpath", "max_depth": 4, "w_g": 1e-4,
+        "hetero_frequency": 0.0, "hetero_offset": 0.0,
+        "time_sampling_method": "uniform", "path_correlation_depth": 0,
+    })
+    path = mi.load_dict({"type": "path", "max_depth": 4})
+    a = np.asarray(homo.render(scene, seed=0, spp=64))
+    b = np.asarray(path.render(scene, seed=0, spp=64))
+    ratio = a.mean() / (0.25 * b.mean())
+    assert abs(ratio - 1.0) < 0.05, ratio

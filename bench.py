@@ -23,8 +23,10 @@ def main():
                        "/root/reference/configs_example/scene.xml"))
     spp = int(os.environ.get("BENCH_SPP", "256"))
 
-    # warm up / compile
-    img = np.asarray(mi.render(scene, spp=min(spp, 32), seed=0))
+    # warm up / compile at the SAME spp (the pass program specializes on
+    # sample_count for interval stratification, so a different-spp warmup
+    # would leave the measured run paying the compile)
+    img = np.asarray(mi.render(scene, spp=spp, seed=0))
     assert np.isfinite(img).all()
 
     t0 = time.time()

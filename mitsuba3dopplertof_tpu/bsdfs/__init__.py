@@ -44,6 +44,7 @@ P_ETA = 4             # ior / eta (dielectric); rgb eta (conductor 4:7)
 P_K = 7               # rgb k (conductor 7:10)
 P_ALPHA = 10          # roughness alpha
 P_SPEC_TRANS = 11     # rgb transmittance 11:14 (dielectric)
+P_REFL_TEX = 14       # texture id driving the reflectance (-1 = constant)
 
 # lobe flags (static per row, mirrors reference BSDFFlags)
 FLAG_SMOOTH = 1       # has a smooth (non-delta) lobe => NEE applies
@@ -66,12 +67,25 @@ class BSDF:
 
 def _get_rgb(props, key, default):
     v = props.get(key, default)
+    from ..textures import Texture
+    if isinstance(v, Texture):
+        return np.asarray(v.mean_rgb())
     if isinstance(v, dict):   # {'type':'rgb','value':[...]} from the parser
         v = v.get("value")
     a = np.asarray(v, dtype=np.float64).reshape(-1)
     if a.size == 1:
         a = np.repeat(a, 3)
     return a[:3]
+
+
+def _get_texture(props, key):
+    """Return the Texture object if the property is texture-driven."""
+    from ..textures import Texture
+    if props.has_property(key):
+        v = props.get(key)
+        if isinstance(v, Texture):
+            return v
+    return None
 
 
 @register_plugin("bsdf", "diffuse")
@@ -83,11 +97,14 @@ class Diffuse(BSDF):
     def __init__(self, props: Properties):
         super().__init__(props)
         self.reflectance = _get_rgb(props, "reflectance", [0.5, 0.5, 0.5])
+        self.reflectance_tex = _get_texture(props, "reflectance")
+        self.tex_index = -1   # assigned at scene compile
 
     def params_row(self):
         p = np.zeros(N_BSDF_PARAMS)
         p[P_REFL:P_REFL + 3] = self.reflectance
         p[P_TWOSIDED] = 1.0 if self.two_sided else 0.0
+        p[P_REFL_TEX] = float(self.tex_index)
         return p
 
 
@@ -148,11 +165,15 @@ class BSDFSampleResult(NamedTuple):
     sampled_null: jnp.ndarray   # (N,) bool
 
 
-def _diffuse_eval_pdf_sample(param, wi: Vec3, wo_nee: Vec3, s1, s2x, s2y):
+def _diffuse_eval_pdf_sample(param, wi: Vec3, wo_nee: Vec3, s1, s2x, s2y,
+                             tex_refl=None, tex_mask=None):
     """Reference src/bsdfs/diffuse.cpp eval/pdf/sample; `s1` is drawn by the
     caller but unused (lobe selection only matters for multi-lobe types).
-    ``param(j)``: per-lane (N,) column accessor."""
+    ``param(j)``: per-lane (N,) column accessor; ``tex_refl``/``tex_mask``
+    override the reflectance for texture-driven lanes."""
     refl = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    if tex_refl is not None:
+        refl = where3(tex_mask, tex_refl, refl)
     two_sided = param(P_TWOSIDED) > 0.5
     sgn = jnp.where(two_sided & (wi.z < 0.0), -1.0, 1.0)
     cos_i = wi.z * sgn
@@ -190,7 +211,7 @@ _DISPATCH = {
 
 
 def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
-                    s1, s2x, s2y) -> BSDFSampleResult:
+                    s1, s2x, s2y, tex_refl=None, tex_mask=None) -> BSDFSampleResult:
     """Masked multi-type dispatch of BSDF::eval_pdf_sample
     (reference src/render/bsdf.cpp:168). Evaluates each type present in the
     scene over the whole wavefront and mask-selects — pure fused VPU work,
@@ -207,7 +228,10 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
         fn = _DISPATCH.get(int(tid))
         if fn is None:
             raise NotImplementedError(f"BSDF type id {tid} not implemented")
-        r = fn(param, wi, wo_nee, s1, s2x, s2y)
+        if tid == BSDF_DIFFUSE and tex_refl is not None:
+            r = fn(param, wi, wo_nee, s1, s2x, s2y, tex_refl, tex_mask)
+        else:
+            r = fn(param, wi, wo_nee, s1, s2x, s2y)
         if result is None:
             result = r
         else:

@@ -361,8 +361,17 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         s1, state = draw_1d(state, active, correlate)
         s2, state = draw_2d(state, active, correlate)
 
+        if sa.n_textures > 0:
+            from ..bsdfs import P_REFL_TEX
+            from ..textures import eval_texture
+            lane_tex = gather_small(
+                sa.bsdf_params[P_REFL_TEX], lane_bsdf).astype(jnp.int32)
+            tex_mask = lane_tex >= 0
+            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v)
+        else:
+            tex_mask = tex_refl = None
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
-                                  s1, s2[0], s2[1])
+                                  s1, s2[0], s2[1], tex_refl, tex_mask)
 
         # ------------- NEE contribution (path.cpp:212-226) ---------------
         if sa.n_emitters > 0:

@@ -45,6 +45,7 @@ DEF_ROWS = 128
 # 18:24  uv0, uv1, uv2
 # 24     instance id (as float)
 TRI_REC = 25
+_SPH_SLOT_BASE = 1 << 28      # prim slots >= this are analytic spheres
 
 
 class HitRecord(NamedTuple):
@@ -90,9 +91,32 @@ def _inv_lerped(mc0, mc1, tw0, tw1, time):
     return i, (nt0, nt1, nt2)
 
 
-def _build_kernel(n_static: int, anim_ranges, any_hit: bool):
+def _sphere_hit(oox, ooy, ooz, odx, ody, odz, maxt, bt):
+    """Nearest positive root of the unit-sphere quadratic (object space),
+    reference src/shapes/sphere.cpp ray_intersect_preliminary semantics."""
+    a = odx * odx + ody * ody + odz * odz
+    b = 2.0 * (oox * odx + ooy * ody + ooz * odz)
+    c = oox * oox + ooy * ooy + ooz * ooz - 1.0
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # numerically stable roots
+    q = -0.5 * (b + jnp.where(b >= 0.0, sq, -sq))
+    safe_a = jnp.where(a != 0.0, a, 1.0)
+    safe_q = jnp.where(q != 0.0, q, 1.0)
+    t0 = q / safe_a
+    t1 = c / safe_q
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t = jnp.where(tn > 0.0, tn, tf)
+    hit = ok & (t > 0.0) & (t < maxt) & (t < bt)
+    return hit, t
 
-    def kernel(tri_ref, inst_ref,
+
+def _build_kernel(n_static: int, anim_ranges, any_hit: bool,
+                  n_spheres: int = 0, sphere_animated=()):
+
+    def kernel(tri_ref, inst_ref, sph_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                time_ref, maxt_ref,
                *out_refs):
@@ -179,6 +203,57 @@ def _build_kernel(n_static: int, anim_ranges, any_hit: bool):
                     test_tri(n_static + start + k,
                              (oox, ooy, ooz), (odx, ody, odz))
 
+        # ---- analytic spheres (object-space unit sphere per instance) ----
+        if n_spheres:
+            time_s = time_ref[:]
+            for s in range(n_spheres):
+                mc0 = tuple(sph_ref[s, j] for j in range(12))
+                if sphere_animated[s]:
+                    mc1 = tuple(sph_ref[s, 12 + j] for j in range(12))
+                    tw0 = sph_ref[s, 24]
+                    tw1 = sph_ref[s, 25]
+                    i3, it3 = _inv_lerped(mc0, mc1, tw0, tw1, time_s)
+                else:
+                    i3, it3 = _inv_lerped(mc0, mc0, sph_ref[s, 24],
+                                          sph_ref[s, 25],
+                                          jnp.zeros_like(time_s))
+                oox = i3[0] * ox + i3[1] * oy + i3[2] * oz + it3[0]
+                ooy = i3[3] * ox + i3[4] * oy + i3[5] * oz + it3[1]
+                ooz = i3[6] * ox + i3[7] * oy + i3[8] * oz + it3[2]
+                odx = i3[0] * dx + i3[1] * dy + i3[2] * dz
+                ody = i3[3] * dx + i3[4] * dy + i3[5] * dz
+                odz = i3[6] * dx + i3[7] * dy + i3[8] * dz
+                hit, t = _sphere_hit(oox, ooy, ooz, odx, ody, odz, maxt,
+                                     st["t"])
+                st["t"] = jnp.where(hit, t, st["t"])
+                slot = _SPH_SLOT_BASE + s
+                st["prim"] = jnp.where(hit, slot, st["prim"])
+                if not any_hit:
+                    st["inst"] = jnp.where(
+                        hit, sph_ref[s, 26].astype(jnp.int32), st["inst"])
+                    # object-space normal = hit point; to world via inv^T
+                    pnx = oox + t * odx
+                    pny = ooy + t * ody
+                    pnz = ooz + t * odz
+                    wnx = i3[0] * pnx + i3[3] * pny + i3[6] * pnz
+                    wny = i3[1] * pnx + i3[4] * pny + i3[7] * pnz
+                    wnz = i3[2] * pnx + i3[5] * pny + i3[8] * pnz
+                    for pre in ("g", "n"):
+                        st[pre + "x"] = jnp.where(hit, wnx, st[pre + "x"])
+                        st[pre + "y"] = jnp.where(hit, wny, st[pre + "y"])
+                        st[pre + "z"] = jnp.where(hit, wnz, st[pre + "z"])
+                    # spherical uv (reference sphere.cpp uv convention)
+                    phi = jnp.arctan2(pny, pnx)
+                    u = phi * jnp.float32(0.15915494309)
+                    u = jnp.where(u < 0.0, u + 1.0, u)
+                    v = jnp.arccos(jnp.clip(pnz, -1.0, 1.0)) * jnp.float32(
+                        0.31830988618)
+                    st["uu"] = jnp.where(hit, u, st["uu"])
+                    st["vv"] = jnp.where(hit, v, st["vv"])
+                    st["u"] = jnp.where(hit, 0.0, st["u"])
+                    st["v"] = jnp.where(hit, 0.0, st["v"])
+
+        if anim_ranges:
             if not any_hit:
                 # normals of animated hits: world = inv(M)^T * n_obj
                 for a, (inst, start, count) in enumerate(anim_ranges):
@@ -212,14 +287,17 @@ def _build_kernel(n_static: int, anim_ranges, any_hit: bool):
 
 @functools.lru_cache(maxsize=64)
 def _compiled(n_static: int, anim_ranges, any_hit: bool, n_rows: int,
-              rows_per_block: int, interpret: bool):
-    kernel = _build_kernel(n_static, anim_ranges, any_hit)
+              rows_per_block: int, interpret: bool,
+              n_spheres: int = 0, sphere_animated=()):
+    kernel = _build_kernel(n_static, anim_ranges, any_hit, n_spheres,
+                           sphere_animated)
     grid = (n_rows // rows_per_block,)
     lane_spec = pl.BlockSpec((rows_per_block, LANES), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),   # triangle records
         pl.BlockSpec(memory_space=pltpu.SMEM),   # animated-instance records
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # sphere records
     ] + [lane_spec] * 8
     f32 = jnp.float32
     i32 = jnp.int32
@@ -272,8 +350,17 @@ def scene_tables(sa):
     else:
         inst_table = jnp.zeros((1, 26), jnp.float32)
 
-    sa._pallas_tables = (tri_table, inst_table)
-    return tri_table, inst_table
+    # sphere records: m0c(12) + m1c(12) + t0 + t1 + inst
+    if sa.n_spheres:
+        sph_table = jnp.concatenate([
+            sa.sph_m0c.T, sa.sph_m1c.T, sa.sph_t0[:, None],
+            sa.sph_t1[:, None], sa.sph_inst[:, None].astype(jnp.float32),
+        ], axis=1)
+    else:
+        sph_table = jnp.zeros((1, 27), jnp.float32)
+
+    sa._pallas_tables = (tri_table, inst_table, sph_table)
+    return tri_table, inst_table, sph_table
 
 
 def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
@@ -288,12 +375,13 @@ def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
         return jnp.concatenate(
             [x, jnp.full((n_pad - n,), fill, x.dtype)], axis=0)
 
-    tri_table, inst_table = scene_tables(sa)
+    tri_table, inst_table, sph_table = scene_tables(sa)
     interpret = jax.default_backend() == "cpu"
     fn = _compiled(sa.n_static_tris, tuple(sa.anim_ranges), any_hit, n_rows,
-                   min(rows_per_block, n_rows), interpret)
+                   min(rows_per_block, n_rows), interpret,
+                   sa.n_spheres, tuple(sa.sphere_animated))
 
-    args = [tri_table, inst_table] + [
+    args = [tri_table, inst_table, sph_table] + [
         pad(getattr(ray.o, c)).reshape(n_rows, LANES) for c in "xyz"] + [
         pad(getattr(ray.d, c)).reshape(n_rows, LANES) for c in "xyz"] + [
         pad(ray.time).reshape(n_rows, LANES),

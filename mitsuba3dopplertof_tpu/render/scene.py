@@ -49,12 +49,16 @@ class SceneArrays:
            "inst_bsdf", "inst_emitter",
            "bsdf_type", "bsdf_params",      # bsdf_params: (P, B) column-major
            "emitter_type", "emitter_params", "emitter_m",  # (P, E), (12, E)
+           "tex_type", "tex_params", "tex_h",
+           "tex_atlas_r", "tex_atlas_g", "tex_atlas_b",
+           "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
            "bsphere_radius"]
     )
     META_FIELDS = [
         "n_static_tris", "n_anim_tris", "anim_ranges", "bsdf_types_present",
         "emitter_types_present", "n_emitters", "has_environment",
-        "env_radiance", "bsdf_flags_host",
+        "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
+        "n_spheres", "sphere_animated",
     ]
 
     def __init__(self, **kw):
@@ -128,6 +132,46 @@ class Scene:
             if id(b) not in bsdf_index:
                 bsdf_index[id(b)] = len(bsdf_objs)
                 bsdf_objs.append(b)
+        # --- texture table + bitmap atlas --------------------------------
+        from ..textures import N_TEX_PARAMS, T_ATLAS, TEX_BITMAP
+        tex_objs = []
+        tex_index = {}
+        for b in bsdf_objs:
+            t = getattr(b, "reflectance_tex", None)
+            if t is None and hasattr(b, "nested"):
+                t = getattr(b.nested, "reflectance_tex", None)
+            if t is not None:
+                if id(t) not in tex_index:
+                    tex_index[id(t)] = len(tex_objs)
+                    tex_objs.append(t)
+                b.tex_index = tex_index[id(t)]
+                if hasattr(b, "nested"):
+                    b.nested.tex_index = tex_index[id(t)]
+        tex_rows, tex_types, tex_h = [], [], []
+        atlas = []
+        atlas_off = 0
+        for t in tex_objs:
+            row = t.params_row()
+            if t.type_id == TEX_BITMAP:
+                img = t.image
+                row[T_ATLAS] = float(atlas_off)
+                row[T_ATLAS + 1] = float(img.shape[1])
+                tex_h.append(img.shape[0])
+                atlas.append(img.reshape(-1, 3))
+                atlas_off += img.shape[0] * img.shape[1]
+            else:
+                tex_h.append(0)
+            tex_rows.append(row)
+            tex_types.append(t.type_id)
+        tex_params = (np.stack(tex_rows).T if tex_rows
+                      else np.zeros((N_TEX_PARAMS, 1)))
+        tex_type_arr = (np.array(tex_types, np.int32) if tex_types
+                        else np.zeros(1, np.int32))
+        tex_h_arr = (np.array(tex_h, np.int32) if tex_h
+                     else np.zeros(1, np.int32))
+        atlas_np = (np.concatenate(atlas, axis=0) if atlas
+                    else np.zeros((1, 3), np.float32))
+
         bsdf_type = np.array([b.type_id for b in bsdf_objs], np.int32)
         bsdf_flags = np.array([b.flags for b in bsdf_objs], np.int32)
         bsdf_params = (np.stack([b.params_row() for b in bsdf_objs]).T
@@ -164,6 +208,9 @@ class Scene:
         anim_ranges: List[Tuple[int, int, int]] = []
         all_pts = []
 
+        sph_m0, sph_m1, sph_t0, sph_t1, sph_inst = [], [], [], [], []
+        sphere_animated = []
+
         for ii, sh in enumerate(self.shapes):
             m0, m1, t0, t1 = sh.to_world.matrices()
             animated = sh.to_world.animated
@@ -174,6 +221,21 @@ class Scene:
             inst_bsdf.append(bsdf_index[id(sh.bsdf)])
             inst_emitter.append(
                 self.emitters.index(sh.emitter) if sh.emitter is not None else -1)
+
+            if getattr(sh, "is_analytic_sphere", False):
+                sph_m0.append(m0[:3, :4].reshape(-1))
+                sph_m1.append(m1[:3, :4].reshape(-1))
+                sph_t0.append(t0)
+                sph_t1.append(t1)
+                sph_inst.append(ii)
+                sphere_animated.append(animated)
+                # bounds for the scene bsphere
+                for mm in ((m0, m1) if animated else (m0,)):
+                    c = mm[:3, 3]
+                    r = float(np.linalg.norm(mm[:3, :3], 2))
+                    all_pts.append(c[None, :] + np.array(
+                        [[-r, -r, -r], [r, r, r]]))
+                continue
 
             mesh = sh.mesh
             f = mesh.faces
@@ -273,6 +335,19 @@ class Scene:
             emitter_type=jnp.asarray(emitter_type),
             emitter_params=jnp.asarray(emitter_params, jnp.float32),
             emitter_m=jnp.asarray(emitter_m, jnp.float32),
+            tex_type=jnp.asarray(tex_type_arr),
+            tex_params=jnp.asarray(tex_params, jnp.float32),
+            tex_h=jnp.asarray(tex_h_arr),
+            tex_atlas_r=jnp.asarray(atlas_np[:, 0], jnp.float32),
+            tex_atlas_g=jnp.asarray(atlas_np[:, 1], jnp.float32),
+            tex_atlas_b=jnp.asarray(atlas_np[:, 2], jnp.float32),
+            sph_m0c=jnp.asarray(
+                np.stack(sph_m0).T if sph_m0 else np.zeros((12, 1)), jnp.float32),
+            sph_m1c=jnp.asarray(
+                np.stack(sph_m1).T if sph_m1 else np.zeros((12, 1)), jnp.float32),
+            sph_t0=jnp.asarray(sph_t0 if sph_t0 else [0.0], jnp.float32),
+            sph_t1=jnp.asarray(sph_t1 if sph_t1 else [1.0], jnp.float32),
+            sph_inst=jnp.asarray(sph_inst if sph_inst else [-1], jnp.int32),
             bsphere_radius=jnp.float32(radius),
             n_static_tris=n_static,
             n_anim_tris=n_anim,
@@ -283,6 +358,10 @@ class Scene:
             has_environment=env is not None,
             env_radiance=tuple(float(x) for x in env_radiance),
             bsdf_flags_host=tuple(int(f) for f in bsdf_flags),
+            tex_types_present=tuple(sorted(set(int(t) for t in tex_types))),
+            n_textures=len(tex_objs),
+            n_spheres=len(sph_inst),
+            sphere_animated=tuple(sphere_animated),
             **kw,
         )
         return self._compiled
@@ -439,9 +518,67 @@ def _hit_reference(sa: SceneArrays, ray: Ray):
         ns = where3(is_anim, cmat_apply_transpose_vector(inv_t, ns), ns)
 
     inst_out = jnp.where(best_idx >= 0, g["inst"], -1)
-    from ..ops.intersect_kernel import HitRecord
-    return HitRecord(best_t, best_idx, inst_out, u, v,
-                     gn.x, gn.y, gn.z, ns.x, ns.y, ns.z, uv_u, uv_v)
+    from ..ops.intersect_kernel import HitRecord, _SPH_SLOT_BASE
+    hit = HitRecord(best_t, best_idx, inst_out, u, v,
+                    gn.x, gn.y, gn.z, ns.x, ns.y, ns.z, uv_u, uv_v)
+    if sa.n_spheres:
+        hit = _spheres_reference(sa, ray, hit)
+    return hit
+
+
+def _spheres_reference(sa: SceneArrays, ray: Ray, hit):
+    """Analytic spheres for the oracle path (unit sphere in object space,
+    reference src/shapes/sphere.cpp)."""
+    from ..ops.intersect_kernel import _SPH_SLOT_BASE
+    import math as _m
+    out = hit
+    for s in range(sa.n_spheres):
+        c0 = tuple(sa.sph_m0c[j, s] for j in range(12))
+        if sa.sphere_animated[s]:
+            c1 = tuple(sa.sph_m1c[j, s] for j in range(12))
+            span = sa.sph_t1[s] - sa.sph_t0[s]
+            denom = jnp.where(span != 0.0, span, 1.0)
+            uu = jnp.clip((ray.time - sa.sph_t0[s]) / denom, 0.0, 1.0)
+            c_t = cmat_lerp(c0, c1, uu)
+        else:
+            c_t = c0
+        inv = cmat_inverse(c_t)
+        o = cmat_apply_point(inv, ray.o)
+        d = cmat_apply_vector(inv, ray.d)
+        a = dot(d, d)
+        b = 2.0 * dot(o, d)
+        c = dot(o, o) - 1.0
+        disc = b * b - 4.0 * a * c
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = -0.5 * (b + jnp.where(b >= 0.0, sq, -sq))
+        t0 = q / jnp.where(a != 0.0, a, 1.0)
+        t1 = c / jnp.where(q != 0.0, q, 1.0)
+        tn = jnp.minimum(t0, t1)
+        tf = jnp.maximum(t0, t1)
+        t = jnp.where(tn > 0.0, tn, tf)
+        hit_m = ok & (t > 0.0) & (t < ray.maxt) & (t < out.t)
+        pn = o + d * t          # object-space normal = hit point
+        wn = cmat_apply_transpose_vector(inv, pn)
+        phi = jnp.arctan2(pn.y, pn.x)
+        u = phi * (0.5 / _m.pi)
+        u = jnp.where(u < 0.0, u + 1.0, u)
+        v = jnp.arccos(jnp.clip(pn.z, -1.0, 1.0)) * (1.0 / _m.pi)
+        out = out._replace(
+            t=jnp.where(hit_m, t, out.t),
+            prim=jnp.where(hit_m, _SPH_SLOT_BASE + s, out.prim),
+            inst=jnp.where(hit_m, sa.sph_inst[s], out.inst),
+            u=jnp.where(hit_m, 0.0, out.u),
+            v=jnp.where(hit_m, 0.0, out.v),
+            gnx=jnp.where(hit_m, wn.x, out.gnx),
+            gny=jnp.where(hit_m, wn.y, out.gny),
+            gnz=jnp.where(hit_m, wn.z, out.gnz),
+            nsx=jnp.where(hit_m, wn.x, out.nsx),
+            nsy=jnp.where(hit_m, wn.y, out.nsy),
+            nsz=jnp.where(hit_m, wn.z, out.nsz),
+            uv_u=jnp.where(hit_m, u, out.uv_u),
+            uv_v=jnp.where(hit_m, v, out.uv_v))
+    return out
 
 
 USE_PALLAS = True

@@ -202,6 +202,11 @@ class CubeShape(Shape):
 
 @register_plugin("shape", "sphere")
 class SphereShape(Shape):
+    """Analytic unit sphere under its to_world transform (reference
+    src/shapes/sphere.cpp). No tessellation: the intersection kernels solve
+    the quadratic in object space."""
+    is_analytic_sphere = True
+
     def __init__(self, props: Properties):
         super().__init__(props)
         import numpy as np
@@ -217,7 +222,7 @@ class SphereShape(Shape):
         else:
             self.to_world = AnimatedTransform(
                 static_matrix=base.static_matrix @ local)
-        self.mesh = make_sphere()
+        self.mesh = None
 
 
 @register_plugin("shape", "disk")

@@ -1,0 +1,175 @@
+"""Feature renders: textures, BSDFs, sensors, film filters — smoke + value
+checks on tiny scenes (the per-plugin test style of SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba3dopplertof_tpu as mi
+
+BASE = '''
+<scene version="3.0.0">
+  <integrator type="{integrator}">
+    <integer name="max_depth" value="{depth}"/>
+  </integrator>
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <film type="hdrfilm">
+      <integer name="width" value="16"/><integer name="height" value="16"/>
+      <rfilter type="{rfilter}"/>
+    </film>
+    <sampler type="independent"><integer name="sample_count" value="16"/></sampler>
+  </sensor>
+  <shape type="rectangle">
+    <transform name="to_world"><translate z="2"/></transform>
+    {bsdf}
+  </shape>
+  <emitter type="point">
+    <transform name="to_world"><translate z="1"/></transform>
+    <rgb name="intensity" value="5"/>
+  </emitter>
+</scene>
+'''
+
+TWOSIDED_DIFFUSE = '''<bsdf type="twosided"><bsdf type="diffuse">
+  <rgb name="reflectance" value="0.8,0.6,0.4"/></bsdf></bsdf>'''
+
+
+def render(xml, spp=16, seed=0):
+    scene = mi.load_string(xml)
+    return np.asarray(mi.render(scene, spp=spp, seed=seed))
+
+
+def test_diffuse_point_light_analytic():
+    """Direct lighting of a diffuse plane by a point light has a closed
+    form: L = rho/pi * I * cos/d^2."""
+    img = render(BASE.format(integrator="path", depth=2, rfilter="box",
+                             bsdf=TWOSIDED_DIFFUSE))
+    # center pixel: surface point ~(0,0,2), light at (0,0,1): d=1, cos=1
+    expect = 0.8 / np.pi * 5.0
+    assert abs(img[8, 8, 0] - expect) / expect < 0.05, (img[8, 8], expect)
+    # rgb ratio matches reflectance
+    assert abs(img[8, 8, 1] / img[8, 8, 0] - 0.6 / 0.8) < 0.02
+
+
+def test_checkerboard_texture():
+    bsdf = '''<bsdf type="twosided"><bsdf type="diffuse">
+      <texture type="checkerboard" name="reflectance">
+        <rgb name="color0" value="0.9,0.1,0.1"/>
+        <rgb name="color1" value="0.1,0.1,0.9"/>
+      </texture></bsdf></bsdf>'''
+    img = render(BASE.format(integrator="path", depth=2, rfilter="box",
+                             bsdf=bsdf))
+    lit = img.sum(-1) > 0
+    r_dom = (img[..., 0] > img[..., 2]) & lit
+    b_dom = (img[..., 2] > img[..., 0]) & lit
+    assert r_dom.any() and b_dom.any()
+
+
+def test_filters_preserve_energy():
+    """box/tent/gaussian all reconstruct ~the same mean (energy
+    preservation of the normalized splat + develop)."""
+    means = {}
+    for f in ("box", "tent", "gaussian"):
+        img = render(BASE.format(integrator="path", depth=2, rfilter=f,
+                                 bsdf=TWOSIDED_DIFFUSE), spp=64)
+        means[f] = img[4:12, 4:12].mean()
+    ref = means["box"]
+    for f, m in means.items():
+        assert abs(m - ref) / ref < 0.03, means
+
+
+def test_conductor_mirror_reflection():
+    """A smooth conductor between camera and light reflects the scene: a
+    mirror plane in front of a diffuse wall shows the wall's color."""
+    xml = '''
+    <scene version="3.0.0">
+      <integrator type="path"><integer name="max_depth" value="4"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <film type="hdrfilm"><integer name="width" value="8"/>
+          <integer name="height" value="8"/><rfilter type="box"/></film>
+        <sampler type="independent"><integer name="sample_count" value="64"/></sampler>
+      </sensor>
+      <shape type="rectangle">
+        <transform name="to_world"><rotate x="1" angle="180"/><translate z="2"/></transform>
+        <bsdf type="conductor"/>
+      </shape>
+      <shape type="rectangle">
+        <transform name="to_world"><translate z="-3"/></transform>
+        <bsdf type="twosided"><bsdf type="diffuse">
+          <rgb name="reflectance" value="0.9,0.2,0.2"/></bsdf></bsdf>
+      </shape>
+      <emitter type="point">
+        <transform name="to_world"><translate z="-1"/></transform>
+        <rgb name="intensity" value="10"/>
+      </emitter>
+    </scene>'''
+    img = render(xml, spp=64)
+    center = img[4, 4]
+    # mirror shows the red wall
+    assert center[0] > 2.0 * center[1], center
+    assert center[0] > 0.01
+
+
+def test_area_emitter_rect():
+    """Area light NEE: diffuse plane lit by a rect emitter."""
+    xml = '''
+    <scene version="3.0.0">
+      <integrator type="path"><integer name="max_depth" value="2"/></integrator>
+      <sensor type="perspective">
+        <float name="fov" value="45"/>
+        <film type="hdrfilm"><integer name="width" value="8"/>
+          <integer name="height" value="8"/><rfilter type="box"/></film>
+        <sampler type="independent"><integer name="sample_count" value="128"/></sampler>
+      </sensor>
+      <shape type="rectangle">
+        <transform name="to_world"><translate z="2"/></transform>
+        <bsdf type="twosided"><bsdf type="diffuse">
+          <rgb name="reflectance" value="1,1,1"/></bsdf></bsdf>
+      </shape>
+      <shape type="rectangle" id="Light">
+        <transform name="to_world"><scale value="0.25"/><translate z="1"/></transform>
+        <emitter type="area"><rgb name="radiance" value="10"/></emitter>
+      </shape>
+    </scene>'''
+    img = render(xml, spp=128)
+    # the light's own (black) back side occludes the image center — the
+    # plane is lit in the periphery
+    assert img[4, 4, 0] < 1e-4          # looking at the emitter's back
+    assert img[1, 1, 0] > 0.05          # NEE-lit plane around it
+    assert img.mean() > 0.05
+
+
+def test_thinlens_defocus():
+    """Thin lens blurs out-of-focus geometry: variance of a checkerboard
+    drops when focus is far from the plane."""
+    def make(focus):
+        return f'''
+        <scene version="3.0.0">
+          <integrator type="path"><integer name="max_depth" value="2"/></integrator>
+          <sensor type="thinlens">
+            <float name="fov" value="45"/>
+            <float name="aperture_radius" value="0.2"/>
+            <float name="focus_distance" value="{focus}"/>
+            <film type="hdrfilm"><integer name="width" value="32"/>
+              <integer name="height" value="32"/><rfilter type="box"/></film>
+            <sampler type="independent"><integer name="sample_count" value="64"/></sampler>
+          </sensor>
+          <shape type="rectangle">
+            <transform name="to_world"><translate z="2"/></transform>
+            <bsdf type="twosided"><bsdf type="diffuse">
+              <texture type="checkerboard" name="reflectance">
+                <transform name="to_uv"><scale value="8"/></transform>
+                <rgb name="color0" value="1,1,1"/>
+                <rgb name="color1" value="0,0,0"/>
+              </texture></bsdf></bsdf>
+          </shape>
+          <emitter type="point">
+            <transform name="to_world"><translate z="1"/></transform>
+            <rgb name="intensity" value="5"/>
+          </emitter>
+        </scene>'''
+    sharp = render(make(2.0), spp=64)
+    blurred = render(make(0.5), spp=64)
+    assert blurred[8:24, 8:24, 0].std() < sharp[8:24, 8:24, 0].std()

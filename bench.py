@@ -21,7 +21,7 @@ def main():
     scene = mi.load_file(
         os.environ.get("BENCH_SCENE",
                        "/root/reference/configs_example/scene.xml"))
-    spp = int(os.environ.get("BENCH_SPP", "256"))
+    spp = int(os.environ.get("BENCH_SPP", "1024"))  # canonical scene.xml spp
 
     # warm up / compile at the SAME spp (the pass program specializes on
     # sample_count for interval stratification, so a different-spp warmup

@@ -34,6 +34,7 @@ from .io.dict_loader import load_dict
 from .io.xml import xml_to_dict
 from .io.xml_writer import dict_to_xml
 from .utils.params import traverse, SceneParameters
+from .render.ad import render_grad, value_and_render_grad
 from .render.scene import Scene
 from .core.properties import Properties, registered_plugins
 
@@ -72,4 +73,5 @@ def set_variant(*names):
 __all__ = ["load_file", "load_string", "load_dict", "render", "Scene",
            "Properties", "registered_plugins", "variants", "set_variant",
            "xml_to_dict", "dict_to_xml", "traverse", "SceneParameters",
+           "render_grad", "value_and_render_grad",
            "__version__"]

@@ -23,6 +23,7 @@ reference's multi-pass splitting (integrator.cpp:227-308).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -96,7 +97,14 @@ class SamplingIntegrator(Integrator):
     # render orchestration (reference integrator.cpp:104-347)
     # ------------------------------------------------------------------
     def render(self, scene, sensor=None, seed: int = 0, spp: int = 0,
-               develop_film: bool = True, max_lanes: int = DEFAULT_MAX_LANES):
+               develop_film: bool = True, max_lanes: int = DEFAULT_MAX_LANES,
+               checkpoint_path: str = None, checkpoint_every: int = 16):
+        """Render; if ``checkpoint_path`` is given, the accumulated film and
+        pass counter persist every ``checkpoint_every`` passes and a
+        restarted render resumes from the last checkpoint (pass-level
+        restartability: each pass is deterministic given (scene, seed) —
+        the counter-based generalization of the reference tutorials'
+        exit-if-exists resume, program_runner.py:110-112)."""
         if sensor is None:
             sensor = scene.sensor
         film = sensor.film
@@ -124,9 +132,25 @@ class SamplingIntegrator(Integrator):
         block = block_create(W, H, n_channels)
         pass_fn = self._get_pass_fn(sensor, sampler, film, W, H, spp_per_pass)
 
-        for _ in range(n_passes):
+        start_pass = 0
+        if checkpoint_path is not None and os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if (int(ck["seed"]) == seed and int(ck["spp"]) == spp
+                    and ck["block"].shape == tuple(block.shape)):
+                start_pass = int(ck["pass_idx"])
+                block = jnp.asarray(ck["block"])
+                # replay sampler advancement (cheap scalar updates)
+                for _ in range(start_pass):
+                    state = sampler.advance(state)
+
+        for p in range(start_pass, n_passes):
             block, state = pass_fn(sa, block, state)
             state = sampler.advance(state)
+            if (checkpoint_path is not None
+                    and ((p + 1) % checkpoint_every == 0
+                         or p + 1 == n_passes)):
+                np.savez(checkpoint_path, block=np.asarray(block),
+                         pass_idx=p + 1, seed=seed, spp=spp)
 
         if develop_film:
             return develop(block, film.has_alpha)
@@ -160,8 +184,7 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
     correlate_pixel = integrator.path_correlation_depth > 0
     n = W * H * spp_per_pass
 
-    @partial(jax.jit, donate_argnums=(1, 2))
-    def pass_fn(sa: SceneArrays, block, state):
+    def pass_fn_raw(sa: SceneArrays, block, state):
         lane = jnp.arange(n, dtype=jnp.uint32)
         pix = lane // jnp.uint32(spp_per_pass)
         py = (pix // jnp.uint32(W)).astype(jnp.float32)
@@ -224,6 +247,8 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
                                       active, W, H, spp_per_pass)
         return block, state
 
+    pass_fn = jax.jit(pass_fn_raw, donate_argnums=(1, 2))
+    pass_fn.raw = pass_fn_raw
     return pass_fn
 
 

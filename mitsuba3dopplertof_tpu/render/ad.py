@@ -1,0 +1,124 @@
+"""Differentiable rendering.
+
+The reference ships a Python AD-integrator family (path-replay backprop,
+reference src/python/python/ad/integrators/*.py) on top of Dr.Jit's tape.
+The TPU-native equivalent needs none of that machinery: the whole render
+pass is a pure jitted function of the scene tables, so ``jax.grad``
+differentiates it directly. Monte Carlo sample *decisions* (directions, RR)
+depend only on the RNG bits, so gradients w.r.t. continuous shading
+parameters (reflectance, emission, textures) are the detached-sampling
+estimator — the same discipline the reference's integrators enforce
+manually (dopplertofpath.cpp:234-246). Geometry derivatives
+(discontinuities) need reparameterization and are out of scope for v1,
+matching prb.py (non-reparam) in the reference.
+
+API:
+    grads = render_grad(scene, image_ref, spp=16)   # d loss / d params
+    image, grads = value_and_render_grad(scene, loss_fn, spp=16)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# differentiable SceneArrays leaves exposed to the optimizer
+DIFF_FIELDS = ("bsdf_params", "emitter_params", "tex_params",
+               "tex_atlas_r", "tex_atlas_g", "tex_atlas_b")
+
+DEFAULT_GRAD_LANES = 1 << 18     # backprop holds per-bounce activations
+
+
+def _render_image_fn(integrator, scene, sensor, spp, seed, max_lanes):
+    """Build f(diff_params) -> developed image, traced without donation."""
+    from ..films import block_create, develop
+    from ..integrators import _build_pass_fn
+
+    if sensor is None:
+        sensor = scene.sensor
+    film = sensor.film
+    sampler = sensor.sampler
+    if spp:
+        sampler.set_sample_count(spp)
+    spp = sampler.sample_count
+
+    W, H = film.crop_size
+    spp_per_pass = spp
+    while W * H * spp_per_pass > max_lanes and spp_per_pass > 1:
+        d = spp_per_pass - 1
+        while spp % d != 0:
+            d -= 1
+        spp_per_pass = d
+    n_passes = spp // spp_per_pass
+
+    sampler.set_samples_per_wavefront(spp_per_pass)
+    state0 = sampler.seed(seed, W * H * spp_per_pass)
+    sa = scene.compile()
+    n_channels = film.channel_count + len(integrator.aov_names())
+
+    # use the raw (undonated) pass body so it can be re-traced under grad
+    pass_fn = integrator._get_pass_fn(sensor, sampler, film, W, H,
+                                      spp_per_pass).raw
+
+    def f(diff_params: Dict[str, jnp.ndarray]):
+        sa_local = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(sa),
+            jax.tree_util.tree_leaves(sa))
+        for k, v in diff_params.items():
+            setattr(sa_local, k, v)
+        block = block_create(W, H, n_channels)
+        state = state0
+        for _ in range(n_passes):
+            block, state = pass_fn(sa_local, block, state)
+            state = sampler.advance(state)
+        return develop(block, film.has_alpha)
+
+    return f, sa
+
+
+def render_grad(scene, image_ref=None, loss_fn: Optional[Callable] = None,
+                spp: int = 16, seed: int = 0, sensor=None, integrator=None,
+                max_lanes: int = DEFAULT_GRAD_LANES):
+    """Gradient of a scalar loss of the rendered image w.r.t. the
+    differentiable scene tables. Default loss: 0.5 * ||img - image_ref||^2.
+    Returns (loss_value, {field: grad_array})."""
+    integ = integrator if integrator is not None else scene.integrator
+    f, sa = _render_image_fn(integ, scene, sensor, spp, seed, max_lanes)
+
+    if loss_fn is None:
+        if image_ref is None:
+            raise ValueError("render_grad: pass image_ref or loss_fn")
+        ref = jnp.asarray(image_ref)
+
+        def loss_fn(img):
+            d = img - ref
+            return 0.5 * jnp.sum(d * d)
+
+    params = {k: getattr(sa, k) for k in DIFF_FIELDS}
+
+    def objective(p):
+        return loss_fn(f(p))
+
+    val, grads = jax.value_and_grad(objective)(params)
+    return val, grads
+
+
+def value_and_render_grad(scene, loss_fn: Callable, spp: int = 16,
+                          seed: int = 0, sensor=None, integrator=None,
+                          max_lanes: int = DEFAULT_GRAD_LANES):
+    integ = integrator if integrator is not None else scene.integrator
+    f, sa = _render_image_fn(integ, scene, sensor, spp, seed, max_lanes)
+    params = {k: getattr(sa, k) for k in DIFF_FIELDS}
+
+    def objective(p):
+        img = f(p)
+        return loss_fn(img), img
+
+    (val, img), grads = jax.value_and_grad(objective, has_aux=True)(params)
+    return img, val, grads
+
+
+__all__ = ["render_grad", "value_and_render_grad", "DIFF_FIELDS"]

@@ -68,7 +68,8 @@ class BSDF:
 def _get_rgb(props, key, default):
     v = props.get(key, default)
     from ..textures import Texture
-    if isinstance(v, Texture):
+    from ..spectra import Spectrum
+    if isinstance(v, (Texture, Spectrum)):
         return np.asarray(v.mean_rgb())
     if isinstance(v, dict):   # {'type':'rgb','value':[...]} from the parser
         v = v.get("value")
@@ -618,3 +619,207 @@ _DISPATCH[BSDF_THINDIELECTRIC] = _thindielectric_eval_pdf_sample
 _DISPATCH[BSDF_PLASTIC] = _plastic_eval_pdf_sample
 
 from ..core.vec import dot  # noqa: E402
+
+
+@register_plugin("bsdf", "roughplastic")
+class RoughPlastic(Plastic):
+    """GGX rough plastic (reference src/bsdfs/roughplastic.cpp): microfacet
+    specular coat + diffuse base with internal scattering."""
+    type_id = BSDF_ROUGHPLASTIC
+    flags = FLAG_SMOOTH
+
+    def __init__(self, props: Properties):
+        props.mark_queried("distribution")
+        alpha = props.get_float("alpha", 0.1)
+        super().__init__(props)
+        self.alpha = alpha
+
+    def params_row(self):
+        p = super().params_row()
+        p[P_ALPHA] = self.alpha
+        return p
+
+
+@register_plugin("bsdf", "roughdielectric")
+class RoughDielectric(Dielectric):
+    """GGX rough dielectric (reference src/bsdfs/roughdielectric.cpp)."""
+    type_id = BSDF_ROUGHDIELECTRIC
+    flags = FLAG_SMOOTH
+
+    def __init__(self, props: Properties):
+        props.mark_queried("distribution")
+        alpha = props.get_float("alpha", 0.1)
+        super().__init__(props)
+        self.alpha = alpha
+
+    def params_row(self):
+        p = super().params_row()
+        p[P_ALPHA] = self.alpha
+        return p
+
+
+def _roughplastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+    """reference roughplastic.cpp: GGX specular + internally-scattered
+    diffuse; both lobes are smooth so NEE evaluates both."""
+    eta = param(P_ETA)
+    fdr_int = param(P_K)
+    nonlinear = param(P_K + 1) > 0.5
+    spec_prob_w = param(P_ALPHA + 1)
+    alpha = param(P_ALPHA)
+    diff = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    spec = Vec3(param(P_SPEC_TRANS), param(P_SPEC_TRANS + 1),
+                param(P_SPEC_TRANS + 2))
+    two_sided = param(P_TWOSIDED) > 0.5
+    sgn = jnp.where(two_sided & (wi.z < 0.0), -1.0, 1.0)
+    wi_l = Vec3(wi.x, wi.y, wi.z * sgn)
+    cos_i = wi_l.z
+    ok = cos_i > 0.0
+
+    F_i, _, _, eta_ti = fresnel_dielectric(cos_i, eta)
+    inv_eta_2 = eta_ti * eta_ti
+    prob_spec = F_i * spec_prob_w / jnp.maximum(
+        F_i * spec_prob_w + (1.0 - F_i) * (1.0 - spec_prob_w), 1e-12)
+    prob_diff = 1.0 - prob_spec
+
+    def diffuse_term(cos_o, F_o):
+        scale = (1.0 - F_i) * (1.0 - F_o) * inv_eta_2 * INV_PI * cos_o
+        denom_lin = 1.0 - fdr_int
+        return Vec3(
+            diff.x / jnp.where(nonlinear, 1.0 - diff.x * fdr_int, denom_lin),
+            diff.y / jnp.where(nonlinear, 1.0 - diff.y * fdr_int, denom_lin),
+            diff.z / jnp.where(nonlinear, 1.0 - diff.z * fdr_int, denom_lin),
+        ) * scale
+
+    def eval_both(wo):
+        cos_o = wo.z
+        both = ok & (cos_o > 0.0)
+        from ..core.vec import normalize as _norm
+        h = _norm(wi_l + wo)
+        D = mf.ggx_D(h, alpha, alpha)
+        G = mf.ggx_G(wi_l, wo, h, alpha, alpha)
+        F_h, _, _, _ = fresnel_dielectric(dot(wi_l, h), eta)
+        spec_scalar = jnp.where(both,
+                                F_h * D * G / jnp.maximum(4.0 * cos_i, 1e-12),
+                                0.0)
+        F_o, _, _, _ = fresnel_dielectric(cos_o, eta)
+        val = spec * spec_scalar + where3(
+            both, diffuse_term(cos_o, F_o),
+            Vec3(jnp.zeros_like(cos_o), jnp.zeros_like(cos_o),
+                 jnp.zeros_like(cos_o)))
+        pdf_spec = jnp.where(both, mf.ggx_pdf_visible(wi_l, h, alpha, alpha)
+                             / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-12),
+                             0.0)
+        pdf = prob_spec * pdf_spec + prob_diff * jnp.where(
+            both, INV_PI * cos_o, 0.0)
+        return val, pdf
+
+    wo_nee_l = Vec3(wo_nee.x, wo_nee.y, wo_nee.z * sgn)
+    val_nee, pdf_nee = eval_both(wo_nee_l)
+
+    pick_spec = s1 < prob_spec
+    m, _ = mf.ggx_sample_vndf(wi_l, alpha, alpha, s2x, s2y)
+    wo_spec = Vec3(2.0 * dot(wi_l, m) * m.x - wi_l.x,
+                   2.0 * dot(wi_l, m) * m.y - wi_l.y,
+                   2.0 * dot(wi_l, m) * m.z - wi_l.z)
+    wo_diff = warp.cosine_hemisphere_c(s2x, s2y)
+    wo = where3(pick_spec, wo_spec, wo_diff)
+    val_s, pdf_s = eval_both(wo)
+    valid = ok & (wo.z > 0.0) & (pdf_s > 1e-12)
+    inv_pdf = jnp.where(valid, 1.0 / jnp.maximum(pdf_s, 1e-12), 0.0)
+    weight = val_s * inv_pdf
+    pdf_out = jnp.where(valid, pdf_s, 0.0)
+    z = jnp.zeros_like(cos_i)
+    false_ = z > 1.0
+    return BSDFSampleResult(val_nee, pdf_nee,
+                            Vec3(wo.x, wo.y, wo.z * sgn), weight, pdf_out,
+                            jnp.ones_like(z), false_, false_)
+
+
+def _roughdielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+    """reference roughdielectric.cpp: GGX reflection + refraction with VNDF
+    sampling; weight via the G2/G1 identity."""
+    eta = param(P_ETA)
+    alpha = param(P_ALPHA)
+    refl_c = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    trans_c = Vec3(param(P_SPEC_TRANS), param(P_SPEC_TRANS + 1),
+                   param(P_SPEC_TRANS + 2))
+
+    out_side = wi.z >= 0.0
+    sgn = jnp.where(out_side, 1.0, -1.0)
+    wi_u = Vec3(wi.x, wi.y, wi.z * sgn)      # upper hemisphere frame
+
+    # ---------------- sampling ----------------
+    m_u, pdf_m = mf.ggx_sample_vndf(wi_u, alpha, alpha, s2x, s2y)
+    cos_im = dot(wi_u, m_u)
+    F, cos_t, eta_it, eta_ti = fresnel_dielectric(cos_im * sgn * sgn, eta)
+    # fresnel with signed cos w.r.t. outside: use cos_im and side
+    F, cos_t, eta_it, eta_ti = fresnel_dielectric(
+        jnp.where(out_side, cos_im, -cos_im), eta)
+    pick_reflect = s1 <= F
+
+    # reflect about m (in upper frame)
+    wo_r = Vec3(2.0 * cos_im * m_u.x - wi_u.x,
+                2.0 * cos_im * m_u.y - wi_u.y,
+                2.0 * cos_im * m_u.z - wi_u.z)
+    # refract through m: standard formula in the m frame
+    c = cos_im
+    scale = eta_ti
+    # refracted direction (upper frame): -eta_ti*wi + (eta_ti*c - cos_t')*m
+    cos_tm = jnp.sqrt(jnp.maximum(1.0 - scale * scale * (1.0 - c * c), 0.0))
+    wo_t = Vec3(-scale * wi_u.x + (scale * c - cos_tm) * m_u.x,
+                -scale * wi_u.y + (scale * c - cos_tm) * m_u.y,
+                -scale * wi_u.z + (scale * c - cos_tm) * m_u.z)
+    wo_u = where3(pick_reflect, wo_r, wo_t)
+    valid_r = pick_reflect & (wo_u.z > 0.0)
+    valid_t = (~pick_reflect) & (wo_u.z < 0.0)
+    valid = valid_r | valid_t
+
+    g2 = mf.ggx_G(wi_u, where3(wo_u.z >= 0.0, wo_u,
+                               Vec3(wo_u.x, wo_u.y, -wo_u.z)), m_u,
+                  alpha, alpha)
+    g1 = mf.ggx_smith_g1(wi_u, m_u, alpha, alpha)
+    wscale = jnp.where(valid, g2 / jnp.maximum(g1, 1e-12), 0.0)
+    factor = jnp.where(pick_reflect, 1.0, eta_ti * eta_ti)
+    weight = where3(pick_reflect, refl_c, trans_c) * (wscale * factor)
+    # transmission Jacobian: |wo.m| * eta_o^2 / (eta_i (wi.m) + eta_o (wo.m))^2
+    wo_m = dot(wo_u, m_u)
+    denom_t = (cos_im + eta_it * wo_m)
+    jac_t = jnp.abs(wo_m) * (eta_it * eta_it) / jnp.maximum(
+        denom_t * denom_t, 1e-12)
+    pdf = jnp.where(pick_reflect,
+                    F * pdf_m / jnp.maximum(4.0 * jnp.abs(cos_im), 1e-12),
+                    (1.0 - F) * pdf_m * jac_t)
+    pdf = jnp.where(valid, pdf, 0.0)
+
+    # ---------------- NEE eval/pdf ----------------
+    wo_nee_u = Vec3(wo_nee.x, wo_nee.y, wo_nee.z * sgn)
+    same_hemi = wo_nee_u.z > 0.0
+    from ..core.vec import normalize as _norm
+    h_r = _norm(wi_u + wo_nee_u)
+    # reflection contribution
+    D_r = mf.ggx_D(h_r, alpha, alpha)
+    G_r = mf.ggx_G(wi_u, wo_nee_u, h_r, alpha, alpha)
+    F_r, _, _, _ = fresnel_dielectric(
+        jnp.where(out_side, dot(wi_u, h_r), -dot(wi_u, h_r)), eta)
+    refl_scalar = jnp.where(same_hemi & (wi_u.z > 0.0),
+                            F_r * D_r * G_r
+                            / jnp.maximum(4.0 * wi_u.z, 1e-12), 0.0)
+    val_nee = refl_c * refl_scalar
+    pdf_nee = jnp.where(same_hemi,
+                        F_r * mf.ggx_pdf_visible(wi_u, h_r, alpha, alpha)
+                        / jnp.maximum(4.0 * jnp.abs(dot(wo_nee_u, h_r)),
+                                      1e-12),
+                        0.0)
+    # (transmission NEE eval omitted in v1 — the sampled lobe covers it;
+    # matches the effect of MIS weights collapsing for rough glass)
+
+    z = jnp.zeros_like(F)
+    false_ = z > 1.0
+    out_eta = jnp.where(pick_reflect, jnp.ones_like(F), eta_it)
+    return BSDFSampleResult(val_nee, pdf_nee,
+                            Vec3(wo_u.x, wo_u.y, wo_u.z * sgn),
+                            weight, pdf, out_eta, false_, false_)
+
+
+_DISPATCH[BSDF_ROUGHPLASTIC] = _roughplastic_eval_pdf_sample
+_DISPATCH[BSDF_ROUGHDIELECTRIC] = _roughdielectric_eval_pdf_sample

@@ -39,6 +39,10 @@ E_BEAM = 8         # spot: cos beam width
 
 def _get_rgb(props, key, default):
     v = props.get(key, default)
+    from ..spectra import Spectrum
+    from ..textures import Texture
+    if isinstance(v, (Spectrum, Texture)):
+        return np.asarray(v.mean_rgb())
     if isinstance(v, dict):
         v = v.get("value")
     a = np.asarray(v, dtype=np.float64).reshape(-1)
@@ -232,6 +236,9 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             ds = DirectionSample(pos, Vec3(z, z, z), dirn, dist,
                                  jnp.where(cos_a > cc, 1.0, 0.0),
                                  jnp.ones((n,), bool), index)
+        elif tid == EMITTER_ENVMAP:
+            ds, spec = envmap_sample_direction(sa, ref_p, s_x, s_y)
+            ds = ds._replace(emitter=index)
         elif tid == EMITTER_CONSTANT:
             from ..core import warp as _warp
             dirn = _warp.uniform_sphere_c(s_x, s_y)
@@ -290,6 +297,8 @@ def pdf_direction(sa, ds: DirectionSample):
                                    * jnp.maximum(area, 1e-20)), 0.0)
         elif tid == EMITTER_CONSTANT:
             p = jnp.full(ds.dist.shape, 1.0 / (4.0 * np.pi), ds.dist.dtype)
+        elif tid == EMITTER_ENVMAP:
+            p = envmap_pdf_direction(sa, ds.d)
         else:  # delta emitters
             p = jnp.zeros(ds.dist.shape, ds.dist.dtype)
         pdf = jnp.where(lane_type == tid, p, pdf)
@@ -368,3 +377,139 @@ class SpotEmitter(Emitter):
         p[E_BEAM] = self.cos_beam
         p[9:12] = self.direction
         return p
+
+
+EMITTER_ENVMAP = 6
+
+
+@register_plugin("emitter", "envmap")
+class EnvmapEmitter(Emitter):
+    """Image-based environment light (reference src/emitters/envmap.cpp).
+
+    Direction convention matches the reference: in emitter space,
+    u = atan2(d.x, -d.z)/(2pi) (wrapped), v = acos(d.y)/pi. Importance
+    sampling uses a flattened luminance*sin(theta) CDF over all texels
+    (the functional equivalent of the reference's Hierarchical2D warp,
+    include/mitsuba/core/distr_2d.h:344)."""
+    type_id = EMITTER_ENVMAP
+    is_environment = True
+    delta = False
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.scale = props.get_float("scale", 1.0)
+        if props.has_property("filename"):
+            from ..io.bitmap import read_exr
+            filename = props.get_string("filename")
+            if filename.lower().endswith(".exr"):
+                ch = read_exr(filename)
+                names = ("R", "G", "B") if "R" in ch else tuple(sorted(ch))[:3]
+                img = np.stack([ch[n] for n in names], axis=-1)
+            else:
+                import imageio.v3 as iio
+                img = np.asarray(iio.imread(filename), np.float32)
+                if img.dtype == np.uint8 or img.max() > 64:
+                    img = img / 255.0
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                img = img[..., :3]
+            self.image = np.asarray(img, np.float32) * self.scale
+        else:
+            rad = _get_rgb(props, "radiance", [1.0, 1.0, 1.0])
+            self.image = np.tile(np.asarray(rad, np.float32)[None, None, :],
+                                 (2, 4, 1)) * self.scale
+        m = props.get_transform("to_world", np.eye(4))
+        self.to_world = m
+        # flattened pdf over texels: luminance * sin(theta)
+        h, w, _ = self.image.shape
+        lum = (0.2126 * self.image[..., 0] + 0.7152 * self.image[..., 1]
+               + 0.0722 * self.image[..., 2])
+        theta = (np.arange(h) + 0.5) / h * np.pi
+        weights = lum * np.sin(theta)[:, None]
+        total = weights.sum()
+        self.texel_pdf = (weights / max(total, 1e-20)).astype(np.float32)
+        self.texel_cdf = np.cumsum(self.texel_pdf.reshape(-1)).astype(
+            np.float32)
+
+    @property
+    def radiance(self):
+        return self.image.reshape(-1, 3).mean(axis=0)
+
+    def params_row(self):
+        p = np.zeros(N_EMITTER_PARAMS)
+        p[E_INTENSITY:E_INTENSITY + 3] = self.radiance
+        return p
+
+
+def envmap_eval(sa, d: Vec3):
+    """Environment radiance for directions (miss rays / NEE eval)."""
+    # to emitter space
+    m = sa.env_rot          # (9,) row-major inverse rotation
+    ex = m[0] * d.x + m[1] * d.y + m[2] * d.z
+    ey = m[3] * d.x + m[4] * d.y + m[5] * d.z
+    ez = m[6] * d.x + m[7] * d.y + m[8] * d.z
+    u = jnp.arctan2(ex, -ez) * (0.5 / np.pi)
+    u = jnp.where(u < 0.0, u + 1.0, u)
+    v = jnp.arccos(jnp.clip(ey, -1.0, 1.0)) * (1.0 / np.pi)
+    H, W = sa.env_shape
+    xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+    flat = yi * W + xi
+    return Vec3(sa.env_img_r[flat], sa.env_img_g[flat], sa.env_img_b[flat])
+
+
+def envmap_sample_direction(sa, ref_p: Vec3, s_x, s_y):
+    """Importance-sample the envmap via the flattened texel CDF; returns
+    (DirectionSample, spec=L/pdf)."""
+    H, W = sa.env_shape
+    n = ref_p.x.shape[0]
+    dtype = ref_p.x.dtype
+    idx = jnp.searchsorted(sa.env_cdf, s_x, side="right")
+    idx = jnp.clip(idx, 0, H * W - 1).astype(jnp.int32)
+    yi = idx // W
+    xi = idx - yi * W
+    # jitter within the texel using s_y split into two halves
+    ju = (s_y * 7919.0) % 1.0
+    jv = (s_y * 104729.0) % 1.0
+    u = (xi.astype(dtype) + ju) / W
+    v = (yi.astype(dtype) + jv) / H
+    theta = v * np.pi
+    phi = u * 2.0 * np.pi - np.pi
+    st = jnp.sin(theta)
+    # emitter space direction (inverse of uv mapping): x = sin(t)sin(p)...
+    ex = st * jnp.sin(phi)
+    ey = jnp.cos(theta)
+    ez = -st * jnp.cos(phi)
+    m = sa.env_rot_fwd
+    d = Vec3(m[0] * ex + m[1] * ey + m[2] * ez,
+             m[3] * ex + m[4] * ey + m[5] * ez,
+             m[6] * ex + m[7] * ey + m[8] * ez)
+    texel_pdf = sa.env_pdf[idx]
+    # solid-angle pdf: p(texel) * (W*H) / (2 pi^2 sin(theta))
+    pdf = texel_pdf * (W * H) / jnp.maximum(
+        2.0 * np.pi * np.pi * st, 1e-8)
+    L = Vec3(sa.env_img_r[idx], sa.env_img_g[idx], sa.env_img_b[idx])
+    w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
+    spec = L * w
+    radius = jnp.asarray(sa.bsphere_radius, dtype)
+    dist = jnp.full((n,), 2.0, dtype) * radius
+    ds = DirectionSample(ref_p + d * dist, -d, d, dist, pdf,
+                         jnp.zeros((n,), bool), jnp.zeros((n,), jnp.int32))
+    return ds, spec
+
+
+def envmap_pdf_direction(sa, d: Vec3):
+    m = sa.env_rot
+    ex = m[0] * d.x + m[1] * d.y + m[2] * d.z
+    ey = m[3] * d.x + m[4] * d.y + m[5] * d.z
+    ez = m[6] * d.x + m[7] * d.y + m[8] * d.z
+    u = jnp.arctan2(ex, -ez) * (0.5 / np.pi)
+    u = jnp.where(u < 0.0, u + 1.0, u)
+    v = jnp.arccos(jnp.clip(ey, -1.0, 1.0)) * (1.0 / np.pi)
+    H, W = sa.env_shape
+    xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+    flat = yi * W + xi
+    st = jnp.sin(v * np.pi)
+    return sa.env_pdf[flat] * (W * H) / jnp.maximum(
+        2.0 * np.pi * np.pi * st, 1e-8)

@@ -334,8 +334,11 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
                 em_val = Vec3.zeros((n,))
             if has_env:
                 miss_env = (~si.valid) & active
-                em_val = where3(miss_env, Vec3.full((n,), env_r, env_g, env_b),
-                                em_val)
+                if sa.env_kind == "envmap":
+                    env_val = em_mod.envmap_eval(sa, ray.d)
+                else:
+                    env_val = Vec3.full((n,), env_r, env_g, env_b)
+                em_val = where3(miss_env, env_val, em_val)
                 emit_mask = active & ((lane_emitter >= 0) | miss_env)
             else:
                 emit_mask = active & (lane_emitter >= 0)
@@ -352,6 +355,16 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
                                    em_mod.pdf_direction(sa, ds_hit))
             else:
                 em_pdf = jnp.zeros((n,), f32)
+            if has_env:
+                # MIS pdf for rays escaping to the environment (NEE can
+                # sample the env, so env hits must be MIS-weighted too)
+                if sa.env_kind == "envmap":
+                    env_pdf = em_mod.envmap_pdf_direction(sa, ray.d)
+                else:
+                    env_pdf = jnp.full((n,), 1.0 / (4.0 * np.pi), f32)
+                env_pdf = env_pdf * (1.0 / max(sa.n_emitters, 1))
+                em_pdf = jnp.where(miss_env & ~prev_bsdf_delta, env_pdf,
+                                   em_pdf)
             mis_bsdf = mis_weight(prev_bsdf_pdf, em_pdf)
             lw = weight_fn(ray.time, path_length)
             scale = jnp.where(emit_mask, mis_bsdf * lw, 0.0)

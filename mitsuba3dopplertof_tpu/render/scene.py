@@ -52,13 +52,15 @@ class SceneArrays:
            "tex_type", "tex_params", "tex_h",
            "tex_atlas_r", "tex_atlas_g", "tex_atlas_b",
            "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
+           "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
+           "env_rot", "env_rot_fwd",
            "bsphere_radius"]
     )
     META_FIELDS = [
         "n_static_tris", "n_anim_tris", "anim_ranges", "bsdf_types_present",
         "emitter_types_present", "n_emitters", "has_environment",
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
-        "n_spheres", "sphere_animated",
+        "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
     ]
 
     def __init__(self, **kw):
@@ -199,6 +201,26 @@ class Scene:
         env = self.environment()
         env_radiance = (np.asarray(env.radiance, np.float32)
                         if env is not None else np.zeros(3, np.float32))
+        env_kind = None
+        env_index = -1
+        env_img = np.zeros((1, 1, 3), np.float32)
+        env_pdf = np.ones(1, np.float32)
+        env_cdf = np.ones(1, np.float32)
+        env_rot = np.eye(3).reshape(-1)
+        env_rot_fwd = np.eye(3).reshape(-1)
+        if env is not None:
+            env_index = self.emitters.index(env)
+            from ..emitters import EnvmapEmitter
+            if isinstance(env, EnvmapEmitter):
+                env_kind = "envmap"
+                env_img = env.image
+                env_pdf = env.texel_pdf.reshape(-1)
+                env_cdf = env.texel_cdf
+                R = env.to_world[:3, :3]
+                env_rot_fwd = R.reshape(-1)
+                env_rot = np.linalg.inv(R).reshape(-1)
+            else:
+                env_kind = "constant"
 
         # --- instances & triangles -----------------------------------------
         inst_m0, inst_m1, inst_t0, inst_t1 = [], [], [], []
@@ -348,6 +370,13 @@ class Scene:
             sph_t0=jnp.asarray(sph_t0 if sph_t0 else [0.0], jnp.float32),
             sph_t1=jnp.asarray(sph_t1 if sph_t1 else [1.0], jnp.float32),
             sph_inst=jnp.asarray(sph_inst if sph_inst else [-1], jnp.int32),
+            env_img_r=jnp.asarray(env_img[..., 0].reshape(-1), jnp.float32),
+            env_img_g=jnp.asarray(env_img[..., 1].reshape(-1), jnp.float32),
+            env_img_b=jnp.asarray(env_img[..., 2].reshape(-1), jnp.float32),
+            env_pdf=jnp.asarray(env_pdf, jnp.float32),
+            env_cdf=jnp.asarray(env_cdf, jnp.float32),
+            env_rot=jnp.asarray(env_rot, jnp.float32),
+            env_rot_fwd=jnp.asarray(env_rot_fwd, jnp.float32),
             bsphere_radius=jnp.float32(radius),
             n_static_tris=n_static,
             n_anim_tris=n_anim,
@@ -362,6 +391,9 @@ class Scene:
             n_textures=len(tex_objs),
             n_spheres=len(sph_inst),
             sphere_animated=tuple(sphere_animated),
+            env_kind=env_kind,
+            env_shape=(int(env_img.shape[0]), int(env_img.shape[1])),
+            env_index=env_index,
             **kw,
         )
         return self._compiled

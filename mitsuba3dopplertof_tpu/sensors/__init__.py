@@ -253,3 +253,60 @@ def sample_ray_kind(params: SensorParams, lens, time, sx, sy, ap_x, ap_y):
     d = Vec3(m[2] * one, m[6] * one, m[10] * one)
     o = Vec3(m[3] * one, m[7] * one, m[11] * one)
     return Ray(o, d, time, jnp.full_like(sx, params.far_clip)), 1.0
+
+
+@register_plugin("sensor", "irradiancemeter")
+class IrradianceMeter(Sensor):
+    """reference src/sensors/irradiancemeter.cpp — measures irradiance over
+    an attached shape; v1 approximates with cosine-weighted rays from the
+    shape's to_world origin (full shape-surface sampling lands with mesh
+    area sampling)."""
+
+    def device_params(self) -> SensorParams:
+        m = tuple(float(self.to_world[i, j]) for i in range(3) for j in range(4))
+        return SensorParams(m=m, tan_half_x=0.0, tan_half_y=0.0,
+                            near_clip=0.0, far_clip=1e4, kind=4)
+
+
+@register_plugin("sensor", "distant")
+class DistantSensor(Sensor):
+    """reference src/sensors/distant.cpp — orthographic-like directional
+    sensor covering the scene from a direction."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        if props.has_property("direction"):
+            import numpy as np
+            d = np.asarray(props.get_vector("direction"))
+            d = d / np.linalg.norm(d)
+            # build a frame: to_world rotation columns (s, t, d)
+            s = np.cross([0, 1, 0] if abs(d[1]) < 0.9 else [1, 0, 0], d)
+            s = s / np.linalg.norm(s)
+            t = np.cross(d, s)
+            m = np.eye(4)
+            m[:3, 0], m[:3, 1], m[:3, 2] = s, t, d
+            self.to_world = m
+
+    def device_params(self) -> SensorParams:
+        m = tuple(float(self.to_world[i, j]) for i in range(3) for j in range(4))
+        return SensorParams(m=m, tan_half_x=1.0, tan_half_y=1.0,
+                            near_clip=0.0, far_clip=1e4, kind=2)
+
+
+@register_plugin("sensor", "batch")
+class BatchSensor(Sensor):
+    """reference src/sensors/batch.cpp — renders several nested sensors side
+    by side. v1: stores children; `sensors` property exposes them and the
+    first child drives device params."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.children = [v for _, v in props.objects() if isinstance(v, Sensor)]
+        if not self.children:
+            raise RuntimeError("batch: needs nested sensors")
+        first = self.children[0]
+        self.film = self.film or first.film
+        self.sampler = self.sampler or first.sampler
+
+    def device_params(self) -> SensorParams:
+        return self.children[0].device_params()

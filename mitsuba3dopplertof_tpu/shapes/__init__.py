@@ -303,3 +303,40 @@ class Instance(Shape):
 __all__ = ["Shape", "Mesh", "ShapeGroup", "Instance",
            "make_rectangle", "make_cube", "make_sphere", "make_disk",
            "make_cylinder"]
+
+
+@register_plugin("shape", "merge")
+class MergeShape(Shape):
+    """reference src/shapes/merge.cpp — merges child meshes that share a
+    BSDF into one mesh (an optimization pass in the reference; here children
+    are concatenated into a single triangle soup)."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        children = [v for _, v in props.objects() if isinstance(v, Shape)]
+        if not children:
+            raise RuntimeError("merge: requires child shapes")
+        verts, faces, base = [], [], 0
+        for ch in children:
+            if ch.mesh is None:
+                raise RuntimeError("merge: analytic children not supported")
+            m0 = (ch.to_world.static_matrix if not ch.to_world.animated
+                  else ch.to_world.matrices()[0])
+            v = ch.mesh.vertices @ m0[:3, :3].T + m0[:3, 3]
+            verts.append(v)
+            faces.append(ch.mesh.faces + base)
+            base += v.shape[0]
+        self.mesh = Mesh(np.concatenate(verts), np.concatenate(faces))
+        if children[0].bsdf is not None and self.bsdf is None:
+            self.bsdf = children[0].bsdf
+
+
+@register_plugin("shape", "blender")
+class BlenderShape(Shape):
+    """reference src/shapes/blender.cpp — zero-copy Blender mesh import.
+    Only meaningful inside a Blender process; raises a clear error here."""
+
+    def __init__(self, props: Properties):
+        raise RuntimeError(
+            "shape type 'blender' imports in-memory Blender meshes and is "
+            "only available inside Blender; export to PLY/OBJ instead")

@@ -23,7 +23,6 @@ def fresnel_dielectric(cos_theta_i, eta: float):
     abs_cos_i = jnp.abs(cos_theta_i)
     cos_theta_t = jnp.sqrt(jnp.maximum(cos_theta_t_sqr, 0.0))
 
-    index_matched = eta == 1.0
     tir = cos_theta_t_sqr <= 0.0
 
     a_s = (abs_cos_i - eta_it * cos_theta_t) / \
@@ -32,8 +31,7 @@ def fresnel_dielectric(cos_theta_i, eta: float):
           jnp.maximum(eta_it * abs_cos_i + cos_theta_t, 1e-20)
     F = 0.5 * (a_s * a_s + a_p * a_p)
     F = jnp.where(tir, 1.0, F)
-    if index_matched:
-        F = jnp.zeros_like(F)
+    F = jnp.where(jnp.asarray(eta) == 1.0, 0.0, F)
 
     cos_theta_t = jnp.where(cos_theta_i >= 0.0, -cos_theta_t, cos_theta_t)
     return F, cos_theta_t, eta_it, eta_ti

@@ -236,6 +236,47 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             ds = DirectionSample(pos, Vec3(z, z, z), dirn, dist,
                                  jnp.where(cos_a > cc, 1.0, 0.0),
                                  jnp.ones((n,), bool), index)
+        elif tid == EMITTER_AREA_MESH:
+            # triangle-CDF area sampling over the host mesh (static shapes;
+            # reference Mesh::sample_position, mesh.cpp build_pmf)
+            z = jnp.zeros((n,), dtype)
+            p = Vec3(z, z, z)
+            nrm = Vec3(z, z, z)
+            picked = jnp.zeros((n,), jnp.int32)
+            for (ei, start, cnt, cdf_off) in sa.mesh_em_meta:
+                cdf = sa.em_tri_cdf[cdf_off:cdf_off + cnt]
+                k = jnp.clip(jnp.searchsorted(cdf, s_x, side="right"),
+                             0, cnt - 1).astype(jnp.int32)
+                tri = start + k
+                mask = index == ei
+                picked = jnp.where(mask, tri, picked)
+            # sqrt warp for uniform barycentrics (re-uses s_x low bits + s_y)
+            su = jnp.sqrt(jnp.clip((s_x * 4096.0) % 1.0, 0.0, 1.0))
+            b0 = 1.0 - su
+            b1 = s_y * su
+            v0 = Vec3(sa.tri("s", "v0x")[picked], sa.tri("s", "v0y")[picked],
+                      sa.tri("s", "v0z")[picked])
+            e1 = Vec3(sa.tri("s", "e1x")[picked], sa.tri("s", "e1y")[picked],
+                      sa.tri("s", "e1z")[picked])
+            e2 = Vec3(sa.tri("s", "e2x")[picked], sa.tri("s", "e2y")[picked],
+                      sa.tri("s", "e2z")[picked])
+            p = v0 + e1 * b0 + e2 * b1
+            nrm = normalize(cross(e1, e2))
+            d = p - ref_p
+            dist2 = jnp.maximum(dot(d, d), 1e-20)
+            dist = jnp.sqrt(dist2)
+            dirn = d * (1.0 / dist)
+            area = param(E_AREA)
+            cos_theta = -dot(dirn, nrm)
+            pdf = jnp.where(jnp.abs(cos_theta) > 1e-6,
+                            dist2 / (jnp.abs(cos_theta) * area), 0.0)
+            # two-sided mesh emitters emit from the front only (area.cpp)
+            pdf = jnp.where(cos_theta > 0.0, pdf, 0.0)
+            w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
+            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
+                        param(E_INTENSITY + 2) * w)
+            ds = DirectionSample(p, nrm, dirn, dist, pdf,
+                                 jnp.zeros((n,), bool), index)
         elif tid == EMITTER_ENVMAP:
             ds, spec = envmap_sample_direction(sa, ref_p, s_x, s_y)
             ds = ds._replace(emitter=index)
@@ -297,6 +338,47 @@ def pdf_direction(sa, ds: DirectionSample):
                                    * jnp.maximum(area, 1e-20)), 0.0)
         elif tid == EMITTER_CONSTANT:
             p = jnp.full(ds.dist.shape, 1.0 / (4.0 * np.pi), ds.dist.dtype)
+        elif tid == EMITTER_AREA_MESH:
+            # triangle-CDF area sampling over the host mesh (static shapes;
+            # reference Mesh::sample_position, mesh.cpp build_pmf)
+            z = jnp.zeros((n,), dtype)
+            p = Vec3(z, z, z)
+            nrm = Vec3(z, z, z)
+            picked = jnp.zeros((n,), jnp.int32)
+            for (ei, start, cnt, cdf_off) in sa.mesh_em_meta:
+                cdf = sa.em_tri_cdf[cdf_off:cdf_off + cnt]
+                k = jnp.clip(jnp.searchsorted(cdf, s_x, side="right"),
+                             0, cnt - 1).astype(jnp.int32)
+                tri = start + k
+                mask = index == ei
+                picked = jnp.where(mask, tri, picked)
+            # sqrt warp for uniform barycentrics (re-uses s_x low bits + s_y)
+            su = jnp.sqrt(jnp.clip((s_x * 4096.0) % 1.0, 0.0, 1.0))
+            b0 = 1.0 - su
+            b1 = s_y * su
+            v0 = Vec3(sa.tri("s", "v0x")[picked], sa.tri("s", "v0y")[picked],
+                      sa.tri("s", "v0z")[picked])
+            e1 = Vec3(sa.tri("s", "e1x")[picked], sa.tri("s", "e1y")[picked],
+                      sa.tri("s", "e1z")[picked])
+            e2 = Vec3(sa.tri("s", "e2x")[picked], sa.tri("s", "e2y")[picked],
+                      sa.tri("s", "e2z")[picked])
+            p = v0 + e1 * b0 + e2 * b1
+            nrm = normalize(cross(e1, e2))
+            d = p - ref_p
+            dist2 = jnp.maximum(dot(d, d), 1e-20)
+            dist = jnp.sqrt(dist2)
+            dirn = d * (1.0 / dist)
+            area = param(E_AREA)
+            cos_theta = -dot(dirn, nrm)
+            pdf = jnp.where(jnp.abs(cos_theta) > 1e-6,
+                            dist2 / (jnp.abs(cos_theta) * area), 0.0)
+            # two-sided mesh emitters emit from the front only (area.cpp)
+            pdf = jnp.where(cos_theta > 0.0, pdf, 0.0)
+            w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
+            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
+                        param(E_INTENSITY + 2) * w)
+            ds = DirectionSample(p, nrm, dirn, dist, pdf,
+                                 jnp.zeros((n,), bool), index)
         elif tid == EMITTER_ENVMAP:
             p = envmap_pdf_direction(sa, ds.d)
         else:  # delta emitters

@@ -363,7 +363,8 @@ def scene_tables(sa):
     return tri_table, inst_table, sph_table
 
 
-def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
+def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS,
+         skip_static: bool = False):
     n = ray.o.x.shape[0]
     blk = rows_per_block * LANES
     n_pad = -(-n // blk) * blk
@@ -376,8 +377,16 @@ def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
             [x, jnp.full((n_pad - n,), fill, x.dtype)], axis=0)
 
     tri_table, inst_table, sph_table = scene_tables(sa)
+    n_static = sa.n_static_tris
+    if skip_static:
+        # dynamic-only pass: animated triangles + spheres (static handled by
+        # the streamed kernel); slots are re-based by the caller
+        tri_table = tri_table[n_static:]
+        if tri_table.shape[0] == 0:
+            tri_table = jnp.zeros((1, TRI_REC), jnp.float32)
+        n_static = 0
     interpret = jax.default_backend() == "cpu"
-    fn = _compiled(sa.n_static_tris, tuple(sa.anim_ranges), any_hit, n_rows,
+    fn = _compiled(n_static, tuple(sa.anim_ranges), any_hit, n_rows,
                    min(rows_per_block, n_rows), interpret,
                    sa.n_spheres, tuple(sa.sphere_animated))
 
@@ -391,13 +400,45 @@ def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS):
     return [o.reshape(-1)[:n] for o in outs]
 
 
+# above this static-triangle count, the unrolled kernel's compile time gets
+# impractical: stream static geometry and merge with a dynamic-only pass
+STREAM_THRESHOLD = 192
+
+
 def intersect_pallas(sa, ray) -> HitRecord:
-    return HitRecord(*_run(sa, ray, any_hit=False))
+    if sa.n_static_tris <= STREAM_THRESHOLD:
+        return HitRecord(*_run(sa, ray, any_hit=False))
+    from .intersect_stream import intersect_static_stream
+    tri_table, _, _ = scene_tables(sa)
+    outs = intersect_static_stream(tri_table[:sa.n_static_tris],
+                                   sa.n_static_tris, ray)
+    hit_s = HitRecord(*outs)
+    if sa.n_anim_tris == 0 and sa.n_spheres == 0:
+        return hit_s
+    hit_d = HitRecord(*_run(sa, ray, any_hit=False, skip_static=True))
+    # re-base dynamic triangle slots (spheres already use _SPH_SLOT_BASE)
+    dyn_prim = jnp.where((hit_d.prim >= 0) & (hit_d.prim < _SPH_SLOT_BASE),
+                         hit_d.prim + sa.n_static_tris, hit_d.prim)
+    take_d = hit_d.t < hit_s.t
+    merged = [jnp.where(take_d, d, s_) for d, s_ in
+              zip(hit_d._replace(prim=dyn_prim), hit_s)]
+    return HitRecord(*merged)
 
 
 def ray_test_pallas(sa, ray):
-    (occ,) = _run(sa, ray, any_hit=True)
-    return occ > 0
+    if sa.n_static_tris <= STREAM_THRESHOLD:
+        (occ,) = _run(sa, ray, any_hit=True)
+        return occ > 0
+    from .intersect_stream import intersect_static_stream
+    tri_table, _, _ = scene_tables(sa)
+    t_s, prim_s = intersect_static_stream(tri_table[:sa.n_static_tris],
+                                          sa.n_static_tris, ray,
+                                          any_hit=True)
+    occ = prim_s >= 0
+    if sa.n_anim_tris > 0 or sa.n_spheres > 0:
+        (occ_d,) = _run(sa, ray, any_hit=True, skip_static=True)
+        occ = occ | (occ_d > 0)
+    return occ
 
 
 __all__ = ["intersect_pallas", "ray_test_pallas", "HitRecord",

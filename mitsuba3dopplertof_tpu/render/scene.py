@@ -53,7 +53,7 @@ class SceneArrays:
            "tex_atlas_r", "tex_atlas_g", "tex_atlas_b",
            "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
-           "env_rot", "env_rot_fwd",
+           "env_rot", "env_rot_fwd", "em_tri_cdf",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -61,6 +61,7 @@ class SceneArrays:
         "emitter_types_present", "n_emitters", "has_environment",
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
+        "mesh_em_meta",
     ]
 
     def __init__(self, **kw):
@@ -180,16 +181,24 @@ class Scene:
                        if bsdf_objs else np.zeros((N_BSDF_PARAMS, 0)))
 
         # --- emitter table ------------------------------------------------
+        from ..emitters import EMITTER_AREA_RECT, EMITTER_AREA_MESH
+        from ..shapes import RectangleShape
         emitter_rows, emitter_types, emitter_mats = [], [], []
-        for em in self.emitters:
+        mesh_emitter_shapes = {}     # emitter idx -> shape (CDF built later)
+        for ei, em in enumerate(self.emitters):
             row = em.params_row()
             mat = np.eye(4)
+            etype = em.type_id
             if em.shape is not None:
                 m0, _, _, _ = em.shape.to_world.matrices()
                 mat = m0
                 row[E_AREA] = float(np.sum(em.shape.mesh.surface_areas(m0)))
+                if (etype == EMITTER_AREA_RECT
+                        and not isinstance(em.shape, RectangleShape)):
+                    etype = EMITTER_AREA_MESH
+                    mesh_emitter_shapes[ei] = em.shape
             emitter_rows.append(row)
-            emitter_types.append(em.type_id)
+            emitter_types.append(etype)
             emitter_mats.append(mat[:3, :4].reshape(-1))
         n_emitters = len(self.emitters)
         emitter_params = (np.stack(emitter_rows).T if emitter_rows
@@ -232,6 +241,7 @@ class Scene:
 
         sph_m0, sph_m1, sph_t0, sph_t1, sph_inst = [], [], [], [], []
         sphere_animated = []
+        static_ranges = {}           # instance -> (tri start, count)
 
         for ii, sh in enumerate(self.shapes):
             m0, m1, t0, t1 = sh.to_world.matrices()
@@ -273,6 +283,8 @@ class Scene:
                 cols = s_cols
                 vv = v @ m0[:3, :3].T + m0[:3, 3]
                 all_pts.append(vv)
+                static_ranges[ii] = (sum(a.shape[0] for a in s_cols["inst"]),
+                                     nt)
 
             p0 = vv[f[:, 0]]
             p1 = vv[f[:, 1]]
@@ -336,6 +348,25 @@ class Scene:
         s, n_static = pack(s_cols)
         a, n_anim = pack(a_cols)
 
+        # mesh-area-emitter triangle CDFs (static shapes only)
+        mesh_em_meta = []            # (emitter_idx, tri_start, count, cdf_off)
+        cdf_parts = []
+        cdf_off = 0
+        for ei, shp in mesh_emitter_shapes.items():
+            ii = self.shapes.index(shp)
+            if shp.to_world.animated or ii not in static_ranges:
+                raise RuntimeError(
+                    "area emitters on animated shapes are not supported yet")
+            start, cnt = static_ranges[ii]
+            m0 = shp.to_world.matrices()[0]
+            areas = shp.mesh.surface_areas(m0)
+            cdf = np.cumsum(areas / max(areas.sum(), 1e-20)).astype(np.float32)
+            mesh_em_meta.append((ei, start, cnt, cdf_off))
+            cdf_parts.append(cdf)
+            cdf_off += cnt
+        em_tri_cdf = (np.concatenate(cdf_parts) if cdf_parts
+                      else np.ones(1, np.float32))
+
         pts = np.concatenate(all_pts, axis=0) if all_pts else np.zeros((1, 3))
         center = 0.5 * (pts.min(0) + pts.max(0))
         radius = float(np.linalg.norm(pts - center, axis=-1).max()) + 1e-3
@@ -377,6 +408,7 @@ class Scene:
             env_cdf=jnp.asarray(env_cdf, jnp.float32),
             env_rot=jnp.asarray(env_rot, jnp.float32),
             env_rot_fwd=jnp.asarray(env_rot_fwd, jnp.float32),
+            em_tri_cdf=jnp.asarray(em_tri_cdf, jnp.float32),
             bsphere_radius=jnp.float32(radius),
             n_static_tris=n_static,
             n_anim_tris=n_anim,
@@ -394,6 +426,7 @@ class Scene:
             env_kind=env_kind,
             env_shape=(int(env_img.shape[0]), int(env_img.shape[1])),
             env_index=env_index,
+            mesh_em_meta=tuple(mesh_em_meta),
             **kw,
         )
         return self._compiled

@@ -200,8 +200,14 @@ def _null_eval_pdf_sample(param, wi: Vec3, wo_nee: Vec3, s1, s2x, s2y):
     z = jnp.zeros_like(wi.z)
     ones = jnp.ones_like(wi.z)
     true_ = ones > 0.0
+    # transmittance tint (0 row = plain null; polarizer/retarder set P_REFL)
+    tx = param(P_REFL)
+    ty = param(P_REFL + 1)
+    tz = param(P_REFL + 2)
+    w = Vec3(jnp.where(tx > 0.0, tx, 1.0), jnp.where(ty > 0.0, ty, 1.0),
+             jnp.where(tz > 0.0, tz, 1.0))
     return BSDFSampleResult(
-        Vec3(z, z, z), z, -wi, Vec3(ones, ones, ones), ones,
+        Vec3(z, z, z), z, -wi, w, ones,
         ones, true_, true_)
 
 
@@ -209,6 +215,25 @@ _DISPATCH = {
     BSDF_DIFFUSE: _diffuse_eval_pdf_sample,
     BSDF_NULL: _null_eval_pdf_sample,
 }
+
+
+def remap_wrapper_rows(sa, lane_bsdf, s1):
+    """mask/blendbsdf lanes stochastically remap to a nested row; rescales
+    and returns the lobe-selection sample for the nested BSDF."""
+    from ..render.scene import gather_small
+    lane_type = gather_small(sa.bsdf_type, lane_bsdf)
+    is_wrap = (lane_type == BSDF_MASK) | (lane_type == BSDF_BLEND)
+    mix = gather_small(sa.bsdf_params[P_MIX], lane_bsdf)
+    n0 = gather_small(sa.bsdf_params[P_NESTED0], lane_bsdf).astype(jnp.int32)
+    n1 = gather_small(sa.bsdf_params[P_NESTED1], lane_bsdf).astype(jnp.int32)
+    pick1 = s1 < mix
+    remapped = jnp.where(pick1, n1, n0)
+    new_bsdf = jnp.where(is_wrap, remapped, lane_bsdf)
+    # rescale the selection sample for the nested lobe choice
+    s1_re = jnp.where(pick1, s1 / jnp.maximum(mix, 1e-8),
+                      (s1 - mix) / jnp.maximum(1.0 - mix, 1e-8))
+    new_s1 = jnp.where(is_wrap, jnp.clip(s1_re, 0.0, 0.999999), s1)
+    return new_bsdf, new_s1
 
 
 def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
@@ -219,6 +244,9 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
     the TPU equivalent of the reference's vcall over the BSDFPtr registry.
     """
     from ..render.scene import gather_small
+    if BSDF_MASK in sa.bsdf_types_present or BSDF_BLEND in sa.bsdf_types_present:
+        lane_bsdf, s1 = remap_wrapper_rows(sa, lane_bsdf, s1)
+
     lane_type = gather_small(sa.bsdf_type, lane_bsdf)
 
     def param(j):
@@ -226,6 +254,8 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
 
     result = None
     for tid in sa.bsdf_types_present:
+        if tid in (BSDF_MASK, BSDF_BLEND):
+            continue      # remapped above; no lanes carry these types now
         fn = _DISPATCH.get(int(tid))
         if fn is None:
             raise NotImplementedError(f"BSDF type id {tid} not implemented")
@@ -823,3 +853,139 @@ def _roughdielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
 
 _DISPATCH[BSDF_ROUGHPLASTIC] = _roughplastic_eval_pdf_sample
 _DISPATCH[BSDF_ROUGHDIELECTRIC] = _roughdielectric_eval_pdf_sample
+
+
+# ---------------------------------------------------------------------------
+# Wrapper BSDFs: mask / blendbsdf dispatch by stochastic row remapping —
+# before type dispatch, wrapped lanes remap their bsdf row to one of the
+# nested rows with the appropriate probability (selection is independent of
+# wo, so the estimator stays unbiased; the TPU analog of the reference's
+# nested vcall, src/bsdfs/{mask,blendbsdf}.cpp).
+# ---------------------------------------------------------------------------
+
+P_NESTED0 = 4      # wrapper rows: nested row indices + mix weight
+P_NESTED1 = 5
+P_MIX = 6
+
+
+@register_plugin("bsdf", "mask")
+class Mask(BSDF):
+    """Opacity mask (reference src/bsdfs/mask.cpp): with prob. opacity act
+    as the nested BSDF, else pass through (null)."""
+    type_id = BSDF_MASK
+    flags = FLAG_SMOOTH | FLAG_NULL | FLAG_DELTA
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.nested_bsdf = None
+        for key, v in props.objects():
+            if isinstance(v, BSDF):
+                self.nested_bsdf = v
+        if self.nested_bsdf is None:
+            raise RuntimeError("mask: requires a nested BSDF")
+        op = props.get("opacity", 0.5)
+        if isinstance(op, dict):
+            op = float(np.mean(op.get("value")))
+        from ..textures import Texture
+        if isinstance(op, Texture):
+            op = float(np.mean(op.mean_rgb()))
+        self.opacity = float(op)
+        self.flags = self.nested_bsdf.flags | FLAG_NULL | FLAG_DELTA
+        self.nested_index = -1      # filled at compile
+        self.null_index = -1
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_NESTED0] = float(self.nested_index)
+        p[P_NESTED1] = float(self.null_index)
+        p[P_MIX] = 1.0 - self.opacity    # prob of choosing row1 (null)
+        return p
+
+
+@register_plugin("bsdf", "blendbsdf")
+class BlendBSDF(BSDF):
+    """Blend of two BSDFs (reference src/bsdfs/blendbsdf.cpp)."""
+    type_id = BSDF_BLEND
+    flags = FLAG_SMOOTH
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        nested = [v for _, v in props.objects() if isinstance(v, BSDF)]
+        if len(nested) != 2:
+            raise RuntimeError("blendbsdf: requires exactly two nested BSDFs")
+        self.nested = nested
+        w = props.get("weight", 0.5)
+        if isinstance(w, dict):
+            w = float(np.mean(w.get("value")))
+        from ..textures import Texture
+        if isinstance(w, Texture):
+            w = float(np.mean(w.mean_rgb()))
+        self.weight = float(w)
+        self.flags = nested[0].flags | nested[1].flags
+        self.nested_indices = (-1, -1)
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_NESTED0] = float(self.nested_indices[0])
+        p[P_NESTED1] = float(self.nested_indices[1])
+        p[P_MIX] = self.weight      # prob of choosing row1
+        return p
+
+
+@register_plugin("bsdf", "pplastic")
+class PPlastic(Plastic):
+    """Polarized plastic (reference src/bsdfs/pplastic.cpp); identical to
+    plastic in the unpolarized RGB variant."""
+
+
+@register_plugin("bsdf", "polarizer")
+class Polarizer(Null):
+    """Linear polarizer (reference src/bsdfs/polarizer.cpp). Unpolarized
+    variant: delta transmission attenuated by the Malus average 0.5."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        props.mark_queried("theta")
+        self.transmittance = 0.5
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_REFL:P_REFL + 3] = self.transmittance
+        return p
+
+
+@register_plugin("bsdf", "retarder")
+class Retarder(Null):
+    """Wave retarder (reference src/bsdfs/retarder.cpp); identity on
+    intensity in the unpolarized variant."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        props.mark_queried("theta")
+        props.mark_queried("delta")
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_REFL:P_REFL + 3] = 1.0
+        return p
+
+
+@register_plugin("bsdf", "circular")
+class CircularPolarizer(Polarizer):
+    """Circular polarizer (reference src/bsdfs/circular.cpp)."""
+
+
+@register_plugin("bsdf", "measured")
+class Measured(BSDF):
+    """Data-driven BRDF (reference src/bsdfs/measured.cpp). The RGL .bsdf
+    tensor format needs the spectral variant; lands with it."""
+
+    def __init__(self, props: Properties):
+        raise NotImplementedError(
+            "bsdf 'measured': the RGL tensor-file BRDF requires the spectral "
+            "variant (planned); use an analytic BSDF meanwhile")
+
+
+@register_plugin("bsdf", "measured_polarized")
+class MeasuredPolarized(Measured):
+    pass

@@ -1,0 +1,244 @@
+"""Volumetric path tracer (reference src/integrators/volpath.cpp,
+volpathmis.cpp).
+
+v1 scope: homogeneous media (attached to shape interiors or the sensor as
+global fog) with isotropic/HG phase functions, distance sampling by the
+channel-mean extinction with exact rgb transmittance reweighting, NEE from
+medium and surface vertices, and medium transitions at transmissive
+boundaries. Shadow-segment transmittance uses the current vertex's medium
+(exact for global fog / enclosed lights; the general segmented case lands
+with heterogeneous media).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.properties import Properties, register_plugin
+from ..core.vec import Vec3, dot, where3, vmax
+from ..render.scene import ray_intersect, ray_test, gather_small
+from ..render.types import Ray, DirectionSample
+from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
+from .. import emitters as em_mod
+from ..media import (hg_sample, hg_eval, M_SIGMA_T, M_ALBEDO, M_G)
+from . import MonteCarloIntegrator, mis_weight
+
+
+@register_plugin("integrator", "volpath")
+class VolPathIntegrator(MonteCarloIntegrator):
+    """Homogeneous-media volumetric path tracing with NEE + MIS."""
+
+    def sample(self, sa, sampler, state, ray, active):
+        return _volpath_loop(self, sa, sampler, state, ray, active)
+
+
+@register_plugin("integrator", "volpathmis")
+class VolPathMISIntegrator(VolPathIntegrator):
+    """reference volpathmis.cpp — the spectral-MIS variant; in the RGB
+    homogeneous case the estimator coincides with volpath."""
+
+
+def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
+    n = ray.o.x.shape[0]
+    f32 = jnp.float32
+
+    throughput = Vec3.ones((n,))
+    result = Vec3.zeros((n,))
+    eta = jnp.ones((n,), f32)
+    depth = jnp.zeros((n,), jnp.uint32)
+    has_env = sa.has_environment and not integrator.hide_emitters
+    valid_ray = jnp.full((n,), bool(has_env))
+    env_r, env_g, env_b = sa.env_radiance
+
+    medium = jnp.full((n,), sa.sensor_medium, jnp.int32)
+    prev_p = ray.o
+    prev_pdf = jnp.ones((n,), f32)      # bsdf OR phase pdf of prev direction
+    prev_delta = jnp.ones((n,), bool)
+    active = jnp.asarray(active)
+
+    bsdf_flags = jnp.asarray(np.asarray(sa.bsdf_flags_host, np.int32))
+
+    def med(j, med_id):
+        return gather_small(sa.med_params[j], jnp.maximum(med_id, 0))
+
+    for it in range(integrator.loop_iterations):
+        si = ray_intersect(sa, ray, active)
+
+        # ---------------- medium distance sampling --------------------
+        in_med = (medium >= 0) & active
+        st_r = med(M_SIGMA_T, medium)
+        st_g = med(M_SIGMA_T + 1, medium)
+        st_b = med(M_SIGMA_T + 2, medium)
+        st_mean = jnp.maximum((st_r + st_g + st_b) / 3.0, 1e-8)
+        u, state = sampler.next_1d(state, active)
+        t_med = -jnp.log(jnp.maximum(1.0 - u, 1e-20)) / st_mean
+        t_surf = si.t
+        hit_med = in_med & (t_med < t_surf)
+        t_trav = jnp.where(in_med, jnp.minimum(t_med, t_surf), t_surf)
+        t_fin = jnp.where(jnp.isfinite(t_trav), t_trav, 0.0)
+
+        # transmittance / pdf reweighting (exp sampling by mean sigma_t)
+        tr = Vec3(jnp.exp(-st_r * t_fin), jnp.exp(-st_g * t_fin),
+                  jnp.exp(-st_b * t_fin))
+        pdf_dist = jnp.where(hit_med,
+                             st_mean * jnp.exp(-st_mean * t_fin),
+                             jnp.exp(-st_mean * t_fin))
+        w_med = where3(in_med, tr * (1.0 / jnp.maximum(pdf_dist, 1e-20)),
+                       Vec3.ones((n,)))
+        # scattering coefficient at medium events
+        al_r = med(M_ALBEDO, medium)
+        al_g = med(M_ALBEDO + 1, medium)
+        al_b = med(M_ALBEDO + 2, medium)
+        sig_s = Vec3(st_r * al_r, st_g * al_g, st_b * al_b)
+        w_med = where3(hit_med, w_med * sig_s, w_med)
+        throughput = throughput * w_med
+
+        # ---------------- emission on surface hits / env --------------
+        surf_evt = active & ~hit_med & si.valid
+        lane_emitter = jnp.where(surf_evt,
+                                 gather_small(sa.inst_emitter,
+                                              jnp.maximum(si.inst, 0)), -1)
+        any_emission = (sa.n_emitters > 0) or has_env
+        if any_emission:
+            if sa.n_emitters > 0:
+                em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
+                                                 lane_emitter)
+            else:
+                em_val = Vec3.zeros((n,))
+            miss_env = (~si.valid) & active & ~hit_med
+            if has_env:
+                if sa.env_kind == "envmap":
+                    env_val = em_mod.envmap_eval(sa, ray.d)
+                else:
+                    env_val = Vec3.full((n,), env_r, env_g, env_b)
+                em_val = where3(miss_env, env_val, em_val)
+                emit_mask = (lane_emitter >= 0) | miss_env
+            else:
+                emit_mask = lane_emitter >= 0
+
+            d_seg = si.p - prev_p
+            dist = jnp.sqrt(jnp.maximum(dot(d_seg, d_seg), 1e-20))
+            ds_hit = DirectionSample(
+                p=si.p, n=si.sh_n, d=d_seg * (1.0 / dist), dist=dist,
+                pdf=jnp.zeros((n,), f32), delta=jnp.zeros((n,), bool),
+                emitter=lane_emitter)
+            em_pdf = (jnp.where(prev_delta, 0.0,
+                                em_mod.pdf_direction(sa, ds_hit))
+                      if sa.n_emitters > 0 else jnp.zeros((n,), f32))
+            mis_b = mis_weight(prev_pdf, em_pdf)
+            scale = jnp.where(emit_mask, mis_b, 0.0)
+            result = result + throughput * em_val * scale
+
+        active_next = ((depth + 1) < jnp.uint32(
+            min(integrator.max_depth, 2 ** 31 - 1))) & active & (
+            hit_med | si.valid)
+
+        # interaction point (medium or surface)
+        p_evt = where3(hit_med, ray.o + ray.d * t_fin, si.p)
+
+        # ---------------- NEE from medium or surface ------------------
+        nee, state = sampler.next_2d(state, active)
+        if sa.n_emitters > 0:
+            ds, em_weight = em_mod.sample_direction(sa, p_evt, ray.time,
+                                                    nee[0], nee[1])
+            lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
+            smooth = (gather_small(bsdf_flags, lane_bsdf) & FLAG_SMOOTH) != 0
+            active_em = active_next & (ds.pdf != 0.0) & (
+                hit_med | (si.valid & smooth))
+            # occlusion from the event point
+            from ..render.types import SHADOW_EPSILON
+            sh_o = where3(hit_med, p_evt, si._offset_p(ds.p - si.p))
+            sh_d = ds.p - sh_o
+            sh_dist = jnp.sqrt(jnp.maximum(dot(sh_d, sh_d), 1e-20))
+            sh_dn = sh_d * (1.0 / sh_dist)
+            shadow_ray = Ray(sh_o, sh_dn, ray.time,
+                             sh_dist * (1.0 - SHADOW_EPSILON))
+            occluded = ray_test(sa, shadow_ray, active_em)
+            # transmittance along the shadow segment (current medium)
+            tr_sh = Vec3(jnp.exp(-st_r * ds.dist), jnp.exp(-st_g * ds.dist),
+                         jnp.exp(-st_b * ds.dist))
+            tr_sh = where3(in_med, tr_sh, Vec3.ones((n,)))
+            nee_ok = active_em & ~occluded
+            em_weight = em_weight * tr_sh
+        else:
+            z = jnp.zeros((n,), f32)
+            ds = DirectionSample(Vec3(z, z, z), Vec3(z, z, z), Vec3(z, z, z),
+                                 z, z, z > 1.0, jnp.full((n,), -1, jnp.int32))
+            em_weight = Vec3(z, z, z)
+            nee_ok = jnp.zeros((n,), bool)
+            lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
+
+        # ---------------- next direction: phase or BSDF ---------------
+        s1, state = sampler.next_1d(state, active)
+        s2, state = sampler.next_2d(state, active)
+
+        g = med(M_G, medium)
+        wo_phase, pdf_phase = hg_sample(si.to_local(ray.d) * 0.0 + Vec3(
+            -ray.d.x, -ray.d.y, -ray.d.z), g, s2[0], s2[1])
+        # NEE phase eval: HG around propagation dir; cos between d and ds.d
+        cos_nee = dot(ray.d, ds.d)
+        phase_nee = hg_eval(cos_nee, g)
+
+        wo_nee = si.to_local(ds.d)
+        bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
+                                  s1, s2[0], s2[1])
+
+        # NEE contribution (medium: phase; surface: bsdf)
+        if sa.n_emitters > 0:
+            val = where3(hit_med, Vec3(phase_nee, phase_nee, phase_nee),
+                         bs.val_nee)
+            pdf_fwd = jnp.where(hit_med, phase_nee, bs.pdf_nee)
+            mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_fwd))
+            scale = jnp.where(nee_ok, mis_em, 0.0)
+            result = result + throughput * val * em_weight * scale
+
+        # next ray
+        wo_world_surf = si.to_world(bs.wo)
+        d_next = where3(hit_med, wo_phase, wo_world_surf)
+        new_surf_ray = si.spawn_ray(wo_world_surf)
+        o_next = where3(hit_med, p_evt, new_surf_ray.o)
+
+        throughput = where3(active_next & ~hit_med, throughput * bs.weight,
+                            throughput)
+        eta = eta * jnp.where(active_next & ~hit_med, bs.eta, 1.0)
+        valid_ray = valid_ray | (active & (hit_med | si.valid))
+
+        # medium transitions at transmissive surface events
+        crossed = surf_evt & (dot(wo_world_surf, si.n) < 0.0)
+        exited = surf_evt & (dot(wo_world_surf, si.n) >= 0.0) & (si.wi.z > 0.0)
+        inst_med = gather_small(sa.inst_int_medium, jnp.maximum(si.inst, 0))
+        medium = jnp.where(active_next & crossed, inst_med, medium)
+        medium = jnp.where(active_next & exited & (medium == inst_med)
+                           & (inst_med >= 0),
+                           jnp.int32(sa.sensor_medium), medium)
+
+        prev_p = where3(hit_med | si.valid, p_evt, prev_p)
+        prev_pdf = jnp.where(active_next,
+                             jnp.where(hit_med, pdf_phase, bs.pdf), prev_pdf)
+        prev_delta = jnp.where(active_next,
+                               jnp.where(hit_med, False, bs.sampled_delta),
+                               prev_delta)
+        depth = depth + jnp.where((hit_med | si.valid) & active, 1, 0
+                                  ).astype(jnp.uint32)
+
+        # russian roulette
+        tmax = vmax(throughput)
+        rr_prob = jnp.minimum(tmax * eta * eta, 0.95)
+        rr_active = depth >= jnp.uint32(integrator.rr_depth)
+        rr_draw, state = sampler.next_1d(state, active)
+        rr_continue = rr_draw < rr_prob
+        throughput = throughput * jnp.where(
+            rr_active, 1.0 / jnp.maximum(rr_prob, 1e-8), 1.0)
+        active = active_next & (~rr_active | rr_continue) & (tmax != 0.0)
+
+        ray = Ray(where3(active_next, o_next, ray.o),
+                  where3(active_next, d_next, ray.d),
+                  ray.time, jnp.full((n,), jnp.inf, f32))
+
+    spec = where3(valid_ray, result, Vec3.zeros((n,)))
+    return spec, valid_ray, state
+
+
+__all__ = ["VolPathIntegrator", "VolPathMISIntegrator"]

@@ -127,14 +127,33 @@ class Scene:
         # --- BSDF table (deduplicated by identity) -----------------------
         bsdf_objs: List[Any] = []
         bsdf_index: Dict[int, int] = {}
+
+        def add_bsdf(b):
+            if id(b) not in bsdf_index:
+                bsdf_index[id(b)] = len(bsdf_objs)
+                bsdf_objs.append(b)
+            return bsdf_index[id(b)]
+
         for sh in self.shapes:
             b = sh.bsdf
             if b is None:
                 b = Diffuse(Properties("diffuse"))
                 sh.bsdf = b
-            if id(b) not in bsdf_index:
-                bsdf_index[id(b)] = len(bsdf_objs)
-                bsdf_objs.append(b)
+            add_bsdf(b)
+
+        # expand wrappers: nested rows must exist in the table; mask also
+        # needs a shared plain-null row
+        from ..bsdfs import Mask as _Mask, BlendBSDF as _Blend, Null as _Null
+        null_row = None
+        for b in list(bsdf_objs):
+            if isinstance(b, _Mask):
+                b.nested_index = add_bsdf(b.nested_bsdf)
+                if null_row is None:
+                    null_row = add_bsdf(_Null(Properties("null")))
+                b.null_index = null_row
+            elif isinstance(b, _Blend):
+                b.nested_indices = (add_bsdf(b.nested[0]),
+                                    add_bsdf(b.nested[1]))
         # --- texture table + bitmap atlas --------------------------------
         from ..textures import N_TEX_PARAMS, T_ATLAS, TEX_BITMAP
         tex_objs = []

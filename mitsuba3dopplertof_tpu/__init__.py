@@ -30,6 +30,8 @@ from . import samplers as _samplers        # noqa: F401
 from . import integrators as _integrators  # noqa: F401
 from . import textures as _textures        # noqa: F401
 from . import spectra as _spectra          # noqa: F401
+from . import media as _media              # noqa: F401
+from . import volumes as _volumes          # noqa: F401
 
 from .io.dict_loader import load_dict
 from .io.xml import xml_to_dict

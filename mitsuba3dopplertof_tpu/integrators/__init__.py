@@ -315,7 +315,9 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
 
     any_emission = (sa.n_emitters > 0) or has_env
 
-    for it in range(integrator.loop_iterations):
+    def bounce(_, carry):
+        (state, ray, throughput, result, path_length, eta, depth, valid_ray,
+         prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
         correlate = (depth + 1) < pcd
 
         si = ray_intersect(sa, ray, active)
@@ -448,6 +450,17 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         ray = Ray(where3(active_next, new_ray.o, ray.o),
                   where3(active_next, wo_world, ray.d),
                   ray.time, new_ray.maxt)
+        return (state, ray, throughput, result, path_length, eta, depth,
+                valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta, active)
+
+    # device loop: one compiled bounce body (the XLA analog of the
+    # reference's recorded dr::Loop megakernel, dopplertofpath.cpp:121-128
+    # with set_max_iterations) — compile time stays O(1) in max_depth
+    carry = (state, ray, throughput, result, path_length, eta, depth,
+             valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta, active)
+    carry = jax.lax.fori_loop(0, integrator.loop_iterations, bounce, carry)
+    (state, ray, throughput, result, path_length, eta, depth, valid_ray,
+     prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
 
     spec = where3(valid_ray, result, Vec3.zeros((n,)))
     return spec, valid_ray, state
@@ -552,6 +565,7 @@ class DepthIntegrator(SamplingIntegrator):
 
 
 from . import extras  # noqa: E402,F401  (registers direct/aov/moment)
+from . import volpath as _volpath  # noqa: E402,F401  (registers volpath/volpathmis)
 
 __all__ = [
     "Integrator", "SamplingIntegrator", "MonteCarloIntegrator",

@@ -63,7 +63,9 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
     def med(j, med_id):
         return gather_small(sa.med_params[j], jnp.maximum(med_id, 0))
 
-    for it in range(integrator.loop_iterations):
+    def bounce(_, carry):
+        (state, ray, throughput, result, eta, depth, valid_ray, medium,
+         prev_p, prev_pdf, prev_delta, active) = carry
         si = ray_intersect(sa, ray, active)
 
         # ---------------- medium distance sampling --------------------
@@ -175,8 +177,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         s2, state = sampler.next_2d(state, active)
 
         g = med(M_G, medium)
-        wo_phase, pdf_phase = hg_sample(si.to_local(ray.d) * 0.0 + Vec3(
-            -ray.d.x, -ray.d.y, -ray.d.z), g, s2[0], s2[1])
+        wo_phase, pdf_phase = hg_sample(
+            Vec3(-ray.d.x, -ray.d.y, -ray.d.z), g, s2[0], s2[1])
         # NEE phase eval: HG around propagation dir; cos between d and ds.d
         cos_nee = dot(ray.d, ds.d)
         phase_nee = hg_eval(cos_nee, g)
@@ -205,14 +207,14 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         eta = eta * jnp.where(active_next & ~hit_med, bs.eta, 1.0)
         valid_ray = valid_ray | (active & (hit_med | si.valid))
 
-        # medium transitions at transmissive surface events
-        crossed = surf_evt & (dot(wo_world_surf, si.n) < 0.0)
-        exited = surf_evt & (dot(wo_world_surf, si.n) >= 0.0) & (si.wi.z > 0.0)
+        # medium transitions: for closed shapes, the side of the outgoing
+        # direction w.r.t. the geometric normal decides inside vs outside
+        entering = dot(wo_world_surf, si.n) < 0.0
         inst_med = gather_small(sa.inst_int_medium, jnp.maximum(si.inst, 0))
-        medium = jnp.where(active_next & crossed, inst_med, medium)
-        medium = jnp.where(active_next & exited & (medium == inst_med)
-                           & (inst_med >= 0),
-                           jnp.int32(sa.sensor_medium), medium)
+        has_int = inst_med >= 0
+        medium = jnp.where(active_next & surf_evt & has_int,
+                           jnp.where(entering, inst_med,
+                                     jnp.int32(sa.sensor_medium)), medium)
 
         prev_p = where3(hit_med | si.valid, p_evt, prev_p)
         prev_pdf = jnp.where(active_next,
@@ -236,6 +238,14 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         ray = Ray(where3(active_next, o_next, ray.o),
                   where3(active_next, d_next, ray.d),
                   ray.time, jnp.full((n,), jnp.inf, f32))
+        return (state, ray, throughput, result, eta, depth, valid_ray,
+                medium, prev_p, prev_pdf, prev_delta, active)
+
+    carry = (state, ray, throughput, result, eta, depth, valid_ray, medium,
+             prev_p, prev_pdf, prev_delta, active)
+    carry = jax.lax.fori_loop(0, integrator.loop_iterations, bounce, carry)
+    (state, ray, throughput, result, eta, depth, valid_ray, medium,
+     prev_p, prev_pdf, prev_delta, active) = carry
 
     spec = where3(valid_ray, result, Vec3.zeros((n,)))
     return spec, valid_ray, state

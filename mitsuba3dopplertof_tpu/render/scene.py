@@ -54,6 +54,7 @@ class SceneArrays:
            "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
+           "med_params", "inst_int_medium",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -61,7 +62,7 @@ class SceneArrays:
         "emitter_types_present", "n_emitters", "has_environment",
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
-        "mesh_em_meta",
+        "mesh_em_meta", "sensor_medium", "n_media",
     ]
 
     def __init__(self, **kw):
@@ -194,10 +195,11 @@ class Scene:
         atlas_np = (np.concatenate(atlas, axis=0) if atlas
                     else np.zeros((1, 3), np.float32))
 
+        if not bsdf_objs:
+            bsdf_objs.append(Diffuse(Properties("diffuse")))
         bsdf_type = np.array([b.type_id for b in bsdf_objs], np.int32)
         bsdf_flags = np.array([b.flags for b in bsdf_objs], np.int32)
-        bsdf_params = (np.stack([b.params_row() for b in bsdf_objs]).T
-                       if bsdf_objs else np.zeros((N_BSDF_PARAMS, 0)))
+        bsdf_params = np.stack([b.params_row() for b in bsdf_objs]).T
 
         # --- emitter table ------------------------------------------------
         from ..emitters import EMITTER_AREA_RECT, EMITTER_AREA_MESH
@@ -249,6 +251,25 @@ class Scene:
                 env_rot = np.linalg.inv(R).reshape(-1)
             else:
                 env_kind = "constant"
+
+        # --- media table ---------------------------------------------------
+        from ..media import N_MED_PARAMS
+        media_objs = []
+        media_index = {}
+
+        def add_medium(m):
+            if m is None:
+                return -1
+            if id(m) not in media_index:
+                media_index[id(m)] = len(media_objs)
+                media_objs.append(m)
+            return media_index[id(m)]
+
+        sensor_medium = add_medium(getattr(self.sensor, "medium", None))
+        inst_int_medium = [add_medium(getattr(sh, "interior_medium", None))
+                           for sh in self.shapes]
+        med_params = (np.stack([m.params_row() for m in media_objs]).T
+                      if media_objs else np.zeros((N_MED_PARAMS, 1)))
 
         # --- instances & triangles -----------------------------------------
         inst_m0, inst_m1, inst_t0, inst_t1 = [], [], [], []
@@ -396,12 +417,17 @@ class Scene:
             kw["a_" + c] = a[c]
 
         self._compiled = SceneArrays(
-            inst_m0c=jnp.asarray(np.stack(inst_m0).T, jnp.float32),
-            inst_m1c=jnp.asarray(np.stack(inst_m1).T, jnp.float32),
-            inst_t0=jnp.asarray(inst_t0, jnp.float32),
-            inst_t1=jnp.asarray(inst_t1, jnp.float32),
-            inst_bsdf=jnp.asarray(inst_bsdf, jnp.int32),
-            inst_emitter=jnp.asarray(inst_emitter, jnp.int32),
+            inst_m0c=jnp.asarray(
+                np.stack(inst_m0).T if inst_m0 else np.zeros((12, 1)),
+                jnp.float32),
+            inst_m1c=jnp.asarray(
+                np.stack(inst_m1).T if inst_m1 else np.zeros((12, 1)),
+                jnp.float32),
+            inst_t0=jnp.asarray(inst_t0 if inst_t0 else [0.0], jnp.float32),
+            inst_t1=jnp.asarray(inst_t1 if inst_t1 else [1.0], jnp.float32),
+            inst_bsdf=jnp.asarray(inst_bsdf if inst_bsdf else [0], jnp.int32),
+            inst_emitter=jnp.asarray(
+                inst_emitter if inst_emitter else [-1], jnp.int32),
             bsdf_type=jnp.asarray(bsdf_type),
             bsdf_params=jnp.asarray(bsdf_params, jnp.float32),
             emitter_type=jnp.asarray(emitter_type),
@@ -428,6 +454,9 @@ class Scene:
             env_rot=jnp.asarray(env_rot, jnp.float32),
             env_rot_fwd=jnp.asarray(env_rot_fwd, jnp.float32),
             em_tri_cdf=jnp.asarray(em_tri_cdf, jnp.float32),
+            med_params=jnp.asarray(med_params, jnp.float32),
+            inst_int_medium=jnp.asarray(
+                inst_int_medium if inst_int_medium else [-1], jnp.int32),
             bsphere_radius=jnp.float32(radius),
             n_static_tris=n_static,
             n_anim_tris=n_anim,
@@ -446,6 +475,8 @@ class Scene:
             env_shape=(int(env_img.shape[0]), int(env_img.shape[1])),
             env_index=env_index,
             mesh_em_meta=tuple(mesh_em_meta),
+            sensor_medium=sensor_medium,
+            n_media=len(media_objs),
             **kw,
         )
         return self._compiled

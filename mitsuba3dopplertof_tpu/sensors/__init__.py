@@ -58,13 +58,17 @@ class Sensor:
         self.shutter_close = props.get_float("shutter_close", self.shutter_open)
         self.film = None
         self.sampler = None
+        self.medium = None
         from ..films import Film
         from ..samplers import Sampler
+        from ..media import Medium
         for key, v in props.objects():
             if isinstance(v, Film):
                 self.film = v
             elif isinstance(v, Sampler):
                 self.sampler = v
+            elif isinstance(v, Medium):
+                self.medium = v
         if self.film is None:
             from ..films import HDRFilm
             self.film = HDRFilm(Properties("hdrfilm"))

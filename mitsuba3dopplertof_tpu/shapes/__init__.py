@@ -74,12 +74,18 @@ class Shape:
         # them the same way via Properties object references)
         from ..bsdfs import BSDF
         from ..emitters import Emitter
+        from ..media import Medium
         for key, v in props.objects():
             if isinstance(v, BSDF):
                 self.bsdf = v
             elif isinstance(v, Emitter):
                 self.emitter = v
                 v.shape = self
+            elif isinstance(v, Medium):
+                if key == "exterior":
+                    self.exterior_medium = v
+                else:
+                    self.interior_medium = v
 
     def build_mesh(self) -> Mesh:
         raise NotImplementedError

@@ -198,8 +198,11 @@ def hg_sample(wi: Vec3, g, s1, s2):
     return wo, pdf
 
 
-def hg_eval(cos_theta, g):
-    denom = 1.0 + g * g + 2.0 * g * cos_theta
+def hg_eval(cos_forward, g):
+    """HG phase, FORWARD convention: cos_forward = dot(propagation, wo);
+    peaks at +1 for g > 0 (equivalent to reference hg.cpp's
+    1 + g^2 + 2g*dot(wi,wo) with wi pointing toward the source)."""
+    denom = 1.0 + g * g - 2.0 * g * cos_forward
     return (1.0 / (4.0 * PI)) * (1.0 - g * g) / jnp.maximum(
         denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12)
 

@@ -143,18 +143,48 @@ class SamplingIntegrator(Integrator):
                 for _ in range(start_pass):
                     state = sampler.advance(state)
 
-        for p in range(start_pass, n_passes):
-            block, state = pass_fn(sa, block, state)
-            state = sampler.advance(state)
-            if (checkpoint_path is not None
-                    and ((p + 1) % checkpoint_every == 0
-                         or p + 1 == n_passes)):
-                np.savez(checkpoint_path, block=np.asarray(block),
-                         pass_idx=p + 1, seed=seed, spp=spp)
+        if checkpoint_path is None and n_passes > 1:
+            # fuse the whole pass loop into one device dispatch (each
+            # host->device round trip costs ~10s of ms through the runtime)
+            multi = self._get_multi_pass_fn(sensor, sampler, film, W, H,
+                                            spp_per_pass, n_passes)
+            block, state = multi(sa, block, state)
+        else:
+            for p in range(start_pass, n_passes):
+                block, state = pass_fn(sa, block, state)
+                state = sampler.advance(state)
+                if (checkpoint_path is not None
+                        and ((p + 1) % checkpoint_every == 0
+                             or p + 1 == n_passes)):
+                    np.savez(checkpoint_path, block=np.asarray(block),
+                             pass_idx=p + 1, seed=seed, spp=spp)
 
         if develop_film:
             return develop(block, film.has_alpha)
         return block
+
+    def _get_multi_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass,
+                           n_passes):
+        key = ("multi", id(sensor), id(sampler), id(film), W, H,
+               spp_per_pass, n_passes, sampler.sample_count,
+               sampler.samples_per_wavefront)
+        cache = self._pass_fn_cache if hasattr(self, "_pass_fn_cache") else {}
+        self._pass_fn_cache = cache
+        if key not in cache:
+            raw = self._get_pass_fn(sensor, sampler, film, W, H,
+                                    spp_per_pass).raw
+
+            def all_passes(sa, block, state):
+                def body(_, carry):
+                    blk, st = carry
+                    blk, st = raw(sa, blk, st)
+                    return blk, Sampler_advance(st)
+                return jax.lax.fori_loop(0, n_passes, body, (block, state))
+
+            from ..samplers import Sampler as _S
+            Sampler_advance = _S.advance
+            cache[key] = jax.jit(all_passes, donate_argnums=(1, 2))
+        return cache[key]
 
     def _get_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):
         # sample_count participates: interval stratification divides [0,1)

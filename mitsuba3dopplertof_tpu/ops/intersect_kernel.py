@@ -319,11 +319,9 @@ def _compiled(n_static: int, anim_ranges, any_hit: bool, n_rows: int,
 
 
 def scene_tables(sa):
-    """Build the SMEM triangle/instance tables from SceneArrays (cached on
-    the SceneArrays object)."""
-    cached = getattr(sa, "_pallas_tables", None)
-    if cached is not None:
-        return cached
+    """Build the SMEM triangle/instance/sphere tables from SceneArrays.
+    Built in-graph on every trace (XLA CSEs the stacks); caching them on the
+    SceneArrays object would leak tracers across jit scopes."""
     cols = ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
             "n0x", "n0y", "n0z", "n1x", "n1y", "n1z", "n2x", "n2y", "n2z",
             "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v")
@@ -359,7 +357,6 @@ def scene_tables(sa):
     else:
         sph_table = jnp.zeros((1, 27), jnp.float32)
 
-    sa._pallas_tables = (tri_table, inst_table, sph_table)
     return tri_table, inst_table, sph_table
 
 

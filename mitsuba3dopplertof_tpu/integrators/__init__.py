@@ -45,7 +45,7 @@ from ..sensors import sample_ray_kind as sensor_sample_ray_kind
 
 # Default lane budget per pass (HBM-derived chunking; the reference's
 # analogous limit is the 2^32 wavefront cap, integrator.cpp:227-245)
-DEFAULT_MAX_LANES = 1 << 21
+DEFAULT_MAX_LANES = 1 << 20
 
 
 def mis_weight(pdf_a, pdf_b):

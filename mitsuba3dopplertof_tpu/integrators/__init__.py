@@ -596,6 +596,7 @@ class DepthIntegrator(SamplingIntegrator):
 
 from . import extras  # noqa: E402,F401  (registers direct/aov/moment)
 from . import volpath as _volpath  # noqa: E402,F401  (registers volpath/volpathmis)
+from . import ptracer as _ptracer  # noqa: E402,F401  (registers ptracer)
 
 __all__ = [
     "Integrator", "SamplingIntegrator", "MonteCarloIntegrator",

@@ -173,3 +173,29 @@ def test_thinlens_defocus():
     sharp = render(make(2.0), spp=64)
     blurred = render(make(0.5), spp=64)
     assert blurred[8:24, 8:24, 0].std() < sharp[8:24, 8:24, 0].std()
+
+
+def test_ptracer_energy_parity():
+    """Light tracing agrees with path tracing in the mean (unbiasedness of
+    the adjoint estimator, reference ptracer.cpp)."""
+    xml = '''
+    <scene version="3.0.0">
+      <integrator type="{integ}"><integer name="max_depth" value="3"/></integrator>
+      <sensor type="perspective"><float name="fov" value="45"/>
+        <film type="hdrfilm"><integer name="width" value="16"/>
+          <integer name="height" value="16"/><rfilter type="box"/></film>
+        <sampler type="independent"><integer name="sample_count" value="64"/></sampler>
+      </sensor>
+      <shape type="rectangle">
+        <transform name="to_world"><translate z="2"/></transform>
+        <bsdf type="twosided"><bsdf type="diffuse">
+          <rgb name="reflectance" value="0.8,0.8,0.8"/></bsdf></bsdf>
+      </shape>
+      <emitter type="point">
+        <transform name="to_world"><translate z="1"/></transform>
+        <rgb name="intensity" value="5"/>
+      </emitter>
+    </scene>'''
+    fwd = render(xml.format(integ="path"), spp=64)
+    lt = render(xml.format(integ="ptracer"), spp=256)
+    assert abs(lt.mean() / fwd.mean() - 1.0) < 0.05

@@ -259,8 +259,12 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
         fn = _DISPATCH.get(int(tid))
         if fn is None:
             raise NotImplementedError(f"BSDF type id {tid} not implemented")
-        if tid == BSDF_DIFFUSE and tex_refl is not None:
-            r = fn(param, wi, wo_nee, s1, s2x, s2y, tex_refl, tex_mask)
+        if tid in (BSDF_DIFFUSE, BSDF_PRINCIPLED) and tex_refl is not None:
+            if tid == BSDF_DIFFUSE:
+                r = fn(param, wi, wo_nee, s1, s2x, s2y, tex_refl, tex_mask)
+            else:
+                r = _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x,
+                                                s2y, tex_refl, tex_mask)
         else:
             r = fn(param, wi, wo_nee, s1, s2x, s2y)
         if result is None:
@@ -989,3 +993,131 @@ class Measured(BSDF):
 @register_plugin("bsdf", "measured_polarized")
 class MeasuredPolarized(Measured):
     pass
+
+
+BSDF_PRINCIPLED = 11
+P_METALLIC = 7       # principled: metallic at the conductor-k slot
+P_SPECTUNE = 8       # principled: 'specular' control
+
+
+@register_plugin("bsdf", "principled")
+class Principled(BSDF):
+    """Principled BSDF (reference src/bsdfs/principled.cpp). v1 implements
+    the opaque core: base_color, roughness (GGX, Disney alpha = r^2),
+    metallic with Schlick fresnel, dielectric specular lobe via the
+    'specular' control. Transmission/clearcoat/sheen extensions land next
+    round."""
+    type_id = BSDF_PRINCIPLED
+    flags = FLAG_SMOOTH
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.base_color = _get_rgb(props, "base_color", [0.5, 0.5, 0.5])
+        self.reflectance_tex = _get_texture(props, "base_color")
+        self.tex_index = -1
+        self.roughness = props.get_float("roughness", 0.5)
+        self.metallic = props.get_float("metallic", 0.0)
+        self.specular = props.get_float("specular", 0.5)
+        for k in ("anisotropic", "sheen", "sheen_tint", "spec_tint",
+                  "clearcoat", "clearcoat_gloss", "spec_trans", "flatness",
+                  "eta", "main_specular_sampling_rate",
+                  "clearcoat_sampling_rate", "diffuse_reflectance_sampling_rate"):
+            if props.has_property(k):
+                props.mark_queried(k)
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_REFL:P_REFL + 3] = self.base_color
+        p[P_TWOSIDED] = 1.0 if self.two_sided else 0.0
+        p[P_METALLIC] = self.metallic
+        p[P_SPECTUNE] = self.specular
+        p[P_ALPHA] = max(self.roughness * self.roughness, 1e-3)
+        p[P_REFL_TEX] = float(self.tex_index)
+        return p
+
+
+@register_plugin("bsdf", "principledthin")
+class PrincipledThin(Principled):
+    """reference src/bsdfs/principledthin.cpp — thin-surface variant; the
+    opaque core is two-sided principled."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.two_sided = True
+
+
+def _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y,
+                                tex_refl=None, tex_mask=None):
+    base = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    if tex_refl is not None:
+        base = where3(tex_mask, tex_refl, base)
+    metallic = param(P_METALLIC)
+    specular = param(P_SPECTUNE)
+    alpha = param(P_ALPHA)
+    two_sided = param(P_TWOSIDED) > 0.5
+    sgn = jnp.where(two_sided & (wi.z < 0.0), -1.0, 1.0)
+    wi_l = Vec3(wi.x, wi.y, wi.z * sgn)
+    cos_i = wi_l.z
+    ok = cos_i > 0.0
+
+    # F0: dielectric specular level lerped to the tinted metal color
+    f0_d = 0.08 * specular
+    F0 = Vec3(f0_d + metallic * (base.x - f0_d),
+              f0_d + metallic * (base.y - f0_d),
+              f0_d + metallic * (base.z - f0_d))
+
+    prob_spec = jnp.clip(0.25 + 0.75 * metallic, 0.1, 1.0)
+    prob_diff = 1.0 - prob_spec
+
+    def schlick(cos_vh):
+        t = jnp.clip(1.0 - cos_vh, 0.0, 1.0)
+        t5 = t * t * t * t * t
+        return Vec3(F0.x + (1.0 - F0.x) * t5, F0.y + (1.0 - F0.y) * t5,
+                    F0.z + (1.0 - F0.z) * t5)
+
+    def eval_both(wo):
+        cos_o = wo.z
+        both = ok & (cos_o > 0.0)
+        from ..core.vec import normalize as _norm
+        h = _norm(wi_l + wo)
+        D = mf.ggx_D(h, alpha, alpha)
+        G = mf.ggx_G(wi_l, wo, h, alpha, alpha)
+        F = schlick(dot(wi_l, h))
+        spec_scalar = jnp.where(both, D * G / jnp.maximum(4.0 * cos_i, 1e-12),
+                                0.0)
+        diff_scalar = jnp.where(both,
+                                (1.0 - metallic) * INV_PI * cos_o, 0.0)
+        val = F * spec_scalar + base * diff_scalar
+        pdf_spec = jnp.where(both, mf.ggx_pdf_visible(wi_l, h, alpha, alpha)
+                             / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-12),
+                             0.0)
+        pdf = prob_spec * pdf_spec + prob_diff * jnp.where(
+            both, INV_PI * cos_o, 0.0)
+        return val, pdf
+
+    wo_nee_l = Vec3(wo_nee.x, wo_nee.y, wo_nee.z * sgn)
+    val_nee, pdf_nee = eval_both(wo_nee_l)
+
+    pick_spec = s1 < prob_spec
+    m, _ = mf.ggx_sample_vndf(wi_l, alpha, alpha, s2x, s2y)
+    wo_spec = Vec3(2.0 * dot(wi_l, m) * m.x - wi_l.x,
+                   2.0 * dot(wi_l, m) * m.y - wi_l.y,
+                   2.0 * dot(wi_l, m) * m.z - wi_l.z)
+    wo_diff = warp.cosine_hemisphere_c(s2x, s2y)
+    wo = where3(pick_spec, wo_spec, wo_diff)
+    val_s, pdf_s = eval_both(wo)
+    valid = ok & (wo.z > 0.0) & (pdf_s > 1e-12)
+    weight = val_s * jnp.where(valid, 1.0 / jnp.maximum(pdf_s, 1e-12), 0.0)
+    pdf_out = jnp.where(valid, pdf_s, 0.0)
+    z = jnp.zeros_like(cos_i)
+    false_ = z > 1.0
+    return BSDFSampleResult(val_nee, pdf_nee,
+                            Vec3(wo.x, wo.y, wo.z * sgn), weight, pdf_out,
+                            jnp.ones_like(z), false_, false_)
+
+
+def _principled_dispatch(param, wi, wo_nee, s1, s2x, s2y):
+    return _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y)
+
+
+_DISPATCH[BSDF_PRINCIPLED] = _principled_dispatch

@@ -1121,3 +1121,67 @@ def _principled_dispatch(param, wi, wo_nee, s1, s2x, s2y):
 
 
 _DISPATCH[BSDF_PRINCIPLED] = _principled_dispatch
+
+
+P_NMAP_TEX = 15   # normal-map texture id (-1 = none); applies to any row
+
+
+@register_plugin("bsdf", "normalmap")
+class NormalMap(BSDF):
+    """Normal mapping adapter (reference src/bsdfs/normalmap.cpp): perturbs
+    the shading frame by a tangent-space normal texture, then behaves as the
+    nested BSDF. Compiles to the nested row + a normal-map texture id; the
+    frame perturbation happens in the integrator right after the surface
+    interaction."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        from ..textures import Texture
+        self.nested = None
+        self.normalmap_tex = None
+        for key, v in props.objects():
+            if isinstance(v, BSDF):
+                self.nested = v
+            elif isinstance(v, Texture):
+                self.normalmap_tex = v
+        if self.nested is None or self.normalmap_tex is None:
+            raise RuntimeError("normalmap: requires a nested BSDF and a "
+                               "normal texture")
+        self.type_id = self.nested.type_id
+        self.flags = self.nested.flags
+        self.nmap_index = -1    # texture row, assigned at compile
+        # forward texture-driven reflectance of the nested bsdf
+        self.reflectance_tex = getattr(self.nested, "reflectance_tex", None)
+
+    def params_row(self):
+        row = self.nested.params_row()
+        row[P_NMAP_TEX] = float(self.nmap_index)
+        return row
+
+
+@register_plugin("bsdf", "bumpmap")
+class BumpMap(BSDF):
+    """Bump mapping adapter (reference src/bsdfs/bumpmap.cpp). v1 falls back
+    to the nested BSDF unperturbed (height-gradient frames need uv
+    differentials, planned); parses and renders."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        import warnings
+        from ..textures import Texture
+        self.nested = None
+        for key, v in props.objects():
+            if isinstance(v, BSDF):
+                self.nested = v
+            elif isinstance(v, Texture):
+                pass
+        props.get_float("scale", 1.0)
+        if self.nested is None:
+            raise RuntimeError("bumpmap: requires a nested BSDF")
+        warnings.warn("bumpmap: rendering the nested BSDF unperturbed in v1")
+        self.type_id = self.nested.type_id
+        self.flags = self.nested.flags
+        self.reflectance_tex = getattr(self.nested, "reflectance_tex", None)
+
+    def params_row(self):
+        return self.nested.params_row()

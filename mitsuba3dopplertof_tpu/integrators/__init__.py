@@ -306,6 +306,29 @@ class MonteCarloIntegrator(SamplingIntegrator):
 # modulation weight and correlate-gated draws)
 # ---------------------------------------------------------------------------
 
+def _apply_normal_maps(sa, si):
+    """Perturb shading frames by tangent-space normal textures
+    (reference src/bsdfs/normalmap.cpp applied at interaction time)."""
+    from ..bsdfs import P_NMAP_TEX
+    from ..textures import eval_texture
+    from ..core.vec import normalize as _norm
+    lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
+    nm_tex = gather_small(sa.bsdf_params[P_NMAP_TEX],
+                          lane_bsdf).astype(jnp.int32)
+    has = (nm_tex >= 0) & si.valid
+    c = eval_texture(sa, nm_tex, si.uv_u, si.uv_v)
+    tx = 2.0 * c.x - 1.0
+    ty = 2.0 * c.y - 1.0
+    tz = 2.0 * c.z - 1.0
+    new_n = _norm(si.sh_s * tx + si.sh_t * ty + si.sh_n * tz)
+    from ..core.vec import coordinate_system as _cs
+    ns = where3(has, new_n, si.sh_n)
+    sh_s, sh_t = _cs(ns)
+    wi_world = si.to_world(si.wi)
+    wi = Vec3(dot(wi_world, sh_s), dot(wi_world, sh_t), dot(wi_world, ns))
+    return si._replace(sh_n=ns, sh_s=sh_s, sh_t=sh_t, wi=wi)
+
+
 def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
                modulation_weight=None, use_correlate=False):
     n = ray.o.x.shape[0]
@@ -351,6 +374,9 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         correlate = (depth + 1) < pcd
 
         si = ray_intersect(sa, ray, active)
+
+        if sa.n_textures > 0:
+            si = _apply_normal_maps(sa, si)
 
         path_length = path_length + jnp.where(si.valid, si.t * eta, 0.0)
 

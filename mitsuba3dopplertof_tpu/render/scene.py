@@ -159,17 +159,23 @@ class Scene:
         from ..textures import N_TEX_PARAMS, T_ATLAS, TEX_BITMAP
         tex_objs = []
         tex_index = {}
+        def add_tex(t):
+            if id(t) not in tex_index:
+                tex_index[id(t)] = len(tex_objs)
+                tex_objs.append(t)
+            return tex_index[id(t)]
+
         for b in bsdf_objs:
             t = getattr(b, "reflectance_tex", None)
             if t is None and hasattr(b, "nested"):
                 t = getattr(b.nested, "reflectance_tex", None)
             if t is not None:
-                if id(t) not in tex_index:
-                    tex_index[id(t)] = len(tex_objs)
-                    tex_objs.append(t)
-                b.tex_index = tex_index[id(t)]
+                b.tex_index = add_tex(t)
                 if hasattr(b, "nested"):
-                    b.nested.tex_index = tex_index[id(t)]
+                    b.nested.tex_index = b.tex_index
+            nm = getattr(b, "normalmap_tex", None)
+            if nm is not None:
+                b.nmap_index = add_tex(nm)
         tex_rows, tex_types, tex_h = [], [], []
         atlas = []
         atlas_off = 0

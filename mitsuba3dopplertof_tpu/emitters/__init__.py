@@ -236,6 +236,39 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             ds = DirectionSample(pos, Vec3(z, z, z), dirn, dist,
                                  jnp.where(cos_a > cc, 1.0, 0.0),
                                  jnp.ones((n,), bool), index)
+        elif tid == EMITTER_PROJECTOR:
+            pos = Vec3(param(E_POS), param(E_POS + 1), param(E_POS + 2))
+            d = pos - ref_p
+            dist2 = jnp.maximum(dot(d, d), 1e-20)
+            inv_dist = jax.lax.rsqrt(dist2)
+            dist = dist2 * inv_dist
+            dirn = d * inv_dist
+            # direction from projector to the point, in projector space
+            m00, m01, m02 = mrow(0), mrow(1), mrow(2)
+            m10, m11, m12 = mrow(4), mrow(5), mrow(6)
+            m20, m21, m22 = mrow(8), mrow(9), mrow(10)
+            lx = -(m00 * dirn.x + m10 * dirn.y + m20 * dirn.z)
+            ly = -(m01 * dirn.x + m11 * dirn.y + m21 * dirn.z)
+            lz = -(m02 * dirn.x + m12 * dirn.y + m22 * dirn.z)
+            th = param(E_CUTOFF)
+            inside = (lz > 1e-6)
+            u = 0.5 * (1.0 - lx / jnp.maximum(lz, 1e-6) / th)
+            v = 0.5 * (1.0 - ly / jnp.maximum(lz, 1e-6) / th)
+            inside = inside & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
+            texid = param(E_BEAM).astype(jnp.int32)
+            base = Vec3(param(E_INTENSITY), param(E_INTENSITY + 1),
+                        param(E_INTENSITY + 2))
+            if int(sa.n_textures) > 0:
+                from ..textures import eval_texture
+                tx = eval_texture(sa, jnp.maximum(texid, 0), u, v)
+                has_tex = texid >= 0
+                base = where3(has_tex, tx, base)
+            inv2 = inv_dist * inv_dist * jnp.where(inside, 1.0, 0.0)
+            spec = base * inv2
+            z = jnp.zeros((n,), dtype)
+            ds = DirectionSample(pos, Vec3(z, z, z), dirn, dist,
+                                 jnp.where(inside, 1.0, 0.0),
+                                 jnp.ones((n,), bool), index)
         elif tid == EMITTER_AREA_MESH:
             # triangle-CDF area sampling over the host mesh (static shapes;
             # reference Mesh::sample_position, mesh.cpp build_pmf)
@@ -338,47 +371,6 @@ def pdf_direction(sa, ds: DirectionSample):
                                    * jnp.maximum(area, 1e-20)), 0.0)
         elif tid == EMITTER_CONSTANT:
             p = jnp.full(ds.dist.shape, 1.0 / (4.0 * np.pi), ds.dist.dtype)
-        elif tid == EMITTER_AREA_MESH:
-            # triangle-CDF area sampling over the host mesh (static shapes;
-            # reference Mesh::sample_position, mesh.cpp build_pmf)
-            z = jnp.zeros((n,), dtype)
-            p = Vec3(z, z, z)
-            nrm = Vec3(z, z, z)
-            picked = jnp.zeros((n,), jnp.int32)
-            for (ei, start, cnt, cdf_off) in sa.mesh_em_meta:
-                cdf = sa.em_tri_cdf[cdf_off:cdf_off + cnt]
-                k = jnp.clip(jnp.searchsorted(cdf, s_x, side="right"),
-                             0, cnt - 1).astype(jnp.int32)
-                tri = start + k
-                mask = index == ei
-                picked = jnp.where(mask, tri, picked)
-            # sqrt warp for uniform barycentrics (re-uses s_x low bits + s_y)
-            su = jnp.sqrt(jnp.clip((s_x * 4096.0) % 1.0, 0.0, 1.0))
-            b0 = 1.0 - su
-            b1 = s_y * su
-            v0 = Vec3(sa.tri("s", "v0x")[picked], sa.tri("s", "v0y")[picked],
-                      sa.tri("s", "v0z")[picked])
-            e1 = Vec3(sa.tri("s", "e1x")[picked], sa.tri("s", "e1y")[picked],
-                      sa.tri("s", "e1z")[picked])
-            e2 = Vec3(sa.tri("s", "e2x")[picked], sa.tri("s", "e2y")[picked],
-                      sa.tri("s", "e2z")[picked])
-            p = v0 + e1 * b0 + e2 * b1
-            nrm = normalize(cross(e1, e2))
-            d = p - ref_p
-            dist2 = jnp.maximum(dot(d, d), 1e-20)
-            dist = jnp.sqrt(dist2)
-            dirn = d * (1.0 / dist)
-            area = param(E_AREA)
-            cos_theta = -dot(dirn, nrm)
-            pdf = jnp.where(jnp.abs(cos_theta) > 1e-6,
-                            dist2 / (jnp.abs(cos_theta) * area), 0.0)
-            # two-sided mesh emitters emit from the front only (area.cpp)
-            pdf = jnp.where(cos_theta > 0.0, pdf, 0.0)
-            w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
-            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
-                        param(E_INTENSITY + 2) * w)
-            ds = DirectionSample(p, nrm, dirn, dist, pdf,
-                                 jnp.zeros((n,), bool), index)
         elif tid == EMITTER_ENVMAP:
             p = envmap_pdf_direction(sa, ds.d)
         else:  # delta emitters
@@ -595,3 +587,60 @@ def envmap_pdf_direction(sa, d: Vec3):
     st = jnp.sin(v * np.pi)
     return sa.env_pdf[flat] * (W * H) / jnp.maximum(
         2.0 * np.pi * np.pi * st, 1e-8)
+
+
+EMITTER_PROJECTOR = 7
+EMITTER_DIRECTIONALAREA = 8
+
+
+@register_plugin("emitter", "projector")
+class ProjectorEmitter(Emitter):
+    """reference src/emitters/projector.cpp — textured spot light projecting
+    an image through a perspective frustum (delta position)."""
+    type_id = EMITTER_PROJECTOR
+    delta = True
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        m = props.get_transform("to_world", np.eye(4))
+        self.position = m[:3, 3]
+        self.to_world = m
+        self.scale = props.get_float("scale", 1.0)
+        fov = props.get_float("fov", 45.0)
+        import math as _m
+        self.tan_half = _m.tan(_m.radians(fov) * 0.5)
+        self.irradiance_tex = None
+        from ..textures import Texture
+        for key, v in props.objects():
+            if isinstance(v, Texture):
+                self.irradiance_tex = v
+        if props.has_property("irradiance"):
+            self.irradiance = _get_rgb(props, "irradiance", [1, 1, 1])
+        elif self.irradiance_tex is not None:
+            self.irradiance = np.asarray(self.irradiance_tex.mean_rgb())
+        else:
+            self.irradiance = np.ones(3)
+        self.tex_index = -1   # assigned at compile when texture-driven
+
+    def params_row(self):
+        p = np.zeros(N_EMITTER_PARAMS)
+        p[E_POS:E_POS + 3] = self.position
+        p[E_INTENSITY:E_INTENSITY + 3] = self.irradiance * self.scale
+        p[E_CUTOFF] = self.tan_half
+        p[E_BEAM] = float(self.tex_index)
+        # rotation rows for frustum projection
+        R = np.linalg.inv(self.to_world[:3, :3])
+        p[9] = R[0, 0]
+        # remaining rotation lives in emitter_m (the shared 3x4 slot)
+        return p
+
+
+@register_plugin("emitter", "directionalarea")
+class DirectionalAreaEmitter(AreaEmitter):
+    """reference src/emitters/directionalarea.cpp — area emitter radiating
+    only along its surface normal (delta in direction). NEE cannot sample
+    it; it contributes when hit... in practice it is used as a collimated
+    source via ptracer-style transport. v1: treated as a delta emitter that
+    NEE skips; direct hits emit radiance along the normal only."""
+    type_id = EMITTER_DIRECTIONALAREA
+    delta = True

@@ -176,6 +176,10 @@ class Scene:
             nm = getattr(b, "normalmap_tex", None)
             if nm is not None:
                 b.nmap_index = add_tex(nm)
+        for em in self.emitters:
+            t = getattr(em, "irradiance_tex", None)
+            if t is not None:
+                em.tex_index = add_tex(t)
         tex_rows, tex_types, tex_h = [], [], []
         atlas = []
         atlas_off = 0
@@ -216,6 +220,8 @@ class Scene:
             row = em.params_row()
             mat = np.eye(4)
             etype = em.type_id
+            if hasattr(em, "to_world") and em.shape is None:
+                mat = np.asarray(em.to_world, np.float64)
             if em.shape is not None:
                 m0, _, _, _ = em.shape.to_world.matrices()
                 mat = m0

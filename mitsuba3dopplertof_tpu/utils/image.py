@@ -88,3 +88,25 @@ def snr(img, ref):
 __all__ = ["rgb2luminance", "to_tof_image", "tone_map", "to_ldr_image",
            "calc_velocity_from_homo_hetero", "mae", "rmse", "psnr",
            "relative_rmse", "snr"]
+
+
+def calc_velocity_from_homo_heteros(homodynes, heterodynes, *,
+                                    exposure_time: float = 0.0015,
+                                    w_g: float = 30.0) -> np.ndarray:
+    """Confidence-weighted multi-phase velocity estimate
+    (reference image_utils.py:170-200): ratios from several phase offsets
+    weighted by |homodyne| before the Doppler inversion."""
+    ratio_sum = 0.0
+    conf_sum = 0.0
+    for homo, het in zip(homodynes, heterodynes):
+        homo = np.asarray(homo)
+        het = np.asarray(het)
+        ratio = np.divide(het, homo, out=np.zeros_like(homo),
+                          where=np.abs(homo) > 0)
+        conf = np.abs(homo) + 1e-5 * exposure_time
+        ratio_sum = ratio_sum + ratio * conf
+        conf_sum = conf_sum + conf
+    ratio = np.clip(ratio_sum / conf_sum, -1.0, 0.999)
+    delta_w = ratio * (1.0 / exposure_time) / (ratio - 1.0)
+    speed_of_light = 3e8
+    return -0.5 * delta_w * speed_of_light / (w_g * 1e6)

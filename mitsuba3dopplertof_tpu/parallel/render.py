@@ -160,4 +160,101 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
     return block
 
 
-__all__ = ["render_sharded", "make_mesh"]
+__all__ = ["render_sharded", "make_mesh", "render_reference_layout"]
+
+
+def render_reference_layout(integrator, scene, sensor=None, seed: int = 0,
+                            spp: int = 0, chunk_rows: int = 16,
+                            develop_film: bool = True):
+    """Render with the reference's exact wavefront layout: ONE logical pass
+    of W*H*spp lanes (the reference renders 1024 spp in a single wavefront,
+    integrator.cpp:227-263), processed in row-chunks with global lane ids.
+    With the sampler streams being bitwise PCG32/TEA replicas, each lane
+    draws the same random numbers the reference's lane draws — this mode
+    exists for sample-exact cross-validation against reference outputs."""
+    import jax.numpy as jnp
+    from ..films import block_create, block_splat_wavefront, develop
+    from ..sensors import sample_ray_kind
+
+    if sensor is None:
+        sensor = scene.sensor
+    film = sensor.film
+    sampler = sensor.sampler
+    if spp:
+        sampler.set_sample_count(spp)
+    spp = sampler.sample_count
+    W, H = film.crop_size
+
+    sampler.set_samples_per_wavefront(spp)   # single logical pass
+    sa = scene.compile()
+    n_ch = film.channel_count
+    sp = sensor.device_params()
+    lens = (sensor.device_lens_params()
+            if hasattr(sensor, "device_lens_params") else None)
+    rfilter = film.rfilter
+    has_alpha = film.has_alpha
+    shutter_open = float(sensor.shutter_open)
+    shutter_time = float(sensor.shutter_open_time)
+    is_doppler = integrator.is_doppler
+    correlate_pixel = integrator.path_correlation_depth > 0
+
+    n_local = chunk_rows * W * spp
+    n_chunks = H // chunk_rows
+    assert H % chunk_rows == 0
+
+    def chunk_fn(sa, state, lane0, row0):
+        n = n_local
+        lane = lane0 + jnp.arange(n, dtype=jnp.uint32)
+        pix = lane // jnp.uint32(spp)
+        py = (pix // jnp.uint32(W)).astype(jnp.float32)
+        px = (pix % jnp.uint32(W)).astype(jnp.float32)
+        active = jnp.ones((n,), bool)
+        if is_doppler:
+            off, state = sampler.next_2d_correlate(state, active,
+                                                   correlate_pixel)
+        else:
+            off, state = sampler.next_2d(state, active)
+        sx = px + off[0]
+        sy = py + off[1]
+        ap_x = ap_y = jnp.full((n,), 0.5, jnp.float32)
+        time = jnp.full((n,), shutter_open, jnp.float32)
+        if shutter_time > 0.0:
+            if is_doppler:
+                ts, state = sampler.next_1d_time(
+                    state, active, integrator.time_sampling_method,
+                    integrator.antithetic_shift,
+                    integrator.use_stratified_sampling_for_each_interval)
+            else:
+                ts, state = sampler.next_1d(state, active)
+            time = time + ts * shutter_time
+        ray, rw = sample_ray_kind(sp, lens, time, sx / W, sy / H, ap_x, ap_y)
+        spec, valid, state = integrator.sample(sa, sampler, state, ray,
+                                               active)
+        spec = spec * rw
+        one = jnp.ones((n,), jnp.float32)
+        if has_alpha:
+            values = [spec.x, spec.y, spec.z, jnp.where(valid, 1.0, 0.0), one]
+        else:
+            values = [spec.x, spec.y, spec.z, one]
+        put_x = px if rfilter.is_box else sx
+        put_y = py if rfilter.is_box else sy
+        local = block_splat_wavefront(
+            jnp.zeros((n_ch, chunk_rows + 2 * _PAD, W), jnp.float32),
+            rfilter, put_x, put_y - row0.astype(jnp.float32),
+            values, active, W, chunk_rows, spp, pad_rows=_PAD)
+        return local
+
+    # note: lane0 is always a multiple of spp, so current_sample_index's
+    # (lane % spp) is chunk-invariant — no per-chunk retrace needed
+    jitted = jax.jit(chunk_fn)
+    canvas = np.zeros((n_ch, H + 2 * _PAD, W), np.float32)
+    for c in range(n_chunks):
+        state = sampler.seed(seed, n_local, lane0=c * n_local)
+        local = np.asarray(jitted(sa, state, jnp.uint32(c * n_local),
+                                  jnp.int32(c * chunk_rows)))
+        r0 = c * chunk_rows
+        canvas[:, r0:r0 + chunk_rows + 2 * _PAD] += local
+    block = jnp.asarray(canvas[:, _PAD:_PAD + H])
+    if develop_film:
+        return develop(block, has_alpha)
+    return block

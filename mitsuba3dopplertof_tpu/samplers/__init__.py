@@ -68,6 +68,7 @@ class Sampler:
         self.time_correlate_number = 1
         self.path_correlate_number = 1
         self.jitter = True
+        self.lane0 = 0    # global-lane window offset (reference-layout mode)
 
     # -- seeding ------------------------------------------------------------
     def set_sample_count(self, spp: int):
@@ -79,8 +80,13 @@ class Sampler:
                 "sample_count must be a multiple of samples_per_wavefront")
         self.samples_per_wavefront = spw
 
-    def seed(self, seed: int, wavefront_size: int) -> SamplerStateT:
-        lane = jnp.arange(wavefront_size, dtype=jnp.uint32)
+    def seed(self, seed: int, wavefront_size: int,
+             lane0: int = 0) -> SamplerStateT:
+        """Seed lanes [lane0, lane0 + wavefront_size) of a (possibly larger)
+        logical wavefront — per-lane TEA streams depend only on the global
+        lane index, so any window reproduces the full-wavefront states
+        (reference sampler.cpp:115-135)."""
+        lane = jnp.uint32(lane0) + jnp.arange(wavefront_size, dtype=jnp.uint32)
         seed_value = np.uint32(self.base_seed + seed)
         rng = pcg32_seed_wavefront(seed_value, lane, 0)
         # per-sequence permutation seed (reference sampler.cpp:85-92)
@@ -102,7 +108,8 @@ class Sampler:
 
     def current_sample_index(self, state: SamplerStateT, n: int):
         """reference sampler.cpp:94-103."""
-        offs = jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(self.samples_per_wavefront)
+        offs = (jnp.uint32(self.lane0) + jnp.arange(n, dtype=jnp.uint32)) \
+            % jnp.uint32(self.samples_per_wavefront)
         return state.sample_index * jnp.uint32(self.samples_per_wavefront) + offs
 
     # -- draws ----------------------------------------------------------------

@@ -64,16 +64,34 @@ def render(scene: Scene, spp: int = 0, seed: int = 0, sensor=None,
     return integ.render(scene, sensor=sensor, seed=seed, spp=spp)
 
 
+_VARIANT = "tpu_rgb"
+
+_KNOWN_VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono"]
+
+
 def variants():
-    return ["tpu_rgb"]
+    return list(_KNOWN_VARIANTS)
+
+
+def variant():
+    return _VARIANT
 
 
 def set_variant(*names):
-    # single-variant build; kept for API compatibility
-    return None
+    """Select the rendering variant (the reference's mitsuba.set_variant):
+    tpu_rgb (default), tpu_spectral (hero-wavelength triplets with sigmoid
+    spectral upsampling + analytic CIE conversion), tpu_mono (luminance).
+    Affects scenes compiled afterwards."""
+    global _VARIANT
+    for n in names:
+        if n in _KNOWN_VARIANTS:
+            _VARIANT = n
+            return n
+    raise RuntimeError(f"No supported variant in {names}; "
+                       f"available: {_KNOWN_VARIANTS}")
 
 
-__all__ = ["load_file", "load_string", "load_dict", "render", "Scene",
+__all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant",
            "Properties", "registered_plugins", "variants", "set_variant",
            "xml_to_dict", "dict_to_xml", "traverse", "SceneParameters",
            "render_grad", "value_and_render_grad",

@@ -237,7 +237,8 @@ def remap_wrapper_rows(sa, lane_bsdf, s1):
 
 
 def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
-                    s1, s2x, s2y, tex_refl=None, tex_mask=None) -> BSDFSampleResult:
+                    s1, s2x, s2y, tex_refl=None, tex_mask=None,
+                    wavelengths=None) -> BSDFSampleResult:
     """Masked multi-type dispatch of BSDF::eval_pdf_sample
     (reference src/render/bsdf.cpp:168). Evaluates each type present in the
     scene over the whole wavefront and mask-selects — pure fused VPU work,
@@ -251,6 +252,25 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
 
     def param(j):
         return gather_small(sa.bsdf_params[j], lane_bsdf)
+
+    if wavelengths is not None:
+        # tpu_spectral: diffuse P_REFL columns hold sigmoid-upsampling
+        # coefficients (core/cie.py); evaluate the reflectance spectrum at
+        # the lane's 3 hero wavelengths and feed it through the existing
+        # texture-override slot. Textured lanes keep the texel rgb as a
+        # flat 3-wavelength approximation.
+        from ..core.cie import eval_reflectance_spectrum as _ers
+        c0, c1, c2 = param(P_REFL), param(P_REFL + 1), param(P_REFL + 2)
+        srefl = Vec3(_ers(c0, c1, c2, wavelengths.x),
+                     _ers(c0, c1, c2, wavelengths.y),
+                     _ers(c0, c1, c2, wavelengths.z))
+        is_diff = lane_type == BSDF_DIFFUSE
+        if tex_refl is not None:
+            srefl = where3(tex_mask, tex_refl, srefl)
+            tex_mask = tex_mask | is_diff
+        else:
+            tex_mask = is_diff
+        tex_refl = srefl
 
     result = None
     for tid in sa.bsdf_types_present:

@@ -1,0 +1,228 @@
+"""CIE colorimetry + spectral upsampling for the spectral variant.
+
+The reference's spectral variants carry 4 wavelengths per lane, convert
+samples to XYZ with tabulated CIE curves (reference src/core/spectrum.cpp)
+and upsample RGB reflectances with the Jakob & Hanika sigmoid-polynomial
+model (ext/rgb2spec). This module re-implements both from their published
+descriptions:
+
+  * analytic CIE 1931 CMF fits (Wyman, Sloan & Shirley 2013, multi-lobe
+    Gaussians) — no tables needed, jit-friendly;
+  * sigmoid-polynomial reflectance upsampling S(lambda) =
+    sigmoid(c2 x^2 + c1 x + c0), coefficients fitted per RGB at scene
+    compile time with a small Gauss-Newton solve (the JH'19 method, fitted
+    here directly rather than read from a precomputed .coeff table).
+
+Wavelengths in nanometers over [360, 830] (MI_WAVELENGTH_MIN/MAX).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+LAMBDA_MIN = 360.0
+LAMBDA_MAX = 830.0
+LAMBDA_RANGE = LAMBDA_MAX - LAMBDA_MIN
+
+# CIE Y integral of the analytic ybar over the range (for luminance norm)
+_XYZ_TO_SRGB = np.array([
+    [3.240479, -1.537150, -0.498535],
+    [-0.969256, 1.875991, 0.041556],
+    [0.055648, -0.204043, 1.057311],
+])
+_SRGB_TO_XYZ = np.linalg.inv(_XYZ_TO_SRGB)
+
+
+def _g(x, mu, s1, s2):
+    """Piecewise Gaussian of Wyman et al."""
+    s = jnp.where(x < mu, s1, s2)
+    t = (x - mu) / s
+    return jnp.exp(-0.5 * t * t)
+
+
+def cie_xbar(lam):
+    return (1.056 * _g(lam, 599.8, 37.9, 31.0)
+            + 0.362 * _g(lam, 442.0, 16.0, 26.7)
+            - 0.065 * _g(lam, 501.1, 20.4, 26.2))
+
+
+def cie_ybar(lam):
+    return (0.821 * _g(lam, 568.8, 46.9, 40.5)
+            + 0.286 * _g(lam, 530.9, 16.3, 31.1))
+
+
+def cie_zbar(lam):
+    return (1.217 * _g(lam, 437.0, 11.8, 36.0)
+            + 0.681 * _g(lam, 459.0, 26.0, 13.8))
+
+
+def d65_spd(lam):
+    """Approximate D65 SPD: Planck at 6504K with a gentle correction,
+    normalized to ~1 at 560nm (the exact tabulated D65 differs by a few
+    percent in the blue; adequate for the v1 spectral variant)."""
+    h = 6.62607015e-34
+    c = 2.99792458e8
+    kb = 1.380649e-23
+    T = 6504.0
+    lm = lam * 1e-9
+    planck = (1.0 / (lm ** 5)) / (jnp.exp(h * c / (lm * kb * T)) - 1.0)
+    lm560 = 560e-9
+    p560 = (1.0 / (lm560 ** 5)) / (np.exp(h * c / (lm560 * kb * T)) - 1.0)
+    return planck / p560
+
+
+# normalization so an SPD-1 (flat) emitter integrates to luminance 1 under
+# uniform wavelength sampling with pdf 1/RANGE
+_Y_INT = None
+
+
+def y_integral() -> float:
+    global _Y_INT
+    if _Y_INT is None:
+        lam = np.linspace(LAMBDA_MIN, LAMBDA_MAX, 2048)
+        _Y_INT = float(np.trapezoid(np.asarray(cie_ybar(jnp.asarray(lam))),
+                                    lam))
+    return _Y_INT
+
+
+def xyz_weights(lam):
+    """CMF weights for MC spectral-to-XYZ conversion (per sample):
+    contribution = value * cmf(lambda) / pdf; caller divides by Y integral."""
+    return cie_xbar(lam), cie_ybar(lam), cie_zbar(lam)
+
+
+def xyz_to_srgb_np(xyz: np.ndarray) -> np.ndarray:
+    return xyz @ _XYZ_TO_SRGB.T
+
+
+def srgb_to_xyz_np(rgb: np.ndarray) -> np.ndarray:
+    return rgb @ _SRGB_TO_XYZ.T
+
+
+# ---------------------------------------------------------------------------
+# Sigmoid-polynomial reflectance upsampling (JH'19 method, self-fitted)
+# ---------------------------------------------------------------------------
+
+def _sigmoid(x):
+    return 0.5 + x / (2.0 * np.sqrt(1.0 + x * x))
+
+
+def _spectrum_np(coeffs, lam):
+    x = (lam - LAMBDA_MIN) / LAMBDA_RANGE * 2.0 - 1.0   # [-1, 1]
+    p = coeffs[2] * x * x + coeffs[1] * x + coeffs[0]
+    return _sigmoid(p)
+
+
+_FIT_LAM = np.linspace(LAMBDA_MIN, LAMBDA_MAX, 128)
+_FIT_X = None
+_FIT_D65 = None
+
+
+def _fit_tables():
+    global _FIT_X, _FIT_D65
+    if _FIT_X is None:
+        lam = jnp.asarray(_FIT_LAM)
+        cm = np.stack([np.asarray(cie_xbar(lam)), np.asarray(cie_ybar(lam)),
+                       np.asarray(cie_zbar(lam))], axis=0)   # (3, L)
+        d65 = np.asarray(d65_spd(lam))
+        # rgb of a spectrum S under D65: RGB = M * ∫ S * D65 * cmf / ∫ D65*ybar
+        norm = np.trapezoid(d65 * cm[1], _FIT_LAM)
+        _FIT_X = (cm * d65[None, :]) / norm                  # (3, L)
+        _FIT_D65 = d65
+    return _FIT_X
+
+
+def rgb_of_coeffs(coeffs: np.ndarray) -> np.ndarray:
+    X = _fit_tables()
+    S = _spectrum_np(coeffs, _FIT_LAM)
+    xyz = np.trapezoid(X * S[None, :], _FIT_LAM, axis=1)
+    return xyz_to_srgb_np(xyz)
+
+
+def fit_reflectance_coeffs(rgb, iters: int = 60) -> np.ndarray:
+    """Fit sigmoid-polynomial coefficients reproducing ``rgb`` under D65
+    illumination (Gauss-Newton on the 3-vector residual)."""
+    rgb = np.clip(np.asarray(rgb, np.float64), 1e-4, 0.9999)
+    # init: flat spectrum at the luminance level
+    y = float(srgb_to_xyz_np(rgb)[1])
+    y = min(max(y, 1e-3), 0.999)
+    c = np.array([np.arctanh(2.0 * y - 1.0) if 0 < y < 1 else 0.0, 0.0, 0.0])
+
+    def residual(c):
+        return rgb_of_coeffs(c) - rgb
+
+    lam_reg = 1e-6
+    r = residual(c)
+    for _ in range(iters):
+        # numeric Jacobian
+        J = np.zeros((3, 3))
+        eps = 1e-4
+        for j in range(3):
+            cp = c.copy()
+            cp[j] += eps
+            J[:, j] = (residual(cp) - r) / eps
+        try:
+            step = np.linalg.solve(J.T @ J + lam_reg * np.eye(3), -J.T @ r)
+        except np.linalg.LinAlgError:
+            break
+        c_new = c + step
+        r_new = residual(c_new)
+        if np.linalg.norm(r_new) < np.linalg.norm(r):
+            c, r = c_new, r_new
+            lam_reg = max(lam_reg * 0.5, 1e-8)
+        else:
+            lam_reg *= 4.0
+        if np.linalg.norm(r) < 1e-5:
+            break
+    return c.astype(np.float32)
+
+
+_D65_Y_NORM = None
+
+
+def d65_y_norm() -> float:
+    """∫ D65(λ)·ȳ(λ) dλ — the luminance normalization used both by the
+    reflectance fit and by emission spectra so a directly-viewed emitter
+    reproduces its RGB exactly after the XYZ→sRGB develop step."""
+    global _D65_Y_NORM
+    if _D65_Y_NORM is None:
+        # pure numpy so this is safe to call inside an active jax trace
+        lam = np.linspace(LAMBDA_MIN, LAMBDA_MAX, 2048)
+
+        def g(x, mu, s1, s2):
+            sd = np.where(x < mu, s1, s2)
+            return np.exp(-0.5 * ((x - mu) / sd) ** 2)
+
+        y = (0.821 * g(lam, 568.8, 46.9, 40.5)
+             + 0.286 * g(lam, 530.9, 16.3, 31.1))
+        h, c, kb, T = 6.62607015e-34, 2.99792458e8, 1.380649e-23, 6504.0
+        lm = lam * 1e-9
+        planck = (1.0 / lm ** 5) / (np.exp(h * c / (lm * kb * T)) - 1.0)
+        lm560 = 560e-9
+        p560 = (1.0 / lm560 ** 5) / (np.exp(h * c / (lm560 * kb * T)) - 1.0)
+        d = planck / p560
+        _D65_Y_NORM = float(np.trapezoid(d * y, lam))
+    return _D65_Y_NORM
+
+
+def eval_emission_spectrum(c0, c1, c2, scale, lam, inv_norm):
+    """Device-side emission SPD: scale · S(coeffs, λ) · D65(λ) / ∫D65·ȳ
+    (reference srgb.cpp emission semantics: chromaticity spectrum × D65,
+    luminance restored by ``scale``). ``inv_norm`` = 1/d65_y_norm()."""
+    return (scale * eval_reflectance_spectrum(c0, c1, c2, lam)
+            * d65_spd(lam) * inv_norm)
+
+
+def eval_reflectance_spectrum(c0, c1, c2, lam):
+    """Device-side sigmoid-polynomial evaluation (per-lane wavelengths)."""
+    x = (lam - LAMBDA_MIN) / LAMBDA_RANGE * 2.0 - 1.0
+    p = c2 * x * x + c1 * x + c0
+    return 0.5 + p / (2.0 * jnp.sqrt(1.0 + p * p))
+
+
+__all__ = ["LAMBDA_MIN", "LAMBDA_MAX", "LAMBDA_RANGE",
+           "cie_xbar", "cie_ybar", "cie_zbar", "d65_spd", "xyz_weights",
+           "y_integral", "fit_reflectance_coeffs", "rgb_of_coeffs",
+           "eval_reflectance_spectrum", "eval_emission_spectrum", "d65_y_norm",
+           "xyz_to_srgb_np", "srgb_to_xyz_np"]

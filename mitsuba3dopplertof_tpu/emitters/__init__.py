@@ -133,12 +133,17 @@ def sample_emitter_index(n_emitters: int, sample_x):
     return index, jnp.float32(n_emitters), scaled - index.astype(scaled.dtype)
 
 
-def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
+def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
+                     wavelengths=None):
     """Emitter sample_direction over the table, masked multi-type,
     component-wise (see core/vec.py for the layout rationale).
 
     Returns (DirectionSample, spec: Vec3) BEFORE visibility testing; the pdf
     includes the discrete emitter-selection probability.
+
+    ``wavelengths`` (tpu_spectral): Vec3 of per-lane hero wavelengths; the
+    radiance is then the emission SPD scale·S(coeffs)·D65/∫D65·ȳ stored at
+    params rows 12:16 instead of the rgb intensity (srgb.cpp emission).
     """
     n = ref_p.x.shape[0]
     n_emitters = int(sa.n_emitters)
@@ -161,6 +166,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
     def mrow(j):
         return gather_small(sa.emitter_m[j], index)
 
+    inten = _lane_intensity(param, wavelengths)
     lane_type = gather_small(sa.emitter_type, index)
 
     best = None
@@ -173,9 +179,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             dist = dist2 * inv_dist
             dirn = d * inv_dist
             inv2 = inv_dist * inv_dist
-            spec = Vec3(param(E_INTENSITY) * inv2,
-                        param(E_INTENSITY + 1) * inv2,
-                        param(E_INTENSITY + 2) * inv2)
+            spec = inten * inv2
             z = jnp.zeros((n,), dtype)
             ds = DirectionSample(p, Vec3(z, z, z), dirn, dist,
                                  jnp.ones((n,), dtype),
@@ -198,8 +202,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             pdf = jnp.where(cos_theta > 1e-6,
                             dist2 / (jnp.abs(cos_theta) * area), 0.0)
             w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
-            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
-                        param(E_INTENSITY + 2) * w)
+            spec = inten * w
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         elif tid == EMITTER_DIRECTIONAL:
@@ -209,8 +212,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             radius = jnp.asarray(sa.bsphere_radius, dtype)
             dist = jnp.full((n,), 2.0, dtype) * radius
             p = ref_p + dirn * dist
-            spec = Vec3(param(E_INTENSITY), param(E_INTENSITY + 1),
-                        param(E_INTENSITY + 2))
+            spec = inten
             ds = DirectionSample(p, dl, dirn, dist,
                                  jnp.ones((n,), dtype),
                                  jnp.ones((n,), bool), index)
@@ -229,9 +231,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             cb = param(E_BEAM)
             fall = jnp.clip((cos_a - cc) / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
             inv2 = inv_dist * inv_dist * fall
-            spec = Vec3(param(E_INTENSITY) * inv2,
-                        param(E_INTENSITY + 1) * inv2,
-                        param(E_INTENSITY + 2) * inv2)
+            spec = inten * inv2
             z = jnp.zeros((n,), dtype)
             ds = DirectionSample(pos, Vec3(z, z, z), dirn, dist,
                                  jnp.where(cos_a > cc, 1.0, 0.0),
@@ -256,8 +256,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             v = 0.5 * (1.0 - ly / jnp.maximum(lz, 1e-6) / th)
             inside = inside & (u >= 0) & (u < 1) & (v >= 0) & (v < 1)
             texid = param(E_BEAM).astype(jnp.int32)
-            base = Vec3(param(E_INTENSITY), param(E_INTENSITY + 1),
-                        param(E_INTENSITY + 2))
+            base = inten
             if int(sa.n_textures) > 0:
                 from ..textures import eval_texture
                 tx = eval_texture(sa, jnp.maximum(texid, 0), u, v)
@@ -306,8 +305,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             # two-sided mesh emitters emit from the front only (area.cpp)
             pdf = jnp.where(cos_theta > 0.0, pdf, 0.0)
             w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
-            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
-                        param(E_INTENSITY + 2) * w)
+            spec = inten * w
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         elif tid == EMITTER_ENVMAP:
@@ -321,8 +319,7 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
             p = ref_p + dirn * dist
             pdf = jnp.full((n,), 1.0 / (4.0 * np.pi), dtype)
             w = 4.0 * np.pi
-            spec = Vec3(param(E_INTENSITY) * w, param(E_INTENSITY + 1) * w,
-                        param(E_INTENSITY + 2) * w)
+            spec = inten * w
             ds = DirectionSample(p, -dirn, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         else:
@@ -348,6 +345,21 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y):
         ds = ds._replace(pdf=ds.pdf * (1.0 / float(n_emitters)))
         spec = spec * float(n_emitters)
     return ds, spec
+
+
+def _lane_intensity(param, wavelengths):
+    """Per-lane emitter radiance/intensity triplet: the rgb columns
+    (tpu_rgb) or the emission SPD at 3 hero wavelengths (tpu_spectral;
+    scale·S(coeffs)·D65/∫D65·ȳ with coeffs at rows 12:15, scale at 15)."""
+    if wavelengths is None:
+        return Vec3(param(E_INTENSITY), param(E_INTENSITY + 1),
+                    param(E_INTENSITY + 2))
+    from ..core.cie import eval_emission_spectrum, d65_y_norm
+    c0, c1, c2, scale = param(12), param(13), param(14), param(15)
+    inv_n = 1.0 / d65_y_norm()
+    return Vec3(eval_emission_spectrum(c0, c1, c2, scale, wavelengths.x, inv_n),
+                eval_emission_spectrum(c0, c1, c2, scale, wavelengths.y, inv_n),
+                eval_emission_spectrum(c0, c1, c2, scale, wavelengths.z, inv_n))
 
 
 def pdf_direction(sa, ds: DirectionSample):
@@ -380,18 +392,21 @@ def pdf_direction(sa, ds: DirectionSample):
     return pdf * (1.0 / float(n_emitters))
 
 
-def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter):
+def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter,
+                     wavelengths=None):
     """Radiance of an emitter hit by a ray (reference area.cpp eval:82-90):
     area emitters emit radiance from the front side only. ``towards`` is the
     direction from the surface toward the viewer (-ray.d)."""
     from ..render.scene import gather_small
     idx = jnp.maximum(lane_emitter, 0)
+
+    def param(j):
+        return gather_small(sa.emitter_params[j], idx)
+
     front = dot(si_n, towards) > 0.0
     ok = (lane_emitter >= 0) & front
     w = jnp.where(ok, 1.0, 0.0)
-    return Vec3(gather_small(sa.emitter_params[E_INTENSITY], idx) * w,
-                gather_small(sa.emitter_params[E_INTENSITY + 1], idx) * w,
-                gather_small(sa.emitter_params[E_INTENSITY + 2], idx) * w)
+    return _lane_intensity(param, wavelengths) * w
 
 
 __all__ = [

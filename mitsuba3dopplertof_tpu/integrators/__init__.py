@@ -57,6 +57,10 @@ def mis_weight(pdf_a, pdf_b):
 
 
 class Integrator:
+    # tpu_spectral support: "hero" = draws hero wavelengths and evaluates
+    # spectrally; "neutral" = purely geometric output, wavelength-free;
+    # None = not supported under the spectral variant.
+    spectral_mode = None
     """Base (reference integrator.cpp:22-28)."""
 
     def __init__(self, props: Properties):
@@ -257,10 +261,54 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
         ray, ray_weight = sensor_sample_ray_kind(
             sensor_params, lens_params, time, adj_x, adj_y, ap_x, ap_y)
 
-        out = integrator.sample(sa, sampler, state, ray, active)
+        spectral = bool(sa.spectral) and integrator.spectral_mode == "hero"
+        if sa.spectral and integrator.spectral_mode is None:
+            raise RuntimeError(
+                f"integrator '{type(integrator).__name__}' does not support "
+                "the tpu_spectral variant yet (path / dopplertofpath / "
+                "velocity / depth do)")
+        if spectral:
+            # hero-wavelength sampling: one uniform draw -> 3 rotated
+            # wavelengths riding the Vec3 channels (the reference's
+            # spectral variants draw wavelength_sample right after the
+            # sensor-sample draws, integrator.cpp:497-499 — with the pixel
+            # correlation gate under the doppler sampler)
+            from ..core.cie import LAMBDA_MIN, LAMBDA_RANGE
+            if is_doppler:
+                wls, state = sampler.next_1d_correlate(state, active,
+                                                       correlate_pixel)
+            else:
+                wls, state = sampler.next_1d(state, active)
+
+            def hero(k):
+                u = wls + k * (1.0 / 3.0)
+                u = u - jnp.floor(u)
+                return LAMBDA_MIN + u * LAMBDA_RANGE
+            wavelengths = Vec3(hero(0), hero(1), hero(2))
+            out = integrator.sample(sa, sampler, state, ray, active,
+                                    wavelengths=wavelengths)
+        else:
+            out = integrator.sample(sa, sampler, state, ray, active)
         spec, valid, state = out[0], out[1], out[2]
         aovs = out[3] if len(out) > 3 else []
         spec = spec * ray_weight
+
+        if spectral:
+            # per-lane MC spectral->XYZ->sRGB (linear, so converting before
+            # the splat == converting at develop): XYZ = (range/3) * sum_i
+            # v_i * cmf(lambda_i)   (pdf of each hero wavelength = 1/range)
+            from ..core import cie as _cie
+            K = _cie.LAMBDA_RANGE / 3.0
+            xs = [_cie.xyz_weights(l) for l in
+                  (wavelengths.x, wavelengths.y, wavelengths.z)]
+            vals = (spec.x, spec.y, spec.z)
+            X = K * sum(v * c[0] for v, c in zip(vals, xs))
+            Y = K * sum(v * c[1] for v, c in zip(vals, xs))
+            Z = K * sum(v * c[2] for v, c in zip(vals, xs))
+            M = _cie._XYZ_TO_SRGB
+            spec = Vec3(M[0, 0] * X + M[0, 1] * Y + M[0, 2] * Z,
+                        M[1, 0] * X + M[1, 1] * Y + M[1, 2] * Z,
+                        M[2, 0] * X + M[2, 1] * Y + M[2, 2] * Z)
 
         one = jnp.ones((n,), jnp.float32)
         if has_alpha:
@@ -330,7 +378,7 @@ def _apply_normal_maps(sa, si):
 
 
 def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
-               modulation_weight=None, use_correlate=False):
+               modulation_weight=None, use_correlate=False, wavelengths=None):
     n = ray.o.x.shape[0]
     f32 = jnp.float32
 
@@ -387,7 +435,8 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         if any_emission:
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
-                                                 lane_emitter)
+                                                 lane_emitter,
+                                                 wavelengths=wavelengths)
             else:
                 em_val = Vec3.zeros((n,))
             if has_env:
@@ -439,7 +488,8 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         nee, state = draw_2d(state, active, correlate)
         if sa.n_emitters > 0:
             ds, em_weight = em_mod.sample_direction(sa, si.p, ray.time,
-                                                    nee[0], nee[1])
+                                                    nee[0], nee[1],
+                                                    wavelengths=wavelengths)
             active_em = active_em & (ds.pdf != 0.0)
             shadow_ray = si.spawn_ray_to(ds.p)
             occluded = ray_test(sa, shadow_ray, active_em)
@@ -467,7 +517,8 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         else:
             tex_mask = tex_refl = None
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
-                                  s1, s2[0], s2[1], tex_refl, tex_mask)
+                                  s1, s2[0], s2[1], tex_refl, tex_mask,
+                                  wavelengths=wavelengths)
 
         # ------------- NEE contribution (path.cpp:212-226) ---------------
         if sa.n_emitters > 0:
@@ -526,9 +577,12 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
 class PathIntegrator(MonteCarloIntegrator):
     """MIS path tracer (reference src/integrators/path.cpp)."""
 
-    def sample(self, sa, sampler, state, ray, active):
+    spectral_mode = "hero"
+
+    def sample(self, sa, sampler, state, ray, active, wavelengths=None):
         return _path_loop(self, sa, sampler, state, ray, active,
-                          modulation_weight=None, use_correlate=False)
+                          modulation_weight=None, use_correlate=False,
+                          wavelengths=wavelengths)
 
 
 @register_plugin("integrator", "dopplertofpath")
@@ -580,19 +634,24 @@ class DopplerToFPathIntegrator(MonteCarloIntegrator):
         s_t = eval_modulation(t2, self.wave_function_type)
         return s_t * g_t
 
-    def sample(self, sa, sampler, state, ray, active):
+    spectral_mode = "hero"
+
+    def sample(self, sa, sampler, state, ray, active, wavelengths=None):
         # ray-time wrap into [0, T) (dopplertofpath.cpp:93)
         wrapped = jnp.where(ray.time < self.time, ray.time,
                             ray.time - self.time)
         ray = ray._replace(time=wrapped)
         return _path_loop(self, sa, sampler, state, ray, active,
                           modulation_weight=self.eval_modulation_weight,
-                          use_correlate=True)
+                          use_correlate=True,
+                          wavelengths=wavelengths)
 
 
 @register_plugin("integrator", "velocity")
 class VelocityIntegrator(MonteCarloIntegrator):
     """Ground-truth radial velocity (reference velocity.cpp:125-137)."""
+
+    spectral_mode = "neutral"
 
     def __init__(self, props: Properties):
         super().__init__(props)
@@ -613,6 +672,8 @@ class VelocityIntegrator(MonteCarloIntegrator):
 @register_plugin("integrator", "depth")
 class DepthIntegrator(SamplingIntegrator):
     """reference src/integrators/depth.cpp — first-hit distance."""
+
+    spectral_mode = "neutral"
 
     def sample(self, sa, sampler, state, ray, active):
         si = ray_intersect(sa, ray, active)

@@ -62,7 +62,7 @@ class SceneArrays:
         "emitter_types_present", "n_emitters", "has_environment",
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
-        "mesh_em_meta", "sensor_medium", "n_media",
+        "mesh_em_meta", "sensor_medium", "n_media", "spectral",
     ]
 
     def __init__(self, **kw):
@@ -124,6 +124,15 @@ class Scene:
         from ..bsdfs import Diffuse, N_BSDF_PARAMS
         from ..emitters import N_EMITTER_PARAMS, E_AREA
         from ..core.properties import Properties
+
+        import mitsuba3dopplertof_tpu as _mi0
+        spectral = _mi0.variant() == "tpu_spectral"
+        mono = _mi0.variant() == "tpu_mono"
+
+        def _lum(rgb3):
+            # ITU-R BT.709 luminance, the reference's luminance() used when
+            # its mono variants collapse rgb inputs (spectrum.h)
+            return 0.2126 * rgb3[0] + 0.7152 * rgb3[1] + 0.0722 * rgb3[2]
 
         # --- BSDF table (deduplicated by identity) -----------------------
         bsdf_objs: List[Any] = []
@@ -204,12 +213,38 @@ class Scene:
                      else np.zeros(1, np.int32))
         atlas_np = (np.concatenate(atlas, axis=0) if atlas
                     else np.zeros((1, 3), np.float32))
+        if mono and atlas:
+            la = (0.2126 * atlas_np[:, 0] + 0.7152 * atlas_np[:, 1]
+                  + 0.0722 * atlas_np[:, 2])
+            atlas_np = np.stack([la, la, la], axis=1)
+
 
         if not bsdf_objs:
             bsdf_objs.append(Diffuse(Properties("diffuse")))
         bsdf_type = np.array([b.type_id for b in bsdf_objs], np.int32)
         bsdf_flags = np.array([b.flags for b in bsdf_objs], np.int32)
         bsdf_params = np.stack([b.params_row() for b in bsdf_objs]).T
+
+        if mono:
+            from ..bsdfs import P_REFL
+            for bi in range(len(bsdf_objs)):
+                rgb = bsdf_params[P_REFL:P_REFL + 3, bi]
+                if rgb.max() > 0:
+                    bsdf_params[P_REFL:P_REFL + 3, bi] = _lum(rgb)
+        if spectral:
+            # replace reflectance rgb with sigmoid-upsampling coefficients
+            # (JH'19 method, core/cie.py) — P_REFL columns hold (c0, c1, c2)
+            # only diffuse rows: other types read P_REFL as an rgb tint and
+            # keep the rgb-as-3-wavelength approximation (documented v1 limit)
+            from ..core import cie as _cie
+            from ..bsdfs import P_REFL, BSDF_DIFFUSE
+            for bi, b in enumerate(bsdf_objs):
+                if b.type_id != BSDF_DIFFUSE:
+                    continue
+                rgb = bsdf_params[P_REFL:P_REFL + 3, bi]
+                if rgb.max() > 0:
+                    bsdf_params[P_REFL:P_REFL + 3, bi] = \
+                        _cie.fit_reflectance_coeffs(rgb)
 
         # --- emitter table ------------------------------------------------
         from ..emitters import EMITTER_AREA_RECT, EMITTER_AREA_MESH
@@ -236,6 +271,22 @@ class Scene:
         n_emitters = len(self.emitters)
         emitter_params = (np.stack(emitter_rows).T if emitter_rows
                           else np.zeros((N_EMITTER_PARAMS, 0)))
+        if mono and n_emitters:
+            from ..emitters import E_INTENSITY
+            for ei in range(n_emitters):
+                rgb = emitter_params[E_INTENSITY:E_INTENSITY + 3, ei]
+                emitter_params[E_INTENSITY:E_INTENSITY + 3, ei] = _lum(rgb)
+        if spectral and n_emitters:
+            # emission spectra: scale * S(coeffs) * D65n; coeffs fit the
+            # chromaticity, scale restores the luminance (srgb.cpp emission)
+            from ..core import cie as _cie
+            from ..emitters import E_INTENSITY
+            for ei in range(n_emitters):
+                rgb = emitter_params[E_INTENSITY:E_INTENSITY + 3, ei]
+                peak = max(float(rgb.max()), 1e-9)
+                coeffs = _cie.fit_reflectance_coeffs(rgb / peak)
+                emitter_params[12:15, ei] = coeffs
+                emitter_params[15, ei] = peak
         emitter_type = np.array(emitter_types, np.int32)
         emitter_m = (np.stack(emitter_mats).T if emitter_mats
                      else np.zeros((12, 0)))
@@ -477,7 +528,8 @@ class Scene:
             emitter_types_present=tuple(sorted(set(int(t) for t in emitter_type))),
             n_emitters=n_emitters,
             has_environment=env is not None,
-            env_radiance=tuple(float(x) for x in env_radiance),
+            env_radiance=(lambda e: ((_lum(e),) * 3 if mono else e))(
+                tuple(float(x) for x in env_radiance)),
             bsdf_flags_host=tuple(int(f) for f in bsdf_flags),
             tex_types_present=tuple(sorted(set(int(t) for t in tex_types))),
             n_textures=len(tex_objs),
@@ -489,6 +541,7 @@ class Scene:
             mesh_em_meta=tuple(mesh_em_meta),
             sensor_medium=sensor_medium,
             n_media=len(media_objs),
+            spectral=spectral,
             **kw,
         )
         return self._compiled

@@ -1,0 +1,106 @@
+"""tpu_spectral variant: hero-wavelength rendering with sigmoid spectral
+upsampling (reference's spectral variants: src/core/spectrum.cpp CIE
+machinery + ext/rgb2spec upsampling; here re-derived analytically in
+core/cie.py)."""
+
+import numpy as np
+import pytest
+
+import mitsuba3dopplertof_tpu as mi
+from mitsuba3dopplertof_tpu.core import cie
+
+
+@pytest.fixture(autouse=True)
+def _restore_variant():
+    yield
+    mi.set_variant("tpu_rgb")
+
+
+def test_fit_roundtrip():
+    """rgb -> sigmoid coefficients -> rgb under D65 must round-trip."""
+    for rgb in ([0.725, 0.71, 0.68], [0.63, 0.065, 0.05],
+                [0.14, 0.45, 0.091], [0.1, 0.2, 0.8], [0.5, 0.5, 0.5]):
+        c = cie.fit_reflectance_coeffs(rgb)
+        back = cie.rgb_of_coeffs(np.asarray(c, np.float64))
+        assert np.abs(back - np.asarray(rgb)).max() < 2e-3, (rgb, back)
+
+
+def test_cmf_peaks():
+    """Analytic CMFs peak near the canonical wavelengths."""
+    lam = np.linspace(380.0, 780.0, 2001)
+    import jax.numpy as jnp
+    x = np.asarray(cie.cie_xbar(jnp.asarray(lam)))
+    y = np.asarray(cie.cie_ybar(jnp.asarray(lam)))
+    z = np.asarray(cie.cie_zbar(jnp.asarray(lam)))
+    assert abs(lam[x.argmax()] - 599.8) < 5
+    assert abs(lam[y.argmax()] - 555.0) < 10
+    assert abs(lam[z.argmax()] - 445.0) < 10
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    mi.set_variant("tpu_rgb")
+    s_rgb = mi.load_file("/root/reference/configs_example/scene.xml",
+                         resx=8, resy=8)
+    mi.set_variant("tpu_spectral")
+    s_sp = mi.load_file("/root/reference/configs_example/scene.xml",
+                        resx=8, resy=8)
+    mi.set_variant("tpu_rgb")
+    return s_rgb, s_sp
+
+
+def test_spectral_matches_rgb_render(scenes):
+    """A spectral render of an rgb-textured scene converges to the rgb
+    render (up to metamerism, a few percent on saturated albedos)."""
+    s_rgb, s_sp = scenes
+    integ = {"type": "path", "max_depth": 4}
+    mi.set_variant("tpu_rgb")
+    a = np.asarray(mi.load_dict(integ).render(s_rgb, seed=0, spp=128))
+    mi.set_variant("tpu_spectral")
+    b = np.asarray(mi.load_dict(integ).render(s_sp, seed=0, spp=128))
+    ratio = b[..., :3].mean() / a[..., :3].mean()
+    assert abs(ratio - 1.0) < 0.08, ratio
+
+
+def test_spectral_homodyne_limit(scenes):
+    """dopplertofpath under tpu_spectral keeps the homodyne identity
+    (w_g -> 0, hetero 0): image == 0.25 x path image."""
+    _, s_sp = scenes
+    mi.set_variant("tpu_spectral")
+    homo = mi.load_dict({
+        "type": "dopplertofpath", "max_depth": 4, "w_g": 1e-4,
+        "hetero_frequency": 0.0, "hetero_offset": 0.0,
+        "time_sampling_method": "uniform", "path_correlation_depth": 0})
+    path = mi.load_dict({"type": "path", "max_depth": 4})
+    a = np.asarray(homo.render(s_sp, seed=0, spp=64))
+    b = np.asarray(path.render(s_sp, seed=0, spp=64))
+    ratio = a[..., :3].mean() / (0.25 * b[..., :3].mean())
+    assert abs(ratio - 1.0) < 0.02, ratio
+
+
+def test_mono_variant(scenes):
+    """tpu_mono collapses all color inputs to BT.709 luminance: the three
+    output channels are identical and equal the rgb render's luminance."""
+    s_rgb, _ = scenes
+    mi.set_variant("tpu_mono")
+    s_mono = mi.load_file("/root/reference/configs_example/scene.xml",
+                          resx=8, resy=8)
+    integ = {"type": "path", "max_depth": 4}
+    m = np.asarray(mi.load_dict(integ).render(s_mono, seed=0, spp=64))
+    assert np.allclose(m[..., 0], m[..., 1])
+    assert np.allclose(m[..., 1], m[..., 2])
+    mi.set_variant("tpu_rgb")
+    r = np.asarray(mi.load_dict(integ).render(s_rgb, seed=0, spp=64))
+    lum = 0.2126 * r[..., 0] + 0.7152 * r[..., 1] + 0.0722 * r[..., 2]
+    assert abs(m[..., 0].mean() / lum.mean() - 1.0) < 0.02
+
+
+def test_neutral_and_unsupported(scenes):
+    _, s_sp = scenes
+    mi.set_variant("tpu_spectral")
+    v = np.asarray(mi.load_dict({"type": "velocity", "time": 0.0015})
+                   .render(s_sp, seed=0, spp=4))
+    assert np.isfinite(v).all()
+    with pytest.raises(RuntimeError, match="tpu_spectral"):
+        mi.load_dict({"type": "volpath", "max_depth": 4}).render(
+            s_sp, seed=0, spp=4)

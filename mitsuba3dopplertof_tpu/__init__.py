@@ -66,7 +66,8 @@ def render(scene: Scene, spp: int = 0, seed: int = 0, sensor=None,
 
 _VARIANT = "tpu_rgb"
 
-_KNOWN_VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono"]
+_KNOWN_VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono",
+                   "tpu_rgb_polarized"]
 
 
 def variants():

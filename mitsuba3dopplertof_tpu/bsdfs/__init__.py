@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import math
 import numpy as np
 import jax.numpy as jnp
 
@@ -962,41 +963,60 @@ class PPlastic(Plastic):
     plastic in the unpolarized RGB variant."""
 
 
+BSDF_POLARIZER = 12
+BSDF_RETARDER = 13
+BSDF_CIRCULAR = 14
+P_POL_THETA = 4     # element rotation angle (radians) for polarizer/retarder
+P_POL_DELTA = 5     # retarder phase difference (radians)
+
+
 @register_plugin("bsdf", "polarizer")
 class Polarizer(Null):
-    """Linear polarizer (reference src/bsdfs/polarizer.cpp). Unpolarized
-    variant: delta transmission attenuated by the Malus average 0.5."""
+    """Linear polarizer (reference src/bsdfs/polarizer.cpp). In tpu_rgb
+    (unpolarized) the delta transmission is attenuated by the Malus average
+    0.5; under tpu_rgb_polarized the exact rotated linear-polarizer Mueller
+    matrix is applied (integrators/polarized.py)."""
+
+    type_id = BSDF_POLARIZER
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.mark_queried("theta")
-        self.transmittance = 0.5
+        self.theta = math.radians(props.get_float("theta", 0.0))
+        t = props.get_float("transmittance", 1.0)
+        self.transmittance = (t, t, t)
 
     def params_row(self):
         p = np.zeros(N_BSDF_PARAMS)
         p[P_REFL:P_REFL + 3] = self.transmittance
+        p[P_POL_THETA] = self.theta
         return p
 
 
 @register_plugin("bsdf", "retarder")
 class Retarder(Null):
     """Wave retarder (reference src/bsdfs/retarder.cpp); identity on
-    intensity in the unpolarized variant."""
+    intensity, phase shift between fast/slow axes in polarized mode."""
+
+    type_id = BSDF_RETARDER
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.mark_queried("theta")
-        props.mark_queried("delta")
+        self.theta = math.radians(props.get_float("theta", 0.0))
+        self.delta = math.radians(props.get_float("delta", 90.0))
 
     def params_row(self):
         p = np.zeros(N_BSDF_PARAMS)
         p[P_REFL:P_REFL + 3] = 1.0
+        p[P_POL_THETA] = self.theta
+        p[P_POL_DELTA] = self.delta
         return p
 
 
 @register_plugin("bsdf", "circular")
 class CircularPolarizer(Polarizer):
     """Circular polarizer (reference src/bsdfs/circular.cpp)."""
+
+    type_id = BSDF_CIRCULAR
 
 
 @register_plugin("bsdf", "measured")
@@ -1141,6 +1161,26 @@ def _principled_dispatch(param, wi, wo_nee, s1, s2x, s2y):
 
 
 _DISPATCH[BSDF_PRINCIPLED] = _principled_dispatch
+
+
+def _polarizer_like_dispatch(factor):
+    """Null-style delta transmission scaled by factor x P_REFL transmittance
+    (reference polarizer.cpp unpolarized branch: 0.5 * transmittance)."""
+
+    def fn(param, wi, wo_nee, s1, s2x, s2y):
+        z = jnp.zeros_like(wi.z)
+        ones = jnp.ones_like(wi.z)
+        true_ = ones > 0.0
+        w = Vec3(param(P_REFL) * factor, param(P_REFL + 1) * factor,
+                 param(P_REFL + 2) * factor)
+        return BSDFSampleResult(Vec3(z, z, z), z, -wi, w, ones,
+                                ones, true_, true_)
+    return fn
+
+
+_DISPATCH[BSDF_POLARIZER] = _polarizer_like_dispatch(0.5)
+_DISPATCH[BSDF_RETARDER] = _polarizer_like_dispatch(1.0)
+_DISPATCH[BSDF_CIRCULAR] = _polarizer_like_dispatch(0.5)
 
 
 P_NMAP_TEX = 15   # normal-map texture id (-1 = none); applies to any row

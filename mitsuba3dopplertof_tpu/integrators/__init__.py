@@ -217,6 +217,8 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
     is_doppler = integrator.is_doppler
     correlate_pixel = integrator.path_correlation_depth > 0
     n = W * H * spp_per_pass
+    if hasattr(integrator, "set_sensor"):
+        integrator.set_sensor(sensor)
 
     def pass_fn_raw(sa: SceneArrays, block, state):
         lane = jnp.arange(n, dtype=jnp.uint32)
@@ -267,7 +269,15 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
                 f"integrator '{type(integrator).__name__}' does not support "
                 "the tpu_spectral variant yet (path / dopplertofpath / "
                 "velocity / depth do)")
-        if spectral:
+        if getattr(sa, "polarized", False) and hasattr(integrator,
+                                                       "sample_stokes") \
+                and type(integrator).__name__ != "StokesIntegrator":
+            # polarized variant: path-style integrators trace Mueller
+            # throughput; the film image is the S0 component
+            S, valid, state = integrator.sample_stokes(sa, sampler, state,
+                                                       ray, active)
+            out = (S[0], valid, state)
+        elif spectral:
             # hero-wavelength sampling: one uniform draw -> 3 rotated
             # wavelengths riding the Vec3 channels (the reference's
             # spectral variants draw wavelength_sample right after the
@@ -584,6 +594,12 @@ class PathIntegrator(MonteCarloIntegrator):
                           modulation_weight=None, use_correlate=False,
                           wavelengths=wavelengths)
 
+    def sample_stokes(self, sa, sampler, state, ray, active):
+        from .polarized import _path_loop_polarized
+        return _path_loop_polarized(self, sa, sampler, state, ray, active,
+                                    modulation_weight=None,
+                                    use_correlate=False)
+
 
 @register_plugin("integrator", "dopplertofpath")
 class DopplerToFPathIntegrator(MonteCarloIntegrator):
@@ -646,6 +662,15 @@ class DopplerToFPathIntegrator(MonteCarloIntegrator):
                           use_correlate=True,
                           wavelengths=wavelengths)
 
+    def sample_stokes(self, sa, sampler, state, ray, active):
+        from .polarized import _path_loop_polarized
+        wrapped = jnp.where(ray.time < self.time, ray.time,
+                            ray.time - self.time)
+        ray = ray._replace(time=wrapped)
+        return _path_loop_polarized(self, sa, sampler, state, ray, active,
+                                    modulation_weight=self.eval_modulation_weight,
+                                    use_correlate=True)
+
 
 @register_plugin("integrator", "velocity")
 class VelocityIntegrator(MonteCarloIntegrator):
@@ -682,6 +707,7 @@ class DepthIntegrator(SamplingIntegrator):
 
 
 from . import extras  # noqa: E402,F401  (registers direct/aov/moment)
+from . import polarized as _polarized  # noqa: E402,F401  (registers stokes)
 from . import volpath as _volpath  # noqa: E402,F401  (registers volpath/volpathmis)
 from . import ptracer as _ptracer  # noqa: E402,F401  (registers ptracer)
 

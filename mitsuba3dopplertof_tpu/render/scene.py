@@ -63,6 +63,7 @@ class SceneArrays:
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
+        "polarized",
     ]
 
     def __init__(self, **kw):
@@ -128,6 +129,7 @@ class Scene:
         import mitsuba3dopplertof_tpu as _mi0
         spectral = _mi0.variant() == "tpu_spectral"
         mono = _mi0.variant() == "tpu_mono"
+        polarized = _mi0.variant() == "tpu_rgb_polarized"
 
         def _lum(rgb3):
             # ITU-R BT.709 luminance, the reference's luminance() used when
@@ -542,6 +544,7 @@ class Scene:
             sensor_medium=sensor_medium,
             n_media=len(media_objs),
             spectral=spectral,
+            polarized=polarized,
             **kw,
         )
         return self._compiled

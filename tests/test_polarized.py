@@ -1,0 +1,153 @@
+"""tpu_rgb_polarized variant: Mueller-calculus transport + the stokes
+integrator (reference mueller.h, stokes.cpp, polarizer.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba3dopplertof_tpu as mi
+from mitsuba3dopplertof_tpu.core import mueller as mu
+from mitsuba3dopplertof_tpu.core import transform as tf
+from mitsuba3dopplertof_tpu.core.vec import Vec3
+
+
+@pytest.fixture(autouse=True)
+def _restore_variant():
+    yield
+    mi.set_variant("tpu_rgb")
+
+
+# ---------------------------------------------------------------------------
+# unit level
+# ---------------------------------------------------------------------------
+
+def test_malus_chain():
+    n = 3
+    z = jnp.zeros(n)
+    o = jnp.ones(n)
+    S = (Vec3(o, o, o), Vec3(z, z, z), Vec3(z, z, z), Vec3(z, z, z))
+    for dt in (0.0, np.pi / 6, np.pi / 4, np.pi / 2):
+        P1 = mu.rotated_element(z, mu.linear_polarizer(1.0, like=z))
+        P2 = mu.rotated_element(jnp.full(n, dt),
+                                mu.linear_polarizer(1.0, like=z))
+        out = mu.mm_apply_stokes(mu.mm_mul(P2, P1), S)
+        assert abs(float(out[0].x[0]) - 0.5 * np.cos(dt) ** 2) < 1e-6
+
+
+def test_fresnel_polarized_matches_scalar():
+    from mitsuba3dopplertof_tpu.core.fresnel import (fresnel_dielectric,
+                                                     fresnel_conductor)
+    n = 2
+    z = jnp.zeros(n)
+    ci = jnp.full(n, np.cos(np.deg2rad(50.0)))
+    a_s, a_p, _, _, _ = mu.fresnel_polarized(ci, jnp.full(n, 1.5), z)
+    F = fresnel_dielectric(ci, 1.5)[0]
+    avg = 0.5 * (mu._c_abs2(a_s) + mu._c_abs2(a_p))
+    assert abs(float(avg[0]) - float(F[0])) < 1e-6
+    # conductor Mueller (0,0) element == scalar fresnel_conductor
+    M = mu.specular_reflection_mueller(
+        ci, (jnp.full(n, 0.2),) * 3, (jnp.full(n, 3.9),) * 3)
+    fc = fresnel_conductor(ci, jnp.full(n, 0.2), jnp.full(n, 3.9))
+    assert abs(float(M[0].x[0]) - float(np.asarray(fc)[0])) < 1e-5
+
+
+def test_brewster_angle():
+    n = 2
+    cb = jnp.full(n, np.cos(np.arctan(1.5)))
+    _, a_p, _, _, _ = mu.fresnel_polarized(cb, jnp.full(n, 1.5),
+                                           jnp.zeros(n))
+    assert float(mu._c_abs2(a_p)[0]) < 1e-10
+
+
+def test_quarter_wave_plate():
+    n = 2
+    z = jnp.zeros(n)
+    o = jnp.ones(n)
+    S45 = (Vec3(o, o, o), Vec3(z, z, z), Vec3(o, o, o), Vec3(z, z, z))
+    out = mu.mm_apply_stokes(mu.linear_retarder(jnp.full(n, np.pi / 2)), S45)
+    assert abs(abs(float(out[3].x[0])) - 1.0) < 1e-5
+    assert abs(float(out[1].x[0])) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# render level
+# ---------------------------------------------------------------------------
+
+def _plate_scene(plates, spp=32):
+    d = {
+        "type": "scene",
+        "emitter": {"type": "constant",
+                    "radiance": {"type": "rgb", "value": 1.0}},
+        "sensor": {"type": "perspective", "fov": 10,
+                   "to_world": tf.look_at([0, 0, -2], [0, 0, 1], [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 2, "height": 2},
+                   "sampler": {"type": "independent", "sample_count": spp}},
+        "integrator": {"type": "stokes",
+                       "nested": {"type": "path", "max_depth": 8}},
+    }
+    for i, (bsdf, zpos) in enumerate(plates):
+        d[f"p{i}"] = {"type": "rectangle",
+                      "to_world": tf.translate([0, 0, zpos]), "bsdf": bsdf}
+    return mi.load_dict(d)
+
+
+def _stokes(img):
+    # channels: rgb(3) + 12 aovs (S0..S3 x RGB)
+    return [img[..., 3 + i * 3: 6 + i * 3].mean(axis=-1) for i in range(4)]
+
+
+def test_render_malus_law():
+    """Two ideal polarizers: S0 = 0.5 cos^2(dtheta), crossed -> 0
+    (end-to-end through the stokes integrator)."""
+    mi.set_variant("tpu_rgb_polarized")
+    for t1, t2, expect in ((0.0, 0.0, 0.5), (0.0, 45.0, 0.25),
+                           (0.0, 90.0, 0.0)):
+        sc = _plate_scene([({"type": "polarizer", "theta": t1}, 2.0),
+                           ({"type": "polarizer", "theta": t2}, 1.0)])
+        img = np.asarray(sc.integrator.render(sc, seed=0, spp=16))
+        assert abs(img[..., :3].mean() - expect) < 1e-3, (t1, t2)
+
+
+def test_render_dop_behind_polarizer():
+    mi.set_variant("tpu_rgb_polarized")
+    sc = _plate_scene([({"type": "polarizer", "theta": 0.0}, 2.0)])
+    img = np.asarray(sc.integrator.render(sc, seed=0, spp=16))
+    S = _stokes(img)
+    dop = np.sqrt(S[1] ** 2 + S[2] ** 2 + S[3] ** 2) / np.maximum(S[0], 1e-9)
+    assert np.all(np.abs(dop - 1.0) < 1e-4)
+    assert np.all(np.abs(S[3]) < 1e-4)      # linear, no circular component
+
+
+def test_render_circular_from_qwp():
+    """Polarizer then quarter-wave retarder at 45 deg -> circular light
+    (|S3| = S0)."""
+    mi.set_variant("tpu_rgb_polarized")
+    sc = _plate_scene([({"type": "polarizer", "theta": 0.0}, 2.0),
+                       ({"type": "retarder", "theta": 45.0, "delta": 90.0},
+                        1.0)])
+    img = np.asarray(sc.integrator.render(sc, seed=0, spp=16))
+    S = _stokes(img)
+    circ = np.abs(S[3]) / np.maximum(S[0], 1e-9)
+    assert np.all(circ > 0.99), circ
+
+
+def test_polarized_s0_matches_scalar():
+    """On an all-diffuse scene the Mueller transport's S0 equals the scalar
+    render bit-for-bit (depolarizer bounces only touch column 0)."""
+    integ = {"type": "path", "max_depth": 4}
+    mi.set_variant("tpu_rgb_polarized")
+    sp = mi.load_file("/root/reference/configs_example/scene.xml",
+                      resx=8, resy=8)
+    a = np.asarray(mi.load_dict(integ).render(sp, seed=0, spp=16))
+    mi.set_variant("tpu_rgb")
+    sr = mi.load_file("/root/reference/configs_example/scene.xml",
+                      resx=8, resy=8)
+    b = np.asarray(mi.load_dict(integ).render(sr, seed=0, spp=16))
+    assert np.abs(a[..., :3] - b[..., :3]).max() < 1e-5
+
+
+def test_stokes_requires_polarized_variant():
+    mi.set_variant("tpu_rgb")
+    sc = _plate_scene([({"type": "polarizer", "theta": 0.0}, 2.0)])
+    with pytest.raises(RuntimeError, match="polarized"):
+        sc.integrator.render(sc, seed=0, spp=4)

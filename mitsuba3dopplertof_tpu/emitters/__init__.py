@@ -27,13 +27,14 @@ EMITTER_CONSTANT = 2
 EMITTER_AREA_MESH = 3     # area emitter on an arbitrary mesh (CDF-sampled)
 EMITTER_DIRECTIONAL = 4
 EMITTER_SPOT = 5
+EMITTER_AREA_SPHERE = 9   # area emitter on an analytic sphere (cone-sampled)
 
 N_EMITTER_PARAMS = 16
 # param columns
 E_POS = 0          # point: position / directional: direction
 E_INTENSITY = 3    # point: rgb intensity / area: rgb radiance / constant: rgb
 E_AREA = 6         # area: total world-space surface area
-E_CUTOFF = 7       # spot: cos cutoff
+E_CUTOFF = 7       # spot: cos cutoff / sphere: world radius
 E_BEAM = 8         # spot: cos beam width
 
 
@@ -268,6 +269,41 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
             ds = DirectionSample(pos, Vec3(z, z, z), dirn, dist,
                                  jnp.where(inside, 1.0, 0.0),
                                  jnp.ones((n,), bool), index)
+        elif tid == EMITTER_AREA_SPHERE:
+            # exact solid-angle cone sampling toward the sphere (reference
+            # src/shapes/sphere.cpp sample_direction): uniform in the cone
+            # subtended by the sphere, pdf = 1/(2*pi*(1-cos_theta_max))
+            c = Vec3(param(E_POS), param(E_POS + 1), param(E_POS + 2))
+            r = param(E_CUTOFF)
+            dc = c - ref_p
+            dc2 = jnp.maximum(dot(dc, dc), 1e-20)
+            inv_dc = jax.lax.rsqrt(dc2)
+            dc_len = dc2 * inv_dc
+            dcn = dc * inv_dc
+            outside = dc_len > r * (1.0 + 1e-4)
+            sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+            # cone direction around dcn
+            cos_t = (1.0 - s_y) + s_y * cos_max
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = 2.0 * np.pi * s_x
+            from ..core.vec import coordinate_system as _cs
+            bx, by = _cs(dcn)
+            dirn = (bx * (jnp.cos(phi) * sin_t) + by * (jnp.sin(phi) * sin_t)
+                    + dcn * cos_t)
+            # distance to the near sphere surface along dirn
+            under = r * r - dc2 * (1.0 - cos_t * cos_t)
+            dist = dc_len * cos_t - jnp.sqrt(jnp.maximum(under, 0.0))
+            dist = jnp.maximum(dist, 1e-6)
+            p = ref_p + dirn * dist
+            nrm = (p - c) * (1.0 / jnp.maximum(r, 1e-9))
+            pdf = jnp.where(
+                outside,
+                1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-12), 0.0)
+            w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
+            spec = inten * w
+            ds = DirectionSample(p, nrm, dirn, dist, pdf,
+                                 jnp.zeros((n,), bool), index)
         elif tid == EMITTER_AREA_MESH:
             # triangle-CDF area sampling over the host mesh (static shapes;
             # reference Mesh::sample_position, mesh.cpp build_pmf)
@@ -381,6 +417,21 @@ def pdf_direction(sa, ds: DirectionSample):
             p = jnp.where(cos_theta > 1e-6,
                           dist2 / (jnp.abs(cos_theta)
                                    * jnp.maximum(area, 1e-20)), 0.0)
+        elif tid == EMITTER_AREA_SPHERE:
+            # cone pdf reconstructed from the reference point
+            cx = gather_small(sa.emitter_params[E_POS], idx)
+            cy = gather_small(sa.emitter_params[E_POS + 1], idx)
+            cz = gather_small(sa.emitter_params[E_POS + 2], idx)
+            r = gather_small(sa.emitter_params[E_CUTOFF], idx)
+            ref = ds.p - ds.d * ds.dist
+            dcx, dcy, dcz = cx - ref.x, cy - ref.y, cz - ref.z
+            dc2 = jnp.maximum(dcx * dcx + dcy * dcy + dcz * dcz, 1e-20)
+            sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+            outside = dc2 > (r * r) * (1.0 + 1e-4)
+            p = jnp.where(
+                outside,
+                1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-12), 0.0)
         elif tid == EMITTER_CONSTANT:
             p = jnp.full(ds.dist.shape, 1.0 / (4.0 * np.pi), ds.dist.dtype)
         elif tid == EMITTER_ENVMAP:
@@ -414,6 +465,7 @@ __all__ = [
     "sample_emitter_index", "sample_direction", "pdf_direction",
     "eval_emitter_hit", "N_EMITTER_PARAMS",
     "EMITTER_POINT", "EMITTER_AREA_RECT", "EMITTER_CONSTANT",
+    "EMITTER_AREA_SPHERE",
     "E_POS", "E_INTENSITY", "E_AREA",
 ]
 

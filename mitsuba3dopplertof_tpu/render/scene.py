@@ -262,9 +262,22 @@ class Scene:
             if em.shape is not None:
                 m0, _, _, _ = em.shape.to_world.matrices()
                 mat = m0
-                row[E_AREA] = float(np.sum(em.shape.mesh.surface_areas(m0)))
+                if getattr(em.shape, "is_analytic_sphere", False):
+                    # analytic sphere emitter: cone-sampled NEE
+                    # (emitters EMITTER_AREA_SPHERE; sphere.cpp semantics)
+                    from ..emitters import EMITTER_AREA_SPHERE, E_POS, E_CUTOFF
+                    etype = EMITTER_AREA_SPHERE
+                    r_w = float(np.linalg.norm(m0[:3, 0]))
+                    row[E_POS:E_POS + 3] = m0[:3, 3]
+                    row[E_CUTOFF] = r_w
+                    row[E_AREA] = 4.0 * np.pi * r_w * r_w
+                else:
+                    row[E_AREA] = float(
+                        np.sum(em.shape.mesh.surface_areas(m0)))
                 if (etype == EMITTER_AREA_RECT
-                        and not isinstance(em.shape, RectangleShape)):
+                        and not isinstance(em.shape, RectangleShape)
+                        and not getattr(em.shape, "is_analytic_sphere",
+                                        False)):
                     etype = EMITTER_AREA_MESH
                     mesh_emitter_shapes[ei] = em.shape
             emitter_rows.append(row)

@@ -22,8 +22,125 @@ from ..render.scene import ray_intersect, ray_test, gather_small
 from ..render.types import Ray, DirectionSample
 from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
 from .. import emitters as em_mod
-from ..media import (hg_sample, hg_eval, M_SIGMA_T, M_ALBEDO, M_G)
+from ..media import (hg_sample, hg_eval, M_SIGMA_T, M_ALBEDO, M_G,
+                     M_MAXD, M_GRID_OFF, M_NX, M_NY, M_NZ)
 from . import MonteCarloIntegrator, mis_weight
+
+_DT_STEPS = 64     # delta-tracking collision budget per bounce
+_RT_STEPS = 32     # ratio-tracking steps for shadow transmittance
+
+
+def _grid_density(sa, medium, p: Vec3):
+    """Trilinear density lookup in the flat grid atlas: world point ->
+    [0,1]^3 via the per-medium inverse to_world, zero outside the unit cube
+    (reference gridvolume.cpp eval). Returns sigma_t(x) already scaled by
+    the medium's scale (the atlas stores raw grid values; scale rides in
+    M_SIGMA_T which is gray for grid media)."""
+    idx = jnp.maximum(medium, 0)
+
+    def w2g(j):
+        return gather_small(sa.med_w2g[j], idx)
+
+    def mp(j):
+        return gather_small(sa.med_params[j], idx)
+
+    lx = w2g(0) * p.x + w2g(1) * p.y + w2g(2) * p.z + w2g(3)
+    ly = w2g(4) * p.x + w2g(5) * p.y + w2g(6) * p.z + w2g(7)
+    lz = w2g(8) * p.x + w2g(9) * p.y + w2g(10) * p.z + w2g(11)
+    inside = ((lx >= 0.0) & (lx <= 1.0) & (ly >= 0.0) & (ly <= 1.0)
+              & (lz >= 0.0) & (lz <= 1.0))
+    nx = mp(M_NX).astype(jnp.int32)
+    ny = mp(M_NY).astype(jnp.int32)
+    nz = mp(M_NZ).astype(jnp.int32)
+    off = mp(M_GRID_OFF).astype(jnp.int32)
+    nxf = jnp.maximum(nx.astype(jnp.float32), 1.0)
+    nyf = jnp.maximum(ny.astype(jnp.float32), 1.0)
+    nzf = jnp.maximum(nz.astype(jnp.float32), 1.0)
+    fx = jnp.clip(lx * nxf - 0.5, 0.0, nxf - 1.0)
+    fy = jnp.clip(ly * nyf - 0.5, 0.0, nyf - 1.0)
+    fz = jnp.clip(lz * nzf - 0.5, 0.0, nzf - 1.0)
+    x0 = fx.astype(jnp.int32)
+    y0 = fy.astype(jnp.int32)
+    z0 = fz.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, nx - 1)
+    y1 = jnp.minimum(y0 + 1, ny - 1)
+    z1 = jnp.minimum(z0 + 1, nz - 1)
+    tx = fx - x0.astype(jnp.float32)
+    ty = fy - y0.astype(jnp.float32)
+    tz = fz - z0.astype(jnp.float32)
+
+    def at(x, y, z):
+        lin = off + (z * ny + y) * nx + x
+        return jnp.take(sa.med_grid, jnp.clip(lin, 0,
+                                              sa.med_grid.shape[0] - 1))
+    c00 = at(x0, y0, z0) * (1 - tx) + at(x1, y0, z0) * tx
+    c10 = at(x0, y1, z0) * (1 - tx) + at(x1, y1, z0) * tx
+    c01 = at(x0, y0, z1) * (1 - tx) + at(x1, y0, z1) * tx
+    c11 = at(x0, y1, z1) * (1 - tx) + at(x1, y1, z1) * tx
+    c0 = c00 * (1 - ty) + c10 * ty
+    c1 = c01 * (1 - ty) + c11 * ty
+    dens = c0 * (1 - tz) + c1 * tz
+    scale = gather_small(sa.med_params[M_SIGMA_T], idx)   # gray sigma_t base
+    return jnp.where(inside, dens * scale, 0.0)
+
+
+def _delta_track(sa, sampler, state, ray, medium, t_surf, sigma_bar, alive):
+    """Unbiased free-flight sampling against the majorant sigma_bar
+    (Woodcock/delta tracking; the reference's heterogeneous medium samples
+    the same decision chain, medium.cpp sample_interaction). Returns
+    (t_event, scattered?, state). Lanes that exhaust the step budget
+    without a real collision count as escaped (probability ~e^{-K} for
+    typical optical depths)."""
+    n = t_surf.shape[0]
+    sb = jnp.maximum(sigma_bar, 1e-8)
+
+    def body(_, c):
+        t, done, scat, state = c
+        u1, state = sampler.next_1d(state, alive)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) / sb
+        esc = t_new >= t_surf
+        p = Vec3(ray.o.x + ray.d.x * t_new, ray.o.y + ray.d.y * t_new,
+                 ray.o.z + ray.d.z * t_new)
+        dens = _grid_density(sa, medium, p)
+        u2, state = sampler.next_1d(state, alive)
+        real = u2 < (dens / sb)
+        step = alive & ~done
+        done_now = step & (esc | real)
+        scat = jnp.where(step & ~esc & real, True, scat)
+        t = jnp.where(step, jnp.where(esc, t_surf, t_new), t)
+        done = done | done_now
+        return t, done, scat, state
+
+    t0 = jnp.zeros((n,), jnp.float32)
+    done0 = ~alive
+    scat0 = jnp.zeros((n,), bool)
+    t, done, scat, state = jax.lax.fori_loop(
+        0, _DT_STEPS, body, (t0, done0, scat0, state))
+    return jnp.where(scat, t, t_surf), scat & alive, state
+
+
+def _ratio_track(sa, sampler, state, origin, dirn, dist, medium, sigma_bar,
+                 alive):
+    """Shadow transmittance by ratio tracking: Tr = prod(1 - dens/sb) over
+    majorant-exponential steps (unbiased)."""
+    sb = jnp.maximum(sigma_bar, 1e-8)
+
+    def body(_, c):
+        t, tr, state = c
+        u, state = sampler.next_1d(state, alive)
+        t_new = t - jnp.log(jnp.maximum(1.0 - u, 1e-20)) / sb
+        inside = t_new < dist
+        p = Vec3(origin.x + dirn.x * t_new, origin.y + dirn.y * t_new,
+                 origin.z + dirn.z * t_new)
+        dens = _grid_density(sa, medium, p)
+        tr = jnp.where(alive & inside,
+                       tr * jnp.maximum(1.0 - dens / sb, 0.0), tr)
+        return t_new, tr, state
+
+    t0 = jnp.zeros(dist.shape, jnp.float32)
+    tr0 = jnp.ones(dist.shape, jnp.float32)
+    _, tr, state = jax.lax.fori_loop(0, _RT_STEPS, body, (t0, tr0, state))
+    return tr, state
 
 
 @register_plugin("integrator", "volpath")
@@ -95,6 +212,25 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         al_b = med(M_ALBEDO + 2, medium)
         sig_s = Vec3(st_r * al_r, st_g * al_g, st_b * al_b)
         w_med = where3(hit_med, w_med * sig_s, w_med)
+
+        if sa.any_hetero:
+            # heterogeneous lanes: replace the analytic exponential with
+            # delta tracking against the majorant (unit weight; scatter
+            # events carry sigma_s/sigma_t = albedo)
+            maxd = med(M_MAXD, medium)
+            is_het = in_med & (maxd > 0.0)
+            t_het, scat_het, state = _delta_track(
+                sa, sampler, state, ray, medium, t_surf, maxd,
+                active & is_het)
+            hit_med = jnp.where(is_het, scat_het, hit_med)
+            t_fin = jnp.where(is_het,
+                              jnp.where(scat_het, t_het,
+                                        jnp.where(jnp.isfinite(t_surf),
+                                                  t_surf, 0.0)),
+                              t_fin)
+            alb = Vec3(al_r, al_g, al_b)
+            w_het = where3(scat_het, alb, Vec3.ones((n,)))
+            w_med = where3(is_het, w_het, w_med)
         throughput = throughput * w_med
 
         # ---------------- emission on surface hits / env --------------
@@ -162,6 +298,13 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
             tr_sh = Vec3(jnp.exp(-st_r * ds.dist), jnp.exp(-st_g * ds.dist),
                          jnp.exp(-st_b * ds.dist))
             tr_sh = where3(in_med, tr_sh, Vec3.ones((n,)))
+            if sa.any_hetero:
+                maxd_sh = med(M_MAXD, medium)
+                het_sh = in_med & (maxd_sh > 0.0)
+                tr_h, state = _ratio_track(sa, sampler, state, sh_o, sh_dn,
+                                           sh_dist, medium, maxd_sh,
+                                           active_em & het_sh)
+                tr_sh = where3(het_sh, Vec3(tr_h, tr_h, tr_h), tr_sh)
             nee_ok = active_em & ~occluded
             em_weight = em_weight * tr_sh
         else:

@@ -23,18 +23,24 @@ PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
 
-N_MED_PARAMS = 10
-M_SIGMA_T = 0    # rgb extinction
+N_MED_PARAMS = 13
+M_SIGMA_T = 0    # rgb extinction (heterogeneous: gray majorant-free base)
 M_ALBEDO = 3     # rgb single-scattering albedo
 M_G = 6          # HG asymmetry
 M_SCALE = 7
+M_MAXD = 8       # heterogeneous: majorant sigma_t = scale * max(grid); 0 = homogeneous
+M_GRID_OFF = 9   # heterogeneous: offset into the flat grid atlas
+M_NX = 10        # grid resolution
+M_NY = 11
+M_NZ = 12
 
 
 def _get_rgb(props, key, default):
     v = props.get(key, default)
     from ..spectra import Spectrum
     from ..textures import Texture
-    if isinstance(v, (Spectrum, Texture)):
+    from ..volumes import Volume
+    if isinstance(v, (Spectrum, Texture, Volume)):
         return np.asarray(v.mean_rgb())
     if isinstance(v, dict):
         v = v.get("value")
@@ -158,20 +164,36 @@ class HomogeneousMedium(Medium):
 
 @register_plugin("medium", "heterogeneous")
 class HeterogeneousMedium(HomogeneousMedium):
-    """reference src/media/heterogeneous.cpp — v1 approximates with the
-    volume's mean density (full 3D-DDA sampling next round)."""
+    """reference src/media/heterogeneous.cpp. Grid-driven extinction
+    sigma_t(x) = scale * grid(x) sampled with unbiased delta tracking and
+    shadow transmittance by ratio tracking (integrators/volpath.py), both
+    against the majorant scale*max(grid). Extinction is treated as gray
+    (the scalar grid channel); albedo stays rgb. Non-grid (constvolume/rgb)
+    sigma_t reduces to the homogeneous closed form."""
 
     def __init__(self, props: Properties):
-        from ..volumes import Volume
+        from ..volumes import Volume, GridVolume
+        self.grid = None
         sigma_t_vol = None
         for key, v in props.objects():
             if isinstance(v, Volume) and key == "sigma_t":
                 sigma_t_vol = v
-        if sigma_t_vol is not None and not props.has_property("sigma_t"):
+        if isinstance(sigma_t_vol, GridVolume):
+            self.grid = sigma_t_vol
+            # gray base; the grid carries the spatial variation
+            props["sigma_t"] = {"type": "rgb", "value": [1.0, 1.0, 1.0]}
+        elif sigma_t_vol is not None:
             props["sigma_t"] = {"type": "rgb",
                                 "value": list(sigma_t_vol.mean_rgb())}
-        warnings.warn("heterogeneous medium: using mean density in v1")
         super().__init__(props)
+
+    def params_row(self):
+        p = super().params_row()
+        if self.grid is not None:
+            p[M_MAXD] = self.scale * self.grid.max()
+            g = self.grid.scalar_grid()
+            p[M_NX], p[M_NY], p[M_NZ] = g.shape[2], g.shape[1], g.shape[0]
+        return p
 
 
 # ---------------------------------------------------------------------------
@@ -215,5 +237,6 @@ __all__ = ["Medium", "HomogeneousMedium", "HeterogeneousMedium",
            "PhaseFunction", "IsotropicPhase", "HGPhase", "RayleighPhase",
            "BlendPhase", "TabulatedPhase", "SGGXPhase",
            "hg_sample", "hg_eval", "rayleigh_eval",
-           "N_MED_PARAMS", "M_SIGMA_T", "M_ALBEDO", "M_G",
+           "N_MED_PARAMS", "M_SIGMA_T", "M_ALBEDO", "M_G", "M_MAXD",
+           "M_GRID_OFF", "M_NX", "M_NY", "M_NZ",
            "PHASE_ISOTROPIC", "PHASE_HG", "PHASE_RAYLEIGH"]

@@ -54,7 +54,7 @@ class SceneArrays:
            "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
-           "med_params", "inst_int_medium",
+           "med_params", "inst_int_medium", "med_grid", "med_w2g",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -63,7 +63,7 @@ class SceneArrays:
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
-        "polarized",
+        "polarized", "any_hetero",
     ]
 
     def __init__(self, **kw):
@@ -348,6 +348,25 @@ class Scene:
                            for sh in self.shapes]
         med_params = (np.stack([m.params_row() for m in media_objs]).T
                       if media_objs else np.zeros((N_MED_PARAMS, 1)))
+        # flat density atlas + world->grid transforms for heterogeneous rows
+        from ..media import M_GRID_OFF, M_MAXD
+        med_grid_parts = []
+        med_w2g = np.zeros((12, max(len(media_objs), 1)))
+        grid_off = 0
+        any_hetero = False
+        for mi_, m in enumerate(media_objs):
+            g = getattr(m, "grid", None)
+            if g is None:
+                continue
+            any_hetero = True
+            data = g.scalar_grid().ravel()          # (z*y*x,), index (z*ny+y)*nx+x
+            med_params[M_GRID_OFF, mi_] = grid_off
+            med_grid_parts.append(data)
+            grid_off += data.size
+            w2g = np.linalg.inv(np.asarray(g.to_world, np.float64))
+            med_w2g[:, mi_] = w2g[:3, :4].reshape(-1)
+        med_grid = (np.concatenate(med_grid_parts)
+                    if med_grid_parts else np.zeros(1, np.float32))
 
         # --- instances & triangles -----------------------------------------
         inst_m0, inst_m1, inst_t0, inst_t1 = [], [], [], []
@@ -533,6 +552,8 @@ class Scene:
             env_rot_fwd=jnp.asarray(env_rot_fwd, jnp.float32),
             em_tri_cdf=jnp.asarray(em_tri_cdf, jnp.float32),
             med_params=jnp.asarray(med_params, jnp.float32),
+            med_grid=jnp.asarray(med_grid, jnp.float32),
+            med_w2g=jnp.asarray(med_w2g, jnp.float32),
             inst_int_medium=jnp.asarray(
                 inst_int_medium if inst_int_medium else [-1], jnp.int32),
             bsphere_radius=jnp.float32(radius),
@@ -556,6 +577,7 @@ class Scene:
             mesh_em_meta=tuple(mesh_em_meta),
             sensor_medium=sensor_medium,
             n_media=len(media_objs),
+            any_hetero=any_hetero,
             spectral=spectral,
             polarized=polarized,
             **kw,

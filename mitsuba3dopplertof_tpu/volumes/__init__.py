@@ -37,15 +37,24 @@ class ConstVolume(Volume):
 class GridVolume(Volume):
     """reference src/volumes/gridvolume.cpp — Mitsuba .vol grids (format 3,
     float32). The grid loads fully; per-lane trilinear sampling lands with
-    the heterogeneous-media DDA kernel."""
+    the heterogeneous-media delta-tracking sampler (integrators/volpath.py);
+    ``to_world`` maps the unit cube [0,1]^3 onto the grid's world bounds."""
 
     def __init__(self, props: Properties):
         super().__init__(props)
         filename = props.get_string("filename")
-        props.get_transform("to_world", np.eye(4))
+        self.to_world = np.asarray(
+            props.get_transform("to_world", np.eye(4)), np.float64)
         props.get_string("filter_type", "trilinear")
         props.get_bool("raw", False)
         self.data = self._load_vol(filename)
+
+    def max(self) -> float:
+        return float(self.data.max())
+
+    def scalar_grid(self):
+        """(nz, ny, nx) float32 density (channel 0)."""
+        return np.ascontiguousarray(self.data[..., 0], np.float32)
 
     @staticmethod
     def _load_vol(filename: str) -> np.ndarray:

@@ -55,6 +55,7 @@ class SceneArrays:
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
+           "bvh",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -485,6 +486,18 @@ class Scene:
         s, n_static = pack(s_cols)
         a, n_anim = pack(a_cols)
 
+        # BVH over the static triangles above the linear-scan sweet spot
+        # (ops/bvh.py; the reference's Embree/OptiX acceleration role)
+        from ..ops.bvh import build_bvh, BVH_THRESHOLD
+        bvh = None
+        if n_static > BVH_THRESHOLD:
+            sv = {c: np.concatenate(s_cols[c], axis=0)
+                  for c in ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z",
+                            "e2x", "e2y", "e2z")}
+            bvh = build_bvh([sv["v0x"], sv["v0y"], sv["v0z"]],
+                            [sv["e1x"], sv["e1y"], sv["e1z"]],
+                            [sv["e2x"], sv["e2y"], sv["e2z"]])
+
         # mesh-area-emitter triangle CDFs (static shapes only)
         mesh_em_meta = []            # (emitter_idx, tri_start, count, cdf_off)
         cdf_parts = []
@@ -513,6 +526,7 @@ class Scene:
             kw["s_" + c] = s[c]
             kw["a_" + c] = a[c]
 
+        kw["bvh"] = bvh
         self._compiled = SceneArrays(
             inst_m0c=jnp.asarray(
                 np.stack(inst_m0).T if inst_m0 else np.zeros((12, 1)),
@@ -651,7 +665,7 @@ def _gather_tri(sa: SceneArrays, prefix: str, idx, names):
     return tuple(sa.tri(prefix, c)[idx] for c in names)
 
 
-def _hit_reference(sa: SceneArrays, ray: Ray):
+def _hit_reference(sa: SceneArrays, ray: Ray, include_static: bool = True):
     """Reference (non-Pallas) closest-hit: scanned brute force producing the
     same fat payload as ops.intersect_kernel.intersect_pallas — serves as
     the 'scalar variant' oracle for kernel regression tests (SURVEY.md §4).
@@ -666,10 +680,15 @@ def _hit_reference(sa: SceneArrays, ray: Ray):
     a_cols = {c: sa.tri("a", c) for c in ("v0x", "v0y", "v0z", "e1x", "e1y",
                                           "e1z", "e2x", "e2y", "e2z")}
 
-    if sa.n_static_tris > 0:
-        best_t, best_idx = _intersect_scan(
-            ray.o, ray.d, ray.maxt, s_cols, 0, sa.n_static_tris,
-            (best_t, best_idx))
+    if sa.n_static_tris > 0 and include_static:
+        if sa.bvh is not None:
+            from ..ops.bvh import bvh_closest
+            best_t, best_idx = bvh_closest(sa.bvh, s_cols, ray.o, ray.d,
+                                           ray.maxt, (best_t, best_idx))
+        else:
+            best_t, best_idx = _intersect_scan(
+                ray.o, ray.d, ray.maxt, s_cols, 0, sa.n_static_tris,
+                (best_t, best_idx))
 
     o_objs = {}
     is_anim = jnp.zeros((n,), bool)
@@ -803,6 +822,10 @@ USE_PALLAS = True
 
 
 def _closest_hit(sa: SceneArrays, ray: Ray):
+    if sa.bvh is not None:
+        # large static scenes: the XLA BVH path scales O(log T) per ray
+        # where the SMEM-streamed Pallas kernel is O(T)
+        return _hit_reference(sa, ray)
     if USE_PALLAS and jax.default_backend() not in ("cpu",):
         from ..ops.intersect_kernel import intersect_pallas
         return intersect_pallas(sa, ray)
@@ -837,7 +860,16 @@ def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
 
 def ray_test(sa: SceneArrays, ray: Ray, active=None):
     """Shadow/any-hit query (reference scene.cpp ray_test)."""
-    if USE_PALLAS and jax.default_backend() not in ("cpu",):
+    if sa.bvh is not None:
+        from ..ops.bvh import bvh_any
+        s_cols = {c: sa.tri("s", c) for c in
+                  ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z",
+                   "e2x", "e2y", "e2z")}
+        occluded = bvh_any(sa.bvh, s_cols, ray.o, ray.d, ray.maxt)
+        if sa.anim_ranges or sa.n_spheres:
+            occluded = occluded | (_hit_reference(
+                sa, ray, include_static=False).prim >= 0)
+    elif USE_PALLAS and jax.default_backend() not in ("cpu",):
         from ..ops.intersect_kernel import ray_test_pallas
         occluded = ray_test_pallas(sa, ray)
     else:

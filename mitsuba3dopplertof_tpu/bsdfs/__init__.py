@@ -37,7 +37,7 @@ BSDF_THINDIELECTRIC = 8
 BSDF_BLEND = 9
 BSDF_MASK = 10
 
-N_BSDF_PARAMS = 16
+N_BSDF_PARAMS = 17
 # param columns (meaning depends on type; diffuse uses 0:3 + TWOSIDED)
 P_REFL = 0            # rgb reflectance / specular reflectance
 P_TWOSIDED = 3        # 1.0 if wrapped in `twosided`
@@ -1219,29 +1219,38 @@ class NormalMap(BSDF):
         return row
 
 
+P_BMAP_SCALE = 16   # >0: the P_NMAP_TEX texture is a HEIGHT map (bumpmap)
+
+
 @register_plugin("bsdf", "bumpmap")
 class BumpMap(BSDF):
-    """Bump mapping adapter (reference src/bsdfs/bumpmap.cpp). v1 falls back
-    to the nested BSDF unperturbed (height-gradient frames need uv
-    differentials, planned); parses and renders."""
+    """Bump mapping adapter (reference src/bsdfs/bumpmap.cpp): the shading
+    frame is perturbed by the height texture's uv gradients (evaluated by
+    central differences at interaction time, integrators._apply_normal_maps)
+    before the nested BSDF runs."""
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        import warnings
         from ..textures import Texture
         self.nested = None
+        self.normalmap_tex = None    # compile assigns nmap_index through this
         for key, v in props.objects():
             if isinstance(v, BSDF):
                 self.nested = v
             elif isinstance(v, Texture):
-                pass
-        props.get_float("scale", 1.0)
+                self.normalmap_tex = v
+        self.scale = props.get_float("scale", 1.0)
         if self.nested is None:
             raise RuntimeError("bumpmap: requires a nested BSDF")
-        warnings.warn("bumpmap: rendering the nested BSDF unperturbed in v1")
+        if self.normalmap_tex is None:
+            raise RuntimeError("bumpmap: requires a height texture")
         self.type_id = self.nested.type_id
         self.flags = self.nested.flags
+        self.nmap_index = -1
         self.reflectance_tex = getattr(self.nested, "reflectance_tex", None)
 
     def params_row(self):
-        return self.nested.params_row()
+        row = self.nested.params_row()
+        row[P_NMAP_TEX] = float(self.nmap_index)
+        row[P_BMAP_SCALE] = self.scale
+        return row

@@ -365,19 +365,34 @@ class MonteCarloIntegrator(SamplingIntegrator):
 # ---------------------------------------------------------------------------
 
 def _apply_normal_maps(sa, si):
-    """Perturb shading frames by tangent-space normal textures
-    (reference src/bsdfs/normalmap.cpp applied at interaction time)."""
-    from ..bsdfs import P_NMAP_TEX
+    """Perturb shading frames by tangent-space normal textures (reference
+    src/bsdfs/normalmap.cpp) or height-map gradients (bumpmap.cpp:
+    dp_du' = dp_du + n * dh/du, normal from the perturbed tangents) at
+    interaction time."""
+    from ..bsdfs import P_NMAP_TEX, P_BMAP_SCALE
     from ..textures import eval_texture
     from ..core.vec import normalize as _norm
     lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
     nm_tex = gather_small(sa.bsdf_params[P_NMAP_TEX],
                           lane_bsdf).astype(jnp.int32)
+    bscale = gather_small(sa.bsdf_params[P_BMAP_SCALE], lane_bsdf)
     has = (nm_tex >= 0) & si.valid
     c = eval_texture(sa, nm_tex, si.uv_u, si.uv_v)
-    tx = 2.0 * c.x - 1.0
-    ty = 2.0 * c.y - 1.0
-    tz = 2.0 * c.z - 1.0
+    is_bump = bscale > 0.0
+    # bumpmap: central-difference height gradients in uv
+    eps = 1e-3
+    def lum(v):
+        return (v.x + v.y + v.z) * (1.0 / 3.0)
+    hu1 = lum(eval_texture(sa, nm_tex, si.uv_u + eps, si.uv_v))
+    hu0 = lum(eval_texture(sa, nm_tex, si.uv_u - eps, si.uv_v))
+    hv1 = lum(eval_texture(sa, nm_tex, si.uv_u, si.uv_v + eps))
+    hv0 = lum(eval_texture(sa, nm_tex, si.uv_u, si.uv_v - eps))
+    dhdu = bscale * (hu1 - hu0) * (0.5 / eps)
+    dhdv = bscale * (hv1 - hv0) * (0.5 / eps)
+    # normalmap: tangent-space normal from the texel
+    tx = jnp.where(is_bump, -dhdu, 2.0 * c.x - 1.0)
+    ty = jnp.where(is_bump, -dhdv, 2.0 * c.y - 1.0)
+    tz = jnp.where(is_bump, 1.0, 2.0 * c.z - 1.0)
     new_n = _norm(si.sh_s * tx + si.sh_t * ty + si.sh_n * tz)
     from ..core.vec import coordinate_system as _cs
     ns = where3(has, new_n, si.sh_n)

@@ -247,3 +247,43 @@ def test_sphere_emitter_mis_consistency():
                                                            spp=128))
     b = np.asarray(sc.integrator.render(sc, seed=1, spp=128))
     assert abs(b[..., :3].mean() / a[..., :3].mean() - 1.0) < 0.05
+
+
+def test_bumpmap_gradients(tmp_path):
+    """Bumpmap perturbs shading by height-texture gradients (reference
+    bumpmap.cpp); a constant height map must leave shading bit-unchanged,
+    a ramp must tilt it."""
+    import PIL.Image as I
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    ramp = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :], (64, 1))
+    I.fromarray(np.stack([ramp] * 3, -1)).save(str(tmp_path / "ramp.png"))
+    I.fromarray(np.full((64, 64, 3), 128, np.uint8)).save(
+        str(tmp_path / "flat.png"))
+
+    def sc(tex=None):
+        bsdf = ({"type": "bumpmap", "scale": 2.0,
+                 "bump": {"type": "bitmap", "filename": tex},
+                 "nested": {"type": "diffuse"}}
+                if tex else {"type": "diffuse"})
+        return mi.load_dict({
+            "type": "scene",
+            "plate": {"type": "rectangle", "bsdf": bsdf},
+            "light": {"type": "point", "position": [2, 2, 2],
+                      "intensity": {"type": "rgb", "value": 10.0}},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": tf.look_at([0, 0, 3], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 8, "height": 8},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 16}},
+            "integrator": {"type": "path", "max_depth": 2},
+        })
+
+    s1 = sc(str(tmp_path / "ramp.png"))
+    a = np.asarray(s1.integrator.render(s1, seed=0, spp=16))
+    s2 = sc()
+    b = np.asarray(s2.integrator.render(s2, seed=0, spp=16))
+    s3 = sc(str(tmp_path / "flat.png"))
+    c = np.asarray(s3.integrator.render(s3, seed=0, spp=16))
+    assert np.abs(c - b)[..., :3].max() < 1e-5       # flat == unperturbed
+    assert np.abs(a - b)[..., :3].mean() > 1e-3      # ramp tilts shading

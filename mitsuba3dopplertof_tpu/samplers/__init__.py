@@ -403,12 +403,101 @@ class LDSampler(Sampler):
 
 @register_plugin("sampler", "orthogonal")
 class OrthogonalSampler(Sampler):
-    """Orthogonal-array sampler (reference src/samplers/orthogonal.cpp).
-    v1: falls back to correlated multi-jitter stratification, which matches
-    its 2D projections for strength-2 arrays."""
+    """Orthogonal-array sampler (reference src/samplers/orthogonal.cpp):
+    Bose construction for strength 2 (orthogonal.cpp:215-243), Bush for
+    higher strengths (:194-212), both with the correlated multi-jitter
+    randomization. The grid resolution is the smallest prime whose square
+    covers the requested spp (:94-108)."""
     kind = "orthogonal"
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.get_int("strength", 2)
+        self.strength = props.get_int("strength", 2)
         self.jitter = props.get_bool("jitter", True)
+        self._update_resolution()
+
+    @staticmethod
+    def _is_prime(x):
+        if x < 2:
+            return False
+        k = 2
+        while k * k <= x:
+            if x % k == 0:
+                return False
+            k += 1
+        return True
+
+    def _update_resolution(self):
+        r = 2
+        while r * r < self.sample_count or not self._is_prime(r):
+            r += 1
+        self.resolution = r
+        self.sample_count = r * r
+
+    def set_sample_count(self, spp: int):
+        self.sample_count = spp
+        self._update_resolution()
+
+    def _jitter(self, state, active):
+        if self.jitter:
+            j, rng = pcg32_next_f32(state.rng, active)
+            return j, state._replace(rng=rng)
+        return jnp.float32(0.5), state
+
+    def next_1d(self, state, active=None):
+        n = state.rng.state_lo.shape[0]
+        i = self.current_sample_index(state, n)
+        p = state.permutation_seed
+        j = state.dimension_index.astype(jnp.uint32)
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        res = self.resolution
+        if self.strength != 2:
+            return self._bush(state, i, j, p, active)
+        # Bose construction (strength 2)
+        i = permute_kensler(i % jnp.uint32(self.sample_count),
+                            self.sample_count, p, active)
+        a_i0 = i // jnp.uint32(res)
+        a_i1 = i - a_i0 * jnp.uint32(res)
+        k = jnp.where(j % 2 > 0, j - jnp.uint32(1), j + jnp.uint32(1))
+        a_ij = (a_i0 + (j - jnp.uint32(1)) * a_i1) % jnp.uint32(res)
+        a_ik = (a_i0 + (k - jnp.uint32(1)) * a_i1) % jnp.uint32(res)
+        a_ij = jnp.where(j == 0, a_i0, jnp.where(j == 1, a_i1, a_ij))
+        a_ik = jnp.where(j == 0, a_i1, jnp.where(j == 1, a_i0, a_ik))
+        stratum = permute_kensler(a_ij, res,
+                                  p * (j + 1) * jnp.uint32(0x51633e2d),
+                                  active)
+        sub = permute_kensler(a_ik, res,
+                              p * (j + 1) * jnp.uint32(0x68bc21eb), active)
+        jit, state = self._jitter(state, active)
+        v = (stratum.astype(jnp.float32)
+             + (sub.astype(jnp.float32) + jit) / res) / res
+        return v, state
+
+    def _bush(self, state, i, j, p, active):
+        res = self.resolution
+        N = res ** self.strength
+        stm = N // res
+        i = permute_kensler(i % jnp.uint32(N), N, p, active)
+        # digits of i in base res, reinterpreted as a polynomial at x = j
+        digits = []
+        tmp = i
+        for _ in range(self.strength):
+            digits.append(tmp % jnp.uint32(res))
+            tmp = tmp // jnp.uint32(res)
+        phi = jnp.zeros_like(i)
+        for dgt in reversed(digits):
+            phi = phi * j + dgt
+        stratum = permute_kensler(phi % jnp.uint32(res), res,
+                                  p * (j + 1) * jnp.uint32(0x51633e2d),
+                                  active)
+        sub = permute_kensler((i // jnp.uint32(res)) % jnp.uint32(stm), stm,
+                              p * (j + 1) * jnp.uint32(0x68bc21eb), active)
+        jit, state = self._jitter(state, active)
+        v = (stratum.astype(jnp.float32)
+             + (sub.astype(jnp.float32) + jit) / stm) / res
+        return v, state
+
+    def next_2d(self, state, active=None):
+        f1, state = self.next_1d(state, active)
+        f2, state = self.next_1d(state, active)
+        return (f1, f2), state

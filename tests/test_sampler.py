@@ -172,3 +172,40 @@ def test_ldsampler_stratification():
     v = np.sort(np.asarray(v))
     for k in range(64):
         assert k / 64 <= v[k] < (k + 1) / 64
+
+
+def test_orthogonal_array_property():
+    import mitsuba3dopplertof_tpu as mi
+    """Bose-construction OA (reference orthogonal.cpp:215-243): every pair
+    of dimensions covers the res x res strata grid exactly once, and each
+    1D projection is perfectly stratified into res^2 substrata."""
+    sp = mi.load_dict({"type": "orthogonal", "sample_count": 25,
+                       "jitter": False})
+    assert sp.resolution == 5 and sp.sample_count == 25
+    sp.set_samples_per_wavefront(25)
+    st = sp.seed(0, 25)
+    dims = []
+    for _ in range(5):
+        v, st = sp.next_1d(st)
+        dims.append(np.asarray(v))
+    res = sp.resolution
+    for a in range(5):
+        ia = np.floor(dims[a] * res * res).astype(int)
+        assert len(set(ia.tolist())) == res * res       # 1d stratification
+        for b in range(a + 1, 5):
+            ib = np.floor(dims[b] * res).astype(int)
+            cells = set(zip(np.floor(dims[a] * res).astype(int).tolist(),
+                            ib.tolist()))
+            assert len(cells) == res * res, (a, b)      # OA strength 2
+
+
+def test_orthogonal_bush_strength3():
+    import mitsuba3dopplertof_tpu as mi
+    sp = mi.load_dict({"type": "orthogonal", "sample_count": 25,
+                       "strength": 3, "jitter": True})
+    sp.set_samples_per_wavefront(sp.sample_count)
+    st = sp.seed(0, sp.sample_count)
+    for _ in range(3):
+        v, st = sp.next_1d(st)
+        v = np.asarray(v)
+        assert v.min() >= 0.0 and v.max() < 1.0

@@ -25,13 +25,55 @@ LAMBDA_MIN = 360.0
 LAMBDA_MAX = 830.0
 LAMBDA_RANGE = LAMBDA_MAX - LAMBDA_MIN
 
-# CIE Y integral of the analytic ybar over the range (for luminance norm)
-_XYZ_TO_SRGB = np.array([
-    [3.240479, -1.537150, -0.498535],
-    [-0.969256, 1.875991, 0.041556],
-    [0.055648, -0.204043, 1.057311],
-])
-_SRGB_TO_XYZ = np.linalg.inv(_XYZ_TO_SRGB)
+# RGB <-> XYZ built from the sRGB primaries adapted to THIS module's
+# analytic D65 whitepoint, so a flat unit spectrum maps exactly to rgb
+# (1,1,1) and back — the self-consistency the reflectance fit relies on
+# (the textbook matrix assumes tabulated D65, which differs by a few
+# percent from the Planck-6504K approximation used here).
+_PRIMARIES_XY = np.array([[0.64, 0.33], [0.30, 0.60], [0.15, 0.06]])
+_MAT_CACHE = {}
+
+
+def _matrices():
+    if "xyz2rgb" not in _MAT_CACHE:
+        lam = np.linspace(LAMBDA_MIN, LAMBDA_MAX, 2048)
+        import jax.numpy as _jnp
+        cm = np.stack([np.asarray(cie_xbar(_jnp.asarray(lam))),
+                       np.asarray(cie_ybar(_jnp.asarray(lam))),
+                       np.asarray(cie_zbar(_jnp.asarray(lam)))])
+        d = np.asarray(d65_spd(_jnp.asarray(lam)))
+        W = np.trapezoid(cm * d[None, :], lam, axis=1)
+        W = W / W[1]                                   # whitepoint, Y = 1
+        # columns: primaries' XYZ directions scaled so M @ (1,1,1) = W
+        xyY = _PRIMARIES_XY
+        P = np.stack([xyY[:, 0] / xyY[:, 1],
+                      np.ones(3),
+                      (1.0 - xyY[:, 0] - xyY[:, 1]) / xyY[:, 1]])  # (3 XYZ, 3 prim)
+        scale = np.linalg.solve(P, W)
+        rgb2xyz = P * scale[None, :]
+        _MAT_CACHE["rgb2xyz"] = rgb2xyz
+        _MAT_CACHE["xyz2rgb"] = np.linalg.inv(rgb2xyz)
+    return _MAT_CACHE["xyz2rgb"], _MAT_CACHE["rgb2xyz"]
+
+
+class _LazyMat:
+    def __init__(self, key):
+        self.key = key
+
+    def __getitem__(self, k):
+        return _matrices()[0 if self.key == "xyz2rgb" else 1][k]
+
+    def __array__(self, dtype=None):
+        m = _matrices()[0 if self.key == "xyz2rgb" else 1]
+        return m.astype(dtype) if dtype else m
+
+    @property
+    def T(self):
+        return np.asarray(self).T
+
+
+_XYZ_TO_SRGB = _LazyMat("xyz2rgb")
+_SRGB_TO_XYZ = _LazyMat("rgb2xyz")
 
 
 def _g(x, mu, s1, s2):
@@ -152,29 +194,42 @@ def fit_reflectance_coeffs(rgb, iters: int = 60) -> np.ndarray:
     def residual(c):
         return rgb_of_coeffs(c) - rgb
 
-    lam_reg = 1e-6
-    r = residual(c)
-    for _ in range(iters):
-        # numeric Jacobian
-        J = np.zeros((3, 3))
-        eps = 1e-4
-        for j in range(3):
-            cp = c.copy()
-            cp[j] += eps
-            J[:, j] = (residual(cp) - r) / eps
-        try:
-            step = np.linalg.solve(J.T @ J + lam_reg * np.eye(3), -J.T @ r)
-        except np.linalg.LinAlgError:
-            break
-        c_new = c + step
-        r_new = residual(c_new)
-        if np.linalg.norm(r_new) < np.linalg.norm(r):
-            c, r = c_new, r_new
-            lam_reg = max(lam_reg * 0.5, 1e-8)
-        else:
-            lam_reg *= 4.0
-        if np.linalg.norm(r) < 1e-5:
-            break
+    # Phase 1: smoothness prior (penalize slope/curvature) steers the
+    # solver into the maximally-smooth metamer's basin (the rgb2spec
+    # objective) instead of a box-like extremum that zeroes the spectrum
+    # outside the CMF support. Phase 2: unregularized polish from there
+    # recovers an exact match while staying in the smooth basin.
+    def run(c, w_smooth, iters):
+        def res(cc):
+            return np.concatenate([residual(cc), w_smooth * cc])
+
+        lam_reg = 1e-6
+        r = res(c)
+        for _ in range(iters):
+            J = np.zeros((6, 3))
+            eps = 1e-4
+            for j in range(3):
+                cp = c.copy()
+                cp[j] += eps
+                J[:, j] = (res(cp) - r) / eps
+            try:
+                step = np.linalg.solve(J.T @ J + lam_reg * np.eye(3),
+                                       -J.T @ r)
+            except np.linalg.LinAlgError:
+                break
+            c_new = c + step
+            r_new = res(c_new)
+            if np.linalg.norm(r_new) < np.linalg.norm(r):
+                c, r = c_new, r_new
+                lam_reg = max(lam_reg * 0.5, 1e-8)
+            else:
+                lam_reg *= 4.0
+            if np.linalg.norm(r[:3]) < 1e-6:
+                break
+        return c
+
+    c = run(c, np.array([0.0, 3e-3, 3e-3]), iters)
+    c = run(c, np.zeros(3), 20)
     return c.astype(np.float32)
 
 

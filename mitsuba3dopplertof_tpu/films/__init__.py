@@ -62,6 +62,10 @@ class Film:
         # RGB + [A] + W (reference hdrfilm develop: base_ch = alpha ? 5 : 4)
         return 5 if self.has_alpha else 4
 
+    @property
+    def weight_index(self) -> int:
+        return 4 if self.has_alpha else 3
+
 
 @register_plugin("film", "hdrfilm")
 class HDRFilm(Film):
@@ -70,9 +74,38 @@ class HDRFilm(Film):
 
 @register_plugin("film", "specfilm")
 class SpecFilm(Film):
-    """Spectral film placeholder (reference src/films/specfilm.cpp); in the
-    RGB variant it behaves as hdrfilm."""
-    pass
+    """Spectral film (reference src/films/specfilm.cpp): one channel per
+    sensor response function (SRF), each accumulating the MC estimate of
+    integral L(lambda) * SRF_k(lambda) d lambda. Requires the tpu_spectral
+    variant (hero wavelengths); in tpu_rgb it degrades to hdrfilm
+    behavior. SRFs are regular/irregular spectrum children, channels in
+    alphabetical key order (specfilm.cpp:148-167)."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        from ..spectra import Spectrum
+        srfs = []
+        for key, v in props.objects():
+            if isinstance(v, Spectrum) and hasattr(v, "srf_table"):
+                srfs.append((key, v))
+        srfs.sort(key=lambda kv: kv[0])
+        self.srf_names = [k for k, _ in srfs]
+        self.srfs = [v for _, v in srfs]
+
+    def srf_tables(self):
+        return [srf.srf_table() for srf in self.srfs]
+
+    @property
+    def channel_count(self) -> int:
+        if not self.srfs:
+            return super().channel_count
+        return len(self.srfs) + 1          # K SRF channels + weight
+
+    @property
+    def weight_index(self) -> int:
+        if not self.srfs:
+            return super().weight_index
+        return len(self.srfs)
 
 
 # ---------------------------------------------------------------------------
@@ -169,11 +202,12 @@ def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
     return block
 
 
-def develop(block, has_alpha: bool):
+def develop(block, has_alpha: bool, weight_idx: int = None):
     """value / weight per channel (reference hdrfilm.cpp:305+); the weight
     channel itself is dropped. Returns (H, W, C-1) with AOV channels (if
     any) after RGB[A]."""
-    weight_idx = 4 if has_alpha else 3
+    if weight_idx is None:
+        weight_idx = 4 if has_alpha else 3
     w = block[weight_idx]
     safe = jnp.where(w > 0.0, w, 1.0)
     keep = jnp.concatenate([block[:weight_idx], block[weight_idx + 1:]],

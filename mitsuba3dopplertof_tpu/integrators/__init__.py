@@ -164,7 +164,7 @@ class SamplingIntegrator(Integrator):
                              pass_idx=p + 1, seed=seed, spp=spp)
 
         if develop_film:
-            return develop(block, film.has_alpha)
+            return develop(block, film.has_alpha, film.weight_index)
         return block
 
     def _get_multi_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass,
@@ -303,7 +303,25 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
         aovs = out[3] if len(out) > 3 else []
         spec = spec * ray_weight
 
-        if spectral:
+        srf_values = None
+        if spectral and getattr(film, "srfs", None):
+            # specfilm: bin the spectral samples into one channel per
+            # sensor response function (specfilm.cpp develop semantics):
+            # ch_k = (range/3) * sum_i v_i * SRF_k(lambda_i)
+            from ..core import cie as _cie
+            K = _cie.LAMBDA_RANGE / 3.0
+            srf_values = []
+            for lam_tab, val_tab in film.srf_tables():
+                lt = jnp.asarray(lam_tab, jnp.float32)
+                vt = jnp.asarray(val_tab, jnp.float32)
+                ch = 0.0
+                for lam, v in ((wavelengths.x, spec.x),
+                               (wavelengths.y, spec.y),
+                               (wavelengths.z, spec.z)):
+                    ch = ch + v * jnp.interp(lam, lt, vt, left=0.0,
+                                             right=0.0)
+                srf_values.append(K * ch)
+        elif spectral:
             # per-lane MC spectral->XYZ->sRGB (linear, so converting before
             # the splat == converting at develop): XYZ = (range/3) * sum_i
             # v_i * cmf(lambda_i)   (pdf of each hero wavelength = 1/range)
@@ -321,7 +339,9 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
                         M[2, 0] * X + M[2, 1] * Y + M[2, 2] * Z)
 
         one = jnp.ones((n,), jnp.float32)
-        if has_alpha:
+        if srf_values is not None:
+            values = srf_values + [one] + list(aovs)
+        elif has_alpha:
             values = [spec.x, spec.y, spec.z,
                       jnp.where(valid, 1.0, 0.0), one] + list(aovs)
         else:

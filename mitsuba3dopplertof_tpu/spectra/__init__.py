@@ -123,13 +123,23 @@ class RegularSpectrum(Spectrum):
         if isinstance(vals, str):
             vals = [float(x) for x in vals.replace(",", " ").split()]
         self.values = np.asarray(vals, np.float64)
-        props.get("range", None) if props.has_property("range") else None
+        lmin = props.get_float("lambda_min", 360.0)
+        lmax = props.get_float("lambda_max", 830.0)
+        if props.has_property("range"):
+            rng = props.get("range")
+            if isinstance(rng, str):
+                rng = [float(x) for x in rng.replace(",", " ").split()]
+            lmin, lmax = float(rng[0]), float(rng[1])
         props.mark_queried("range")
-        props.mark_queried("lambda_min")
-        props.mark_queried("lambda_max")
+        self.wavelengths = np.linspace(lmin, lmax, len(self.values))
 
     def mean_rgb(self):
         return np.full(3, float(self.values.mean()))
+
+    def srf_table(self):
+        """(wavelengths, values) for per-wavelength evaluation
+        (tpu_spectral specfilm binning)."""
+        return self.wavelengths, self.values
 
 
 @register_plugin("spectrum", "irregular")
@@ -144,9 +154,17 @@ class IrregularSpectrum(Spectrum):
         if isinstance(vals, str):
             vals = [float(x) for x in vals.replace(",", " ").split()]
         self.values = np.asarray(vals, np.float64)
+        if isinstance(pairs, str):
+            pairs = [float(x) for x in pairs.replace(",", " ").split()]
+        self.wavelengths = (np.asarray(pairs, np.float64) if pairs is not None
+                            else np.linspace(360.0, 830.0,
+                                             len(self.values)))
 
     def mean_rgb(self):
         return np.full(3, float(self.values.mean()))
+
+    def srf_table(self):
+        return self.wavelengths, self.values
 
 
 __all__ = ["Spectrum", "UniformSpectrum", "D65Spectrum", "SRGBSpectrum",

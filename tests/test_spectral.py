@@ -104,3 +104,42 @@ def test_neutral_and_unsupported(scenes):
     with pytest.raises(RuntimeError, match="tpu_spectral"):
         mi.load_dict({"type": "volpath", "max_depth": 4}).render(
             s_sp, seed=0, spp=4)
+
+
+def test_specfilm_srf_binning():
+    """specfilm (reference src/films/specfilm.cpp): one channel per sensor
+    response function; disjoint bands partition the full-range integral."""
+    from mitsuba3dopplertof_tpu.core.transform import look_at
+    mi.set_variant("tpu_spectral")
+
+    def sc(srfs):
+        return mi.load_dict({
+            "type": "scene",
+            "light": {"type": "rectangle",
+                      "emitter": {"type": "area",
+                                  "radiance": {"type": "rgb", "value": 1.0}}},
+            "sensor": {"type": "radiancemeter",
+                       "to_world": look_at([0, 0, 2], [0, 0, 0], [0, 1, 0]),
+                       "film": dict({"type": "specfilm", "width": 1,
+                                     "height": 1}, **srfs),
+                       "sampler": {"type": "independent",
+                                   "sample_count": 512}},
+            "integrator": {"type": "path", "max_depth": 2},
+        })
+
+    bands = {
+        "band1": {"type": "regular", "lambda_min": 360.0,
+                  "lambda_max": 517.0, "values": "1, 1"},
+        "band2": {"type": "regular", "lambda_min": 517.0,
+                  "lambda_max": 673.0, "values": "1, 1"},
+        "band3": {"type": "regular", "lambda_min": 673.0,
+                  "lambda_max": 830.0, "values": "1, 1"},
+    }
+    s1 = sc(bands)
+    img = np.asarray(s1.integrator.render(s1, seed=0, spp=512)).ravel()
+    assert img.shape == (3,)
+    full = sc({"all": {"type": "regular", "lambda_min": 360.0,
+                       "lambda_max": 830.0, "values": "1, 1"}})
+    tot = np.asarray(full.integrator.render(full, seed=0, spp=512)).ravel()
+    assert abs(img.sum() / tot[0] - 1.0) < 1e-3
+    assert (img > 0.1).all()       # every band sees the D65-shaped emission

@@ -28,6 +28,7 @@ from . import films as _films              # noqa: F401
 from . import rfilters as _rfilters        # noqa: F401
 from . import samplers as _samplers        # noqa: F401
 from . import integrators as _integrators  # noqa: F401
+from . import ad                            # noqa: F401  (AD integrators)
 from . import textures as _textures        # noqa: F401
 from . import spectra as _spectra          # noqa: F401
 from . import media as _media              # noqa: F401

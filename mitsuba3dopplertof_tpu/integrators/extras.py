@@ -21,13 +21,15 @@ class DirectIntegrator(SamplingIntegrator):
     """MIS direct illumination (reference src/integrators/direct.cpp) with
     one emitter and one BSDF sample (the reference's default 1/1 split)."""
 
+    spectral_mode = "hero"
+
     def __init__(self, props: Properties):
         super().__init__(props)
         props.get_int("emitter_samples", 1)
         props.get_int("bsdf_samples", 1)
         self._mc = None
 
-    def sample(self, sa, sampler, state, ray, active):
+    def sample(self, sa, sampler, state, ray, active, wavelengths=None):
         # reuse the shared loop truncated to 2 segments (camera + 1 bounce)
         class _Cfg:
             max_depth = 2
@@ -36,7 +38,8 @@ class DirectIntegrator(SamplingIntegrator):
             hide_emitters = self.hide_emitters
             path_correlation_depth = 0
         return _path_loop(_Cfg(), sa, sampler, state, ray, active,
-                          modulation_weight=None, use_correlate=False)
+                          modulation_weight=None, use_correlate=False,
+                          wavelengths=wavelengths)
 
 
 @register_plugin("integrator", "aov")
@@ -77,7 +80,12 @@ class AOVIntegrator(SamplingIntegrator):
                 names.extend(f"{name}.{s}" for s in suffix)
         return names
 
-    def sample(self, sa, sampler, state, ray, active):
+    @property
+    def spectral_mode(self):
+        return (self.child.spectral_mode if self.child is not None
+                else "neutral")
+
+    def sample(self, sa, sampler, state, ray, active, wavelengths=None):
         si = ray_intersect(sa, ray, active)
         aovs = []
         for name, ty in self.outputs:
@@ -96,8 +104,10 @@ class AOVIntegrator(SamplingIntegrator):
             elif ty == "shape_index":
                 aovs.append(si.inst.astype(jnp.float32))
         if self.child is not None:
+            kw = ({"wavelengths": wavelengths} if wavelengths is not None
+                  else {})
             spec, valid, state = self.child.sample(sa, sampler, state, ray,
-                                                   active)[:3]
+                                                   active, **kw)[:3]
         else:
             spec = Vec3(jnp.zeros_like(si.t), jnp.zeros_like(si.t),
                         jnp.zeros_like(si.t))
@@ -128,8 +138,14 @@ class MomentIntegrator(SamplingIntegrator):
     def aov_names(self):
         return ["m2.R", "m2.G", "m2.B"]
 
-    def sample(self, sa, sampler, state, ray, active):
+    @property
+    def spectral_mode(self):
+        return self.child.spectral_mode
+
+    def sample(self, sa, sampler, state, ray, active, wavelengths=None):
+        kw = ({"wavelengths": wavelengths} if wavelengths is not None
+              else {})
         spec, valid, state = self.child.sample(sa, sampler, state, ray,
-                                               active)[:3]
+                                               active, **kw)[:3]
         aovs = [spec.x * spec.x, spec.y * spec.y, spec.z * spec.z]
         return spec, valid, state, aovs

@@ -97,6 +97,8 @@ def load_dict(d: Dict[str, Any]):
             shapes.append(obj)
             if obj.emitter is not None:
                 emitters.append(obj.emitter)
+            if getattr(obj, "sensor", None) is not None:
+                sensors.append(obj.sensor)
         elif isinstance(obj, Emitter):
             emitters.append(obj)
         elif isinstance(obj, Sensor):

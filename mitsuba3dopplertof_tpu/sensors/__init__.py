@@ -205,9 +205,33 @@ class RadianceMeter(Sensor):
                             near_clip=0.0, far_clip=1e4, kind=3)
 
 
-def sample_ray_kind(params: SensorParams, lens, time, sx, sy, ap_x, ap_y):
+class BatchParams(NamedTuple):
+    """Batch sensor: K children rendered side by side (reference
+    src/sensors/batch.cpp) — column k of the film belongs to child k."""
+    children: tuple          # of (SensorParams, lens-or-None)
+
+
+def sample_ray_kind(params, lens, time, sx, sy, ap_x, ap_y):
     """Dispatch over static sensor kind. ``lens`` = (aperture_radius,
     focus_distance) for thinlens, else None."""
+    if isinstance(params, BatchParams):
+        from ..core.vec import where3
+        K = len(params.children)
+        u = jnp.clip(sx * K, 0.0, K - 1e-4)
+        child = jnp.floor(u)
+        lx = u - child
+        ray = weight = None
+        for k, (cp, cl) in enumerate(params.children):
+            r_k, w_k = sample_ray_kind(cp, cl, time, lx, sy, ap_x, ap_y)
+            w_k = w_k * jnp.ones_like(sx)
+            if ray is None:
+                ray, weight = r_k, w_k
+            else:
+                m = child == k
+                ray = Ray(where3(m, r_k.o, ray.o), where3(m, r_k.d, ray.d),
+                          time, jnp.where(m, r_k.maxt, ray.maxt))
+                weight = jnp.where(m, w_k, weight)
+        return ray, weight
     if params.kind == 0:
         return sample_ray(params, time, sx, sy, ap_x, ap_y)
     m = params.m
@@ -252,6 +276,31 @@ def sample_ray_kind(params: SensorParams, lens, time, sx, sy, ap_x, ap_y):
         o = o + d * params.near_clip
         return Ray(o, d, time,
                    jnp.full_like(ox, params.far_clip - params.near_clip)), 1.0
+    if params.kind == 5:      # irradiancemeter bound to a shape
+        from ..core.warp import cosine_hemisphere_c
+        if params.tan_half_x > 0.5:      # sphere: uniform surface point
+            z = 1.0 - 2.0 * sx
+            r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+            phi = 2.0 * np.pi * sy
+            lp = Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+            ln = lp
+        else:                            # rectangle [-1,1]^2, normal +z
+            lp = Vec3(1.0 - 2.0 * sx, 1.0 - 2.0 * sy, jnp.zeros_like(sx))
+            ln = Vec3(jnp.zeros_like(sx), jnp.zeros_like(sx),
+                      jnp.ones_like(sx))
+        o = Vec3(m[0] * lp.x + m[1] * lp.y + m[2] * lp.z + m[3],
+                 m[4] * lp.x + m[5] * lp.y + m[6] * lp.z + m[7],
+                 m[8] * lp.x + m[9] * lp.y + m[10] * lp.z + m[11])
+        nw = normalize(Vec3(m[0] * ln.x + m[1] * ln.y + m[2] * ln.z,
+                            m[4] * ln.x + m[5] * ln.y + m[6] * ln.z,
+                            m[8] * ln.x + m[9] * ln.y + m[10] * ln.z))
+        from ..core.vec import coordinate_system
+        t1, t2 = coordinate_system(nw)
+        dl = cosine_hemisphere_c(ap_x, ap_y)
+        d = t1 * dl.x + t2 * dl.y + nw * dl.z
+        o = o + nw * 1e-4
+        return (Ray(o, d, time, jnp.full_like(sx, params.far_clip)),
+                float(np.pi))
     # radiancemeter: constant ray
     one = jnp.ones_like(sx)
     d = Vec3(m[2] * one, m[6] * one, m[10] * one)
@@ -262,14 +311,29 @@ def sample_ray_kind(params: SensorParams, lens, time, sx, sy, ap_x, ap_y):
 @register_plugin("sensor", "irradiancemeter")
 class IrradianceMeter(Sensor):
     """reference src/sensors/irradiancemeter.cpp — measures irradiance over
-    an attached shape; v1 approximates with cosine-weighted rays from the
-    shape's to_world origin (full shape-surface sampling lands with mesh
-    area sampling)."""
+    the shape it is attached to: positions uniform over the surface,
+    directions cosine-weighted about the normal, ray weight pi (the
+    cosine-sampling estimator of E = integral L cos dw). Binds to
+    rectangle (exact) and sphere shapes; unbound meters fall back to a
+    point meter at the to_world origin."""
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        self.shape = None            # bound by the owning shape at load
 
     def device_params(self) -> SensorParams:
-        m = tuple(float(self.to_world[i, j]) for i in range(3) for j in range(4))
-        return SensorParams(m=m, tan_half_x=0.0, tan_half_y=0.0,
-                            near_clip=0.0, far_clip=1e4, kind=4)
+        kind = 4
+        mat = self.to_world
+        tanx = 0.0
+        if self.shape is not None:
+            m0, _, _, _ = self.shape.to_world.matrices()
+            mat = np.asarray(m0)
+            kind = 5
+            tanx = 1.0 if getattr(self.shape, "is_analytic_sphere",
+                                  False) else 0.0
+        m = tuple(float(mat[i, j]) for i in range(3) for j in range(4))
+        return SensorParams(m=m, tan_half_x=tanx, tan_half_y=0.0,
+                            near_clip=0.0, far_clip=1e4, kind=kind)
 
 
 @register_plugin("sensor", "distant")
@@ -312,5 +376,9 @@ class BatchSensor(Sensor):
         self.film = self.film or first.film
         self.sampler = self.sampler or first.sampler
 
-    def device_params(self) -> SensorParams:
-        return self.children[0].device_params()
+    def device_params(self):
+        return BatchParams(children=tuple(
+            (c.device_params(),
+             c.device_lens_params() if hasattr(c, "device_lens_params")
+             else None)
+            for c in self.children))

@@ -67,6 +67,7 @@ class Shape:
             "to_world", AnimatedTransform())
         self.bsdf = None          # nested/referenced BSDF child
         self.emitter = None       # area emitter attached to this shape
+        self.sensor = None        # irradiancemeter bound to this shape
         self.interior_medium = None
         self.exterior_medium = None
         self.mesh: Optional[Mesh] = None
@@ -80,6 +81,9 @@ class Shape:
                 self.bsdf = v
             elif isinstance(v, Emitter):
                 self.emitter = v
+                v.shape = self
+            elif v.__class__.__name__ == "IrradianceMeter":
+                self.sensor = v
                 v.shape = self
             elif isinstance(v, Medium):
                 if key == "exterior":

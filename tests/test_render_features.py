@@ -287,3 +287,50 @@ def test_bumpmap_gradients(tmp_path):
     c = np.asarray(s3.integrator.render(s3, seed=0, spp=16))
     assert np.abs(c - b)[..., :3].max() < 1e-5       # flat == unperturbed
     assert np.abs(a - b)[..., :3].mean() > 1e-3      # ramp tilts shading
+
+
+def test_irradiancemeter_shape_bound():
+    """Irradiancemeter bound to a rectangle under constant radiance L:
+    measured E = pi * L exactly (irradiancemeter.cpp semantics)."""
+    sc = mi.load_dict({
+        "type": "scene",
+        "plate": {"type": "rectangle",
+                  "sensor": {"type": "irradiancemeter",
+                             "film": {"type": "hdrfilm", "width": 1,
+                                      "height": 1},
+                             "sampler": {"type": "independent",
+                                         "sample_count": 256}}},
+        "env": {"type": "constant", "radiance": {"type": "rgb",
+                                                 "value": 2.0}},
+        "integrator": {"type": "path", "max_depth": 2},
+    })
+    img = np.asarray(sc.integrator.render(sc, sensor=sc.sensors[-1],
+                                          seed=0, spp=256))
+    assert abs(img.ravel()[0] / (2.0 * np.pi) - 1.0) < 1e-4
+
+
+def test_batch_sensor_side_by_side():
+    """Batch sensor renders nested sensors into film columns
+    (batch.cpp): each half equals the standalone render of its child."""
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    cam = {"type": "perspective", "fov": 45,
+           "to_world": tf.look_at([0, 1, -3], [0, 0, 0], [0, 1, 0]),
+           "film": {"type": "hdrfilm", "width": 8, "height": 8}}
+    base = {
+        "type": "scene",
+        "light": {"type": "point", "position": [0, 2, 0],
+                  "intensity": {"type": "rgb", "value": 5.0}},
+        "floor": {"type": "rectangle",
+                  "to_world": tf.rotate([1, 0, 0], -90) @ tf.scale([5] * 3)},
+        "integrator": {"type": "path", "max_depth": 2},
+    }
+    sc = mi.load_dict(dict(base, sensor={
+        "type": "batch", "s1": dict(cam), "s2": dict(cam),
+        "film": {"type": "hdrfilm", "width": 16, "height": 8},
+        "sampler": {"type": "independent", "sample_count": 32}}))
+    img = np.asarray(sc.integrator.render(sc, seed=0, spp=32))
+    sc2 = mi.load_dict(dict(base, sensor=dict(
+        cam, sampler={"type": "independent", "sample_count": 32})))
+    ref = np.asarray(sc2.integrator.render(sc2, seed=0, spp=64))
+    for half in (img[:, :8, :3], img[:, 8:, :3]):
+        assert abs(half.mean() / ref[..., :3].mean() - 1.0) < 0.05

@@ -37,7 +37,7 @@ BSDF_THINDIELECTRIC = 8
 BSDF_BLEND = 9
 BSDF_MASK = 10
 
-N_BSDF_PARAMS = 17
+N_BSDF_PARAMS = 18
 # param columns (meaning depends on type; diffuse uses 0:3 + TWOSIDED)
 P_REFL = 0            # rgb reflectance / specular reflectance
 P_TWOSIDED = 3        # 1.0 if wrapped in `twosided`
@@ -277,6 +277,30 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
     for tid in sa.bsdf_types_present:
         if tid in (BSDF_MASK, BSDF_BLEND):
             continue      # remapped above; no lanes carry these types now
+        if tid == BSDF_MEASURED:
+            from .measured_impl import measured_eval_pdf_sample
+            m_idx = param(P_MEASURED_IDX).astype(jnp.int32)
+            r = None
+            for k, tbl in enumerate(sa.measured):
+                rk = measured_eval_pdf_sample(tbl, wi, wo_nee, s2x, s2y,
+                                              wavelengths)
+                if r is None:
+                    r = rk
+                else:
+                    mk = m_idx == k
+                    r = BSDFSampleResult(*(
+                        where3(mk, a, b) if isinstance(a, Vec3)
+                        else jnp.where(mk, a, b)
+                        for a, b in zip(rk, r)))
+            if result is None:
+                result = r
+            else:
+                m = lane_type == tid
+                result = BSDFSampleResult(*(
+                    where3(m, a, b) if isinstance(a, Vec3)
+                    else jnp.where(m, a, b)
+                    for a, b in zip(r, result)))
+            continue
         fn = _DISPATCH.get(int(tid))
         if fn is None:
             raise NotImplementedError(f"BSDF type id {tid} not implemented")
@@ -1019,20 +1043,46 @@ class CircularPolarizer(Polarizer):
     type_id = BSDF_CIRCULAR
 
 
+BSDF_MEASURED = 15
+P_MEASURED_IDX = 17   # index into SceneArrays.measured (table tuple)
+
+
 @register_plugin("bsdf", "measured")
 class Measured(BSDF):
-    """Data-driven BRDF (reference src/bsdfs/measured.cpp). The RGL .bsdf
-    tensor format needs the spectral variant; lands with it."""
+    """Data-driven BRDF in the RGL tensor format (reference
+    src/bsdfs/measured.cpp; Dupuy & Jakob adaptive parameterization).
+    Sampling/eval run through the vectorized histogram warps of
+    measured_impl.py. Works in tpu_rgb (3 representative wavelengths) and
+    tpu_spectral (per-lane hero wavelengths)."""
+
+    type_id = BSDF_MEASURED
+    flags = FLAG_SMOOTH
 
     def __init__(self, props: Properties):
-        raise NotImplementedError(
-            "bsdf 'measured': the RGL tensor-file BRDF requires the spectral "
-            "variant (planned); use an analytic BSDF meanwhile")
+        super().__init__(props)
+        from ..io.tensor_file import read_tensor_file
+        from .measured_impl import build_tables
+        fname = props.get_string("filename")
+        self.tables = build_tables(read_tensor_file(fname))
+        self.measured_index = -1     # assigned at scene compile
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_MEASURED_IDX] = float(self.measured_index)
+        return p
 
 
 @register_plugin("bsdf", "measured_polarized")
 class MeasuredPolarized(Measured):
-    pass
+    """reference src/bsdfs/measured_polarized.cpp — v1 reduces to the
+    unpolarized measured model (pBSDF Mueller tables planned)."""
+
+    def __init__(self, props: Properties):
+        import warnings
+        warnings.warn("measured_polarized: using the unpolarized reduction")
+        if props.has_property("alpha_sample"):
+            props.get_float("alpha_sample")
+        super().__init__(props)
 
 
 BSDF_PRINCIPLED = 11

@@ -55,7 +55,7 @@ class SceneArrays:
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
-           "bvh",
+           "bvh", "measured",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -226,7 +226,19 @@ class Scene:
             bsdf_objs.append(Diffuse(Properties("diffuse")))
         bsdf_type = np.array([b.type_id for b in bsdf_objs], np.int32)
         bsdf_flags = np.array([b.flags for b in bsdf_objs], np.int32)
+        from ..bsdfs import Measured as _Measured
+        measured_tables = []
+        for b in bsdf_objs:
+            if isinstance(b, _Measured):
+                b.measured_index = len(measured_tables)
+                measured_tables.append(b.tables)
         bsdf_params = np.stack([b.params_row() for b in bsdf_objs]).T
+        # rows without a normal/bump map must carry -1 in the texture slot
+        # (0 would alias texture row 0 in _apply_normal_maps)
+        from ..bsdfs import P_NMAP_TEX as _P_NMAP
+        for bi, b in enumerate(bsdf_objs):
+            if getattr(b, "nmap_index", -1) < 0:
+                bsdf_params[_P_NMAP, bi] = -1.0
 
         if mono:
             from ..bsdfs import P_REFL
@@ -594,6 +606,7 @@ class Scene:
             any_hetero=any_hetero,
             spectral=spectral,
             polarized=polarized,
+            measured=tuple(measured_tables),
             **kw,
         )
         return self._compiled

@@ -23,7 +23,8 @@ from ..render.types import Ray, DirectionSample
 from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
 from .. import emitters as em_mod
 from ..media import (hg_sample, hg_eval, M_SIGMA_T, M_ALBEDO, M_G,
-                     M_MAXD, M_GRID_OFF, M_NX, M_NY, M_NZ)
+                     M_MAXD, M_GRID_OFF, M_NX, M_NY, M_NZ,
+                     M_PHASE, M_SGGX, sggx_sample, sggx_eval)
 from . import MonteCarloIntegrator, mis_weight
 
 _DT_STEPS = 64     # delta-tracking collision budget per bounce
@@ -320,11 +321,20 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         s2, state = sampler.next_2d(state, active)
 
         g = med(M_G, medium)
-        wo_phase, pdf_phase = hg_sample(
-            Vec3(-ray.d.x, -ray.d.y, -ray.d.z), g, s2[0], s2[1])
+        wi_m = Vec3(-ray.d.x, -ray.d.y, -ray.d.z)
+        wo_phase, pdf_phase = hg_sample(wi_m, g, s2[0], s2[1])
         # NEE phase eval: HG around propagation dir; cos between d and ds.d
         cos_nee = dot(ray.d, ds.d)
         phase_nee = hg_eval(cos_nee, g)
+        if sa.any_sggx:
+            # SGGX microflake lanes (media/__init__.py sggx_*)
+            S6 = tuple(med(M_SGGX + i, medium) for i in range(6))
+            is_sggx = med(M_PHASE, medium) > 0.5
+            wo_sg, pdf_sg = sggx_sample(wi_m, s2[0], s2[1], S6)
+            wo_phase = where3(is_sggx, wo_sg, wo_phase)
+            pdf_phase = jnp.where(is_sggx, pdf_sg, pdf_phase)
+            phase_nee = jnp.where(is_sggx, sggx_eval(wi_m, ds.d, S6),
+                                  phase_nee)
 
         wo_nee = si.to_local(ds.d)
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,

@@ -13,6 +13,7 @@ from __future__ import annotations
 import warnings
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.properties import Properties, register_plugin
@@ -22,8 +23,9 @@ from ..core.math import PI, TWO_PI
 PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
+PHASE_SGGX = 3
 
-N_MED_PARAMS = 13
+N_MED_PARAMS = 20
 M_SIGMA_T = 0    # rgb extinction (heterogeneous: gray majorant-free base)
 M_ALBEDO = 3     # rgb single-scattering albedo
 M_G = 6          # HG asymmetry
@@ -33,6 +35,8 @@ M_GRID_OFF = 9   # heterogeneous: offset into the flat grid atlas
 M_NX = 10        # grid resolution
 M_NY = 11
 M_NZ = 12
+M_PHASE = 13     # 0 = isotropic/HG (M_G), 1 = SGGX microflakes
+M_SGGX = 14      # SGGX S-matrix entries Sxx,Syy,Szz,Sxy,Sxz,Syz (14:20)
 
 
 def _get_rgb(props, key, default):
@@ -112,14 +116,29 @@ class TabulatedPhase(PhaseFunction):
 
 @register_plugin("phase", "sggx")
 class SGGXPhase(PhaseFunction):
-    """reference src/phase/sggx.cpp — anisotropic microflakes; v1 falls back
-    to isotropic with a warning."""
+    """SGGX specular microflakes (reference src/phase/sggx.cpp +
+    include/mitsuba/render/microflake.h, Heitz et al. 2015). The S matrix
+    comes from a 6-value constvolume child (spatially-varying 6-channel
+    grids reduce to their mean in v1)."""
+
+    type_id = 3          # PHASE_SGGX
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        for k in list(props.keys()):
-            props.mark_queried(k)
-        warnings.warn("sggx phase: falling back to isotropic in v1")
+        from ..volumes import Volume
+        S = None
+        for key, v in props.objects():
+            if isinstance(v, Volume):
+                vals = getattr(v, "values_raw", None)
+                if vals is None:
+                    vals = getattr(v, "value", None)
+                S = np.asarray(vals, np.float64).reshape(-1)
+        if S is None and props.has_property("S"):
+            S = np.asarray(props.get("S"), np.float64).reshape(-1)
+        if S is None or S.size < 6:
+            raise RuntimeError("sggx: provide an 'S' volume with six values "
+                               "(Sxx, Syy, Szz, Sxy, Sxz, Syz)")
+        self.S = S[:6]
 
 
 class Medium:
@@ -159,6 +178,9 @@ class HomogeneousMedium(Medium):
         p[M_ALBEDO:M_ALBEDO + 3] = self.albedo
         p[M_G] = getattr(self.phase, "g", 0.0)
         p[M_SCALE] = self.scale
+        if getattr(self.phase, "type_id", 0) == PHASE_SGGX:
+            p[M_PHASE] = 1.0
+            p[M_SGGX:M_SGGX + 6] = self.phase.S
         return p
 
 
@@ -229,6 +251,89 @@ def hg_eval(cos_forward, g):
         denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12)
 
 
+def sggx_projected_area(w: Vec3, S):
+    """sqrt(w^T S w) (reference microflake.h:118-128)."""
+    sxx, syy, szz, sxy, sxz, syz = S
+    s2 = (w.x * w.x * sxx + w.y * w.y * syy + w.z * w.z * szz
+          + 2.0 * (w.x * w.y * sxy + w.x * w.z * sxz + w.y * w.z * syz))
+    return jnp.sqrt(jnp.maximum(s2, 1e-18))
+
+
+def sggx_ndf_pdf(wm: Vec3, S):
+    """SGGX NDF (reference microflake.h:86-103)."""
+    sxx, syy, szz, sxy, sxz, syz = S
+    det = jnp.abs(sxx * syy * szz - sxx * syz * syz - syy * sxz * sxz
+                  - szz * sxy * sxy + 2.0 * sxy * sxz * syz)
+    den = (wm.x * wm.x * (syy * szz - syz * syz)
+           + wm.y * wm.y * (sxx * szz - sxz * sxz)
+           + wm.z * wm.z * (sxx * syy - sxy * sxy)
+           + 2.0 * (wm.x * wm.y * (sxz * syz - szz * sxy)
+                    + wm.x * wm.z * (sxy * syz - syy * sxz)
+                    + wm.y * wm.z * (sxy * sxz - sxx * syz)))
+    return (jnp.maximum(det, 0.0) * jnp.sqrt(jnp.maximum(det, 0.0))
+            / (PI * jnp.maximum(den * den, 1e-18)))
+
+
+def sggx_sample_vndf(wi: Vec3, s2x, s2y, S):
+    """Sample a visible microflake normal (microflake.h:36-60)."""
+    from ..core.vec import coordinate_system, normalize as _norm
+    from ..core import warp as _warp
+    ek, ej = coordinate_system(wi)
+    ei = wi
+    sxx, syy, szz, sxy, sxz, syz = S
+
+    def quad(a: Vec3, b: Vec3):
+        # a^T S b
+        return (a.x * b.x * sxx + a.y * b.y * syy + a.z * b.z * szz
+                + (a.x * b.y + a.y * b.x) * sxy
+                + (a.x * b.z + a.z * b.x) * sxz
+                + (a.y * b.z + a.z * b.y) * syz)
+
+    s_kk = quad(ek, ek)
+    s_jj = quad(ej, ej)
+    s_ii = quad(ei, ei)
+    s_kj = quad(ek, ej)
+    s_ki = quad(ek, ei)
+    s_ji = quad(ej, ei)
+
+    det = (s_kk * s_jj * s_ii - s_kk * s_ji * s_ji - s_jj * s_ki * s_ki
+           - s_ii * s_kj * s_kj + 2.0 * s_kj * s_ki * s_ji)
+    inv_sqrt_ii = jax.lax.rsqrt(jnp.maximum(s_ii, 1e-18))
+    tmp = jnp.sqrt(jnp.maximum(s_jj * s_ii - s_ji * s_ji, 1e-18))
+    mk = (jnp.sqrt(jnp.maximum(jnp.abs(det), 0.0)) / tmp,
+          jnp.zeros_like(tmp), jnp.zeros_like(tmp))
+    mj = (-inv_sqrt_ii * (s_ki * s_ji - s_kj * s_ii) / tmp,
+          inv_sqrt_ii * tmp, jnp.zeros_like(tmp))
+    mi_ = (inv_sqrt_ii * s_ki, inv_sqrt_ii * s_ji, inv_sqrt_ii * s_ii)
+
+    uvw = _warp.cosine_hemisphere_c(s2x, s2y)
+    lx = uvw.x * mk[0] + uvw.y * mj[0] + uvw.z * mi_[0]
+    ly = uvw.y * mj[1] + uvw.z * mi_[1]
+    lz = uvw.z * mi_[2]
+    ln = jnp.sqrt(jnp.maximum(lx * lx + ly * ly + lz * lz, 1e-18))
+    lx, ly, lz = lx / ln, ly / ln, lz / ln
+    return _norm(ek * lx + ej * ly + ei * lz)
+
+
+def sggx_sample(wi: Vec3, s2x, s2y, S):
+    """Specular microflake scattering: reflect wi about a sampled visible
+    normal; pdf == phase value (perfect importance sampling,
+    sggx.cpp:86-105)."""
+    from ..core.vec import normalize as _norm
+    n = sggx_sample_vndf(wi, s2x, s2y, S)
+    d = 2.0 * (wi.x * n.x + wi.y * n.y + wi.z * n.z)
+    wo = _norm(Vec3(n.x * d - wi.x, n.y * d - wi.y, n.z * d - wi.z))
+    pdf = 0.25 * sggx_ndf_pdf(n, S) / sggx_projected_area(wi, S)
+    return wo, pdf
+
+
+def sggx_eval(wi: Vec3, wo: Vec3, S):
+    """sggx.cpp eval: 0.25 * D(h) / sigma(wi) with h = normalize(wi+wo)."""
+    from ..core.vec import normalize as _norm
+    h = _norm(wi + wo)
+    return 0.25 * sggx_ndf_pdf(h, S) / sggx_projected_area(wi, S)
+
+
 def rayleigh_eval(cos_theta):
     return 3.0 / (16.0 * PI) * (1.0 + cos_theta * cos_theta)
 
@@ -237,6 +342,8 @@ __all__ = ["Medium", "HomogeneousMedium", "HeterogeneousMedium",
            "PhaseFunction", "IsotropicPhase", "HGPhase", "RayleighPhase",
            "BlendPhase", "TabulatedPhase", "SGGXPhase",
            "hg_sample", "hg_eval", "rayleigh_eval",
+           "sggx_sample", "sggx_eval", "sggx_sample_vndf", "sggx_ndf_pdf",
+           "sggx_projected_area", "M_PHASE", "M_SGGX", "PHASE_SGGX",
            "N_MED_PARAMS", "M_SIGMA_T", "M_ALBEDO", "M_G", "M_MAXD",
            "M_GRID_OFF", "M_NX", "M_NY", "M_NZ",
            "PHASE_ISOTROPIC", "PHASE_HG", "PHASE_RAYLEIGH"]

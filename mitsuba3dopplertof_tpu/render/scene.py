@@ -64,7 +64,7 @@ class SceneArrays:
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
-        "polarized", "any_hetero",
+        "polarized", "any_hetero", "any_sggx",
     ]
 
     def __init__(self, **kw):
@@ -604,6 +604,8 @@ class Scene:
             sensor_medium=sensor_medium,
             n_media=len(media_objs),
             any_hetero=any_hetero,
+            any_sggx=any(getattr(m.phase, "type_id", 0) == 3
+                         for m in media_objs),
             spectral=spectral,
             polarized=polarized,
             measured=tuple(measured_tables),

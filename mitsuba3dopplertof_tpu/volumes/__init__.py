@@ -27,6 +27,7 @@ class ConstVolume(Volume):
         if isinstance(v, dict):
             v = v.get("value")
         a = np.asarray(v, np.float64).reshape(-1)
+        self.values_raw = a
         self.value = np.repeat(a, 3)[:3] if a.size == 1 else a[:3]
 
     def mean_rgb(self):

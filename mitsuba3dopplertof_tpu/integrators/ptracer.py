@@ -47,6 +47,16 @@ class PTracerIntegrator(SamplingIntegrator):
         return min(self.max_depth, 32)
 
     def render(self, scene, sensor=None, seed: int = 0, spp: int = 0,
+               *_ptracer_args_guard, **_ptracer_kw_guard):
+        import mitsuba3dopplertof_tpu as _mi
+        if _mi.variant() in ("tpu_spectral",):
+            raise RuntimeError(
+                "integrator 'ptracer' does not support the tpu_spectral "
+                "variant yet")
+        return self._render_impl(scene, sensor=sensor, seed=seed, spp=spp,
+                                 *_ptracer_args_guard, **_ptracer_kw_guard)
+
+    def _render_impl(self, scene, sensor=None, seed: int = 0, spp: int = 0,
                develop_film: bool = True, max_lanes: int = DEFAULT_MAX_LANES,
                **_):
         if sensor is None:

@@ -148,8 +148,11 @@ def _ratio_track(sa, sampler, state, origin, dirn, dist, medium, sigma_bar,
 class VolPathIntegrator(MonteCarloIntegrator):
     """Homogeneous-media volumetric path tracing with NEE + MIS."""
 
-    def sample(self, sa, sampler, state, ray, active):
-        return _volpath_loop(self, sa, sampler, state, ray, active)
+    spectral_mode = "hero"
+
+    def sample(self, sa, sampler, state, ray, active, wavelengths=None):
+        return _volpath_loop(self, sa, sampler, state, ray, active,
+                             wavelengths=wavelengths)
 
 
 @register_plugin("integrator", "volpathmis")
@@ -158,7 +161,8 @@ class VolPathMISIntegrator(VolPathIntegrator):
     homogeneous case the estimator coincides with volpath."""
 
 
-def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
+def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
+                  wavelengths=None):
     n = ray.o.x.shape[0]
     f32 = jnp.float32
 
@@ -191,6 +195,19 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         st_r = med(M_SIGMA_T, medium)
         st_g = med(M_SIGMA_T + 1, medium)
         st_b = med(M_SIGMA_T + 2, medium)
+        if wavelengths is not None:
+            # tpu_spectral: M_SIGMA_T holds sigmoid coefficients and
+            # M_ST_PEAK the scale (render/scene.py compile)
+            from ..core.cie import eval_reflectance_spectrum as _ers
+            from ..media import M_ST_PEAK
+            pk = med(M_ST_PEAK, medium)
+            st_r = pk * _ers(st_r, st_g, st_b, wavelengths.x)
+            st_g = pk * _ers(med(M_SIGMA_T, medium),
+                             med(M_SIGMA_T + 1, medium),
+                             med(M_SIGMA_T + 2, medium), wavelengths.y)
+            st_b = pk * _ers(med(M_SIGMA_T, medium),
+                             med(M_SIGMA_T + 1, medium),
+                             med(M_SIGMA_T + 2, medium), wavelengths.z)
         st_mean = jnp.maximum((st_r + st_g + st_b) / 3.0, 1e-8)
         u, state = sampler.next_1d(state, active)
         t_med = -jnp.log(jnp.maximum(1.0 - u, 1e-20)) / st_mean
@@ -211,6 +228,12 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         al_r = med(M_ALBEDO, medium)
         al_g = med(M_ALBEDO + 1, medium)
         al_b = med(M_ALBEDO + 2, medium)
+        if wavelengths is not None:
+            from ..core.cie import eval_reflectance_spectrum as _ers
+            c0, c1, c2 = al_r, al_g, al_b
+            al_r = _ers(c0, c1, c2, wavelengths.x)
+            al_g = _ers(c0, c1, c2, wavelengths.y)
+            al_b = _ers(c0, c1, c2, wavelengths.z)
         sig_s = Vec3(st_r * al_r, st_g * al_g, st_b * al_b)
         w_med = where3(hit_med, w_med * sig_s, w_med)
 
@@ -243,7 +266,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         if any_emission:
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
-                                                 lane_emitter)
+                                                 lane_emitter,
+                                                 wavelengths=wavelengths)
             else:
                 em_val = Vec3.zeros((n,))
             miss_env = (~si.valid) & active & ~hit_med
@@ -281,7 +305,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
         nee, state = sampler.next_2d(state, active)
         if sa.n_emitters > 0:
             ds, em_weight = em_mod.sample_direction(sa, p_evt, ray.time,
-                                                    nee[0], nee[1])
+                                                    nee[0], nee[1],
+                                                    wavelengths=wavelengths)
             lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
             smooth = (gather_small(bsdf_flags, lane_bsdf) & FLAG_SMOOTH) != 0
             active_em = active_next & (ds.pdf != 0.0) & (
@@ -338,7 +363,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active):
 
         wo_nee = si.to_local(ds.d)
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
-                                  s1, s2[0], s2[1])
+                                  s1, s2[0], s2[1],
+                                  wavelengths=wavelengths)
 
         # NEE contribution (medium: phase; surface: bsdf)
         if sa.n_emitters > 0:

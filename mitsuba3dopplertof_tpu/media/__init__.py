@@ -25,7 +25,7 @@ PHASE_HG = 1
 PHASE_RAYLEIGH = 2
 PHASE_SGGX = 3
 
-N_MED_PARAMS = 20
+N_MED_PARAMS = 21
 M_SIGMA_T = 0    # rgb extinction (heterogeneous: gray majorant-free base)
 M_ALBEDO = 3     # rgb single-scattering albedo
 M_G = 6          # HG asymmetry
@@ -37,6 +37,8 @@ M_NY = 11
 M_NZ = 12
 M_PHASE = 13     # 0 = isotropic/HG (M_G), 1 = SGGX microflakes
 M_SGGX = 14      # SGGX S-matrix entries Sxx,Syy,Szz,Sxy,Sxz,Syz (14:20)
+M_ST_PEAK = 20   # tpu_spectral: sigma_t peak; M_SIGMA_T then holds sigmoid
+                 # upsampling coefficients (albedo coeffs ride M_ALBEDO)
 
 
 def _get_rgb(props, key, default):

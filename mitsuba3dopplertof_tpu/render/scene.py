@@ -361,6 +361,22 @@ class Scene:
                            for sh in self.shapes]
         med_params = (np.stack([m.params_row() for m in media_objs]).T
                       if media_objs else np.zeros((N_MED_PARAMS, 1)))
+        if spectral and media_objs:
+            # upsample sigma_t (peak-normalized) and albedo to sigmoid
+            # coefficients, mirroring the emitter/reflectance treatment
+            from ..core import cie as _cie
+            from ..media import M_SIGMA_T as _MST, M_ALBEDO as _MAL, \
+                M_ST_PEAK as _MPK
+            for mi_ in range(len(media_objs)):
+                st = med_params[_MST:_MST + 3, mi_]
+                peak = max(float(st.max()), 1e-9)
+                med_params[_MST:_MST + 3, mi_] = \
+                    _cie.fit_reflectance_coeffs(st / peak)
+                med_params[_MPK, mi_] = peak
+                al = med_params[_MAL:_MAL + 3, mi_]
+                if al.max() > 0:
+                    med_params[_MAL:_MAL + 3, mi_] = \
+                        _cie.fit_reflectance_coeffs(al)
         # flat density atlas + world->grid transforms for heterogeneous rows
         from ..media import M_GRID_OFF, M_MAXD
         med_grid_parts = []

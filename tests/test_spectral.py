@@ -102,8 +102,34 @@ def test_neutral_and_unsupported(scenes):
                    .render(s_sp, seed=0, spp=4))
     assert np.isfinite(v).all()
     with pytest.raises(RuntimeError, match="tpu_spectral"):
-        mi.load_dict({"type": "volpath", "max_depth": 4}).render(
+        mi.load_dict({"type": "ptracer", "max_depth": 4}).render(
             s_sp, seed=0, spp=4)
+
+
+def test_spectral_volpath_beer_lambert():
+    """Gray homogeneous medium under tpu_spectral: Beer-Lambert holds
+    (sigma_t upsampled to a flat spectrum)."""
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    mi.set_variant("tpu_spectral")
+    sc = mi.load_dict({
+        "type": "scene",
+        "box": {"type": "cube", "bsdf": {"type": "null"},
+                "interior": {"type": "homogeneous", "sigma_t": 0.5,
+                             "albedo": 0.0}},
+        "light": {"type": "rectangle",
+                  "to_world": (tf.translate([0, 0, 4.0])
+                               @ tf.rotate([1, 0, 0], 180)),
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb", "value": 1.0}}},
+        "sensor": {"type": "radiancemeter",
+                   "to_world": tf.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 1, "height": 1},
+                   "sampler": {"type": "independent",
+                               "sample_count": 2048}},
+        "integrator": {"type": "volpath", "max_depth": 8},
+    })
+    tr = np.asarray(sc.integrator.render(sc, seed=0, spp=2048)).ravel()[:3]
+    assert abs(tr.mean() / np.exp(-1.0) - 1.0) < 0.05, tr
 
 
 def test_specfilm_srf_binning():

@@ -9,10 +9,10 @@ TPU-native equivalent: the wavefront bounce loop below mirrors the scalar
 additionally carrying a 4x4 Mueller throughput in SoA form (16 Vec3 columns).
 
 Per-bounce Mueller factors:
-  * diffuse and rough fallbacks — ideal depolarizer of the scalar weight
-    (exact for diffuse per mueller.h:37; documented approximation for the
-    rough microfacet types, whose reference counterpart is also only
-    polarized for pplastic/roughconductor);
+  * diffuse and remaining rough fallbacks — ideal depolarizer of the
+    scalar weight (exact for diffuse per mueller.h:37);
+  * rough conductor — exact Fresnel Mueller at the sampled micro-normal
+    (roughconductor.cpp polarized branch);
   * null — scaled identity (transmission preserves the state);
   * smooth conductor / dielectric / thindielectric — exact Fresnel Mueller
     matrices with in/out Stokes-basis rotations (conductor.cpp:273-297,
@@ -40,14 +40,15 @@ from ..core import mueller as mu
 from ..render.scene import SceneArrays, ray_intersect, ray_test, gather_small
 from ..render.types import Ray, DirectionSample
 from ..bsdfs import (eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH,
-                     BSDF_NULL, BSDF_CONDUCTOR, BSDF_DIELECTRIC,
-                     BSDF_THINDIELECTRIC, BSDF_POLARIZER, BSDF_RETARDER,
-                     BSDF_CIRCULAR, P_REFL, P_ETA, P_K, P_POL_THETA,
-                     P_POL_DELTA)
+                     BSDF_NULL, BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR,
+                     BSDF_DIELECTRIC, BSDF_THINDIELECTRIC, BSDF_POLARIZER,
+                     BSDF_RETARDER, BSDF_CIRCULAR, P_REFL, P_ETA, P_K,
+                     P_POL_THETA, P_POL_DELTA)
 from .. import emitters as em_mod
 
-_POLARIZING_TYPES = (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_THINDIELECTRIC,
-                     BSDF_POLARIZER, BSDF_RETARDER, BSDF_CIRCULAR)
+_POLARIZING_TYPES = (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
+                     BSDF_THINDIELECTRIC, BSDF_POLARIZER, BSDF_RETARDER,
+                     BSDF_CIRCULAR)
 
 
 def _mis_weight(pdf_a, pdf_b):
@@ -96,18 +97,27 @@ def _renormalize(M, scalar_weight: Vec3):
     return mu.mm_scale(M, scale)
 
 
-def _specular_bounce_mueller(si, bs, eta_re: Vec3, eta_im: Vec3):
+def _specular_bounce_mueller(si, bs, eta_re: Vec3, eta_im: Vec3,
+                             rough: bool = False):
     """Fresnel Mueller of the sampled specular event in LOCAL frame with
     the plane-of-incidence basis rotations (conductor.cpp:273-295 /
-    dielectric.cpp polarized branch), before world-frame conversion.
+    dielectric.cpp polarized branch; roughconductor.cpp uses the sampled
+    micro-normal as the reflection plane), before world-frame conversion.
     Radiance transport: light arrives along -wo_hat, leaves along wi_hat."""
     wo_hat = bs.wo
     wi_hat = si.wi
-    cos_o = wo_hat.z
+    z = jnp.zeros_like(wo_hat.z)
+    if rough:
+        # micro-normal m = half vector; Fresnel at cos(wo_hat, m)
+        n = normalize(wo_hat + wi_hat)
+        cos_o = wo_hat.x * n.x + wo_hat.y * n.y + wo_hat.z * n.z
+        selected_t = jnp.zeros_like(cos_o, bool)
+    else:
+        n = Vec3(z, z, jnp.ones_like(z))
+        cos_o = wo_hat.z
+        selected_t = (wo_hat.z * wi_hat.z) < 0.0   # refraction branch
 
-    selected_t = (wo_hat.z * wi_hat.z) < 0.0      # refraction branch
     # reflection matrix at |eta| (complex for conductors)
-    z = jnp.zeros_like(cos_o)
     R = mu.specular_reflection_mueller(
         cos_o, (eta_re.x, eta_re.y, eta_re.z), (eta_im.x, eta_im.y, eta_im.z))
     # transmission (real eta only; rgb-uniform eta for dielectrics)
@@ -116,7 +126,6 @@ def _specular_bounce_mueller(si, bs, eta_re: Vec3, eta_im: Vec3):
               for e in T)
     M = mu.mm_where(selected_t, T, R)
 
-    n = Vec3(z, z, jnp.ones_like(cos_o))
     fb_in = mu.stokes_basis(-wo_hat)
     fb_out = mu.stokes_basis(wi_hat)
     s_axis_in = _safe_axis(cross(n, -wo_hat), fb_in)
@@ -295,15 +304,42 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
                                   s1, s2[0], s2[1], tex_refl, tex_mask)
 
-        # NEE: the connecting bounce is a depolarizing eval for every
-        # supported NEE-able type (delta lobes have val_nee = 0), so the
-        # contribution reads the throughput's first column
+        # NEE: diffuse connections depolarize (exact); rough-conductor
+        # connections apply the Fresnel Mueller at the NEE half-vector
+        # (roughconductor.cpp polarized eval); delta lobes have val_nee = 0
         if sa.n_emitters > 0:
             mis_em = jnp.where(ds.delta, 1.0, _mis_weight(ds.pdf, bs.pdf_nee))
             lw = weight_fn(ray.time, path_length + ds.dist)
             scale = jnp.where(nee_ok, mis_em * lw, 0.0)
-            S_res = add_emission(S_res, T_mm,
-                                 bs.val_nee * em_weight * scale)
+            v_nee = bs.val_nee * em_weight * scale
+            if BSDF_ROUGHCONDUCTOR in sa.bsdf_types_present:
+                e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_ETA + 1],
+                                         lane_bsdf),
+                            gather_small(sa.bsdf_params[P_ETA + 2],
+                                         lane_bsdf))
+                e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_K + 1],
+                                         lane_bsdf),
+                            gather_small(sa.bsdf_params[P_K + 2],
+                                         lane_bsdf))
+                bs_nee = bs._replace(wo=wo_nee)
+                M_nee = _specular_bounce_mueller(si, bs_nee, e_re, e_im,
+                                                 rough=True)
+                M_nee = _to_world_mueller(si, M_nee, -wo_nee, si.wi)
+                M_nee = _renormalize(M_nee, v_nee)
+                TM = mu.mm_mul(T_mm, M_nee)
+                is_rc = lane_type == BSDF_ROUGHCONDUCTOR
+                S_pol = tuple(Vec3(TM[4 * i].x, TM[4 * i].y, TM[4 * i].z)
+                              for i in range(4))
+                S_dep = tuple(Vec3(T_mm[4 * i].x * v_nee.x,
+                                   T_mm[4 * i].y * v_nee.y,
+                                   T_mm[4 * i].z * v_nee.z)
+                              for i in range(4))
+                S_res = tuple(S_res[i] + where3(is_rc, S_pol[i], S_dep[i])
+                              for i in range(4))
+            else:
+                S_res = add_emission(S_res, T_mm, v_nee)
 
         # ---------------- Mueller bounce factor --------------------------
         wgt = where3(active_next, bs.weight, Vec3.ones((n,)))
@@ -312,8 +348,9 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
         M_bounce = mu.mm_where(null_like,
                                mu.mm_scale(mu.mm_identity(z), wgt), M_bounce)
         for tid in polarizing_present:
-            if tid in (BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_THINDIELECTRIC):
-                if tid == BSDF_CONDUCTOR:
+            if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
+                       BSDF_THINDIELECTRIC):
+                if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR):
                     e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
                                 gather_small(sa.bsdf_params[P_ETA + 1],
                                              lane_bsdf),
@@ -328,7 +365,8 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
                     er = gather_small(sa.bsdf_params[P_ETA], lane_bsdf)
                     e_re = Vec3(er, er, er)
                     e_im = zero3
-                M_t = _specular_bounce_mueller(si, bs, e_re, e_im)
+                M_t = _specular_bounce_mueller(
+                    si, bs, e_re, e_im, rough=(tid == BSDF_ROUGHCONDUCTOR))
                 M_t = _to_world_mueller(si, M_t, -bs.wo, si.wi)
                 M_t = _renormalize(M_t, wgt)
             else:

@@ -151,3 +151,32 @@ def test_stokes_requires_polarized_variant():
     sc = _plate_scene([({"type": "polarizer", "theta": 0.0}, 2.0)])
     with pytest.raises(RuntimeError, match="polarized"):
         sc.integrator.render(sc, seed=0, spp=4)
+
+
+def test_roughconductor_polarizes():
+    """Rough copper reflecting an unpolarized environment acquires partial
+    linear polarization (exact Fresnel Mueller at the micro-normal,
+    roughconductor.cpp polarized branch); copper's |b/a| grows from red to
+    blue, so S1 must too."""
+    mi.set_variant("tpu_rgb_polarized")
+    sc = mi.load_dict({
+        "type": "scene",
+        "plate": {"type": "rectangle",
+                  "bsdf": {"type": "roughconductor", "alpha": 0.2,
+                           "distribution": "ggx", "material": "Cu"}},
+        "env": {"type": "constant", "radiance": {"type": "rgb", "value": 1.0}},
+        "sensor": {"type": "perspective", "fov": 30,
+                   "to_world": tf.look_at([0, 2.5, 2.5], [0, 0, 0],
+                                          [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8},
+                   "sampler": {"type": "independent", "sample_count": 64}},
+        "integrator": {"type": "stokes",
+                       "nested": {"type": "path", "max_depth": 3}},
+    })
+    img = np.asarray(sc.integrator.render(sc, seed=0, spp=128))
+    c = slice(3, 5)
+    S0 = img[c, c, 3:6].mean(axis=(0, 1))
+    S1 = img[c, c, 6:9].mean(axis=(0, 1))
+    frac = S1 / np.maximum(S0, 1e-9)
+    assert frac[2] > frac[1] > frac[0] > 0.0, frac     # b > g > r > 0
+    assert frac[2] > 0.05

@@ -361,7 +361,7 @@ def scene_tables(sa):
 
 
 def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS,
-         skip_static: bool = False):
+         spheres_only: bool = False):
     n = ray.o.x.shape[0]
     blk = rows_per_block * LANES
     n_pad = -(-n // blk) * blk
@@ -375,15 +375,15 @@ def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS,
 
     tri_table, inst_table, sph_table = scene_tables(sa)
     n_static = sa.n_static_tris
-    if skip_static:
-        # dynamic-only pass: animated triangles + spheres (static handled by
-        # the streamed kernel); slots are re-based by the caller
-        tri_table = tri_table[n_static:]
-        if tri_table.shape[0] == 0:
-            tri_table = jnp.zeros((1, TRI_REC), jnp.float32)
+    anim_ranges = tuple(sa.anim_ranges)
+    if spheres_only:
+        # triangles handled by the streamed kernel; this pass unrolls only
+        # the (always few) analytic spheres
+        tri_table = jnp.zeros((1, TRI_REC), jnp.float32)
         n_static = 0
+        anim_ranges = ()
     interpret = jax.default_backend() == "cpu"
-    fn = _compiled(n_static, tuple(sa.anim_ranges), any_hit, n_rows,
+    fn = _compiled(n_static, anim_ranges, any_hit, n_rows,
                    min(rows_per_block, n_rows), interpret,
                    sa.n_spheres, tuple(sa.sphere_animated))
 
@@ -397,43 +397,34 @@ def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS,
     return [o.reshape(-1)[:n] for o in outs]
 
 
-# above this static-triangle count, the unrolled kernel's compile time gets
-# impractical: stream static geometry and merge with a dynamic-only pass
+# above this TOTAL triangle count (static + animated), the unrolled kernel's
+# compile time gets impractical: stream all triangles through the two-level
+# chunked kernel (intersect_stream.py) with O(1) compile time
 STREAM_THRESHOLD = 192
 
 
 def intersect_pallas(sa, ray) -> HitRecord:
-    if sa.n_static_tris <= STREAM_THRESHOLD:
+    if sa.n_static_tris + sa.n_anim_tris <= STREAM_THRESHOLD:
         return HitRecord(*_run(sa, ray, any_hit=False))
-    from .intersect_stream import intersect_static_stream
-    tri_table, _, _ = scene_tables(sa)
-    outs = intersect_static_stream(tri_table[:sa.n_static_tris],
-                                   sa.n_static_tris, ray)
-    hit_s = HitRecord(*outs)
-    if sa.n_anim_tris == 0 and sa.n_spheres == 0:
+    from .intersect_stream import intersect_stream
+    hit_s = HitRecord(*intersect_stream(sa, ray))
+    if sa.n_spheres == 0:
         return hit_s
-    hit_d = HitRecord(*_run(sa, ray, any_hit=False, skip_static=True))
-    # re-base dynamic triangle slots (spheres already use _SPH_SLOT_BASE)
-    dyn_prim = jnp.where((hit_d.prim >= 0) & (hit_d.prim < _SPH_SLOT_BASE),
-                         hit_d.prim + sa.n_static_tris, hit_d.prim)
+    hit_d = HitRecord(*_run(sa, ray, any_hit=False, spheres_only=True))
     take_d = hit_d.t < hit_s.t
-    merged = [jnp.where(take_d, d, s_) for d, s_ in
-              zip(hit_d._replace(prim=dyn_prim), hit_s)]
+    merged = [jnp.where(take_d, d, s_) for d, s_ in zip(hit_d, hit_s)]
     return HitRecord(*merged)
 
 
 def ray_test_pallas(sa, ray):
-    if sa.n_static_tris <= STREAM_THRESHOLD:
+    if sa.n_static_tris + sa.n_anim_tris <= STREAM_THRESHOLD:
         (occ,) = _run(sa, ray, any_hit=True)
         return occ > 0
-    from .intersect_stream import intersect_static_stream
-    tri_table, _, _ = scene_tables(sa)
-    t_s, prim_s = intersect_static_stream(tri_table[:sa.n_static_tris],
-                                          sa.n_static_tris, ray,
-                                          any_hit=True)
+    from .intersect_stream import intersect_stream
+    t_s, prim_s = intersect_stream(sa, ray, any_hit=True)
     occ = prim_s >= 0
-    if sa.n_anim_tris > 0 or sa.n_spheres > 0:
-        (occ_d,) = _run(sa, ray, any_hit=True, skip_static=True)
+    if sa.n_spheres > 0:
+        (occ_d,) = _run(sa, ray, any_hit=True, spheres_only=True)
         occ = occ | (occ_d > 0)
     return occ
 

@@ -1,16 +1,52 @@
-"""Streamed Pallas closest-hit for large static meshes.
+"""Streamed two-level Pallas closest-hit: O(1) compile time in triangle count.
 
-The fat-payload kernel in intersect_kernel.py unrolls the triangle loop —
-ideal for small scenes, but compile time grows with triangle count. This
-variant streams triangles in fixed SMEM chunks over a second grid dimension
-with the hit state accumulated in the (revisited) output blocks, so compile
-time is constant and runtime is linear in T. Handles STATIC world-space
-triangles; animated instances and spheres (always few) stay on the unrolled
-kernel and results merge by closest t (render/scene.py _closest_hit).
+The unrolled kernel in intersect_kernel.py is ideal for small scenes but its
+compile time grows with triangle count — fatal for the paper's animation
+workloads (reference doppler_tutorials/src/utils/common_configs.py scenes
+carry tens of thousands of animated triangles). This kernel streams ALL
+triangles — static world-space AND animated object-space — in fixed SMEM
+chunks over a second grid dimension, with the hit state accumulated in the
+(revisited) output blocks, so compile time is constant and runtime is linear
+in visited chunks.
+
+Why not a BVH on-chip: XLA/Mosaic gathers on TPU serialize on the scalar
+core (~30-90M gathered elems/s measured on v5e), so any per-lane pointer
+chase (stackless BVH, ray sorting via argsort+take) is 2-3 orders of
+magnitude off the VPU's dense throughput. The TPU-native replacement for
+tree traversal is HIERARCHICAL CULLING AT BLOCK GRANULARITY: triangles are
+Morton-ordered at scene compile so each 32-triangle chunk is spatially
+tight, every chunk carries a world-space AABB, and the kernel computes one
+conservative interval-arithmetic slab test per (lane-block, chunk) — a few
+dozen SCALAR ops deciding whether 128x128 lanes x 32 triangles of dense VPU
+work can be skipped (`pl.when`). Coherent blocks (primary/shadow rays) skip
+most chunks; fully-occluded/converged blocks skip everything.
+
+Two-level structure (the Pallas analog of the reference's motion IAS over
+GASes, scene_optix.inl:91 + optix/shapes.h:232-258, and of Embree 2-timestep
+instance motion, instance.cpp:295-310):
+
+  * each triangle chunk belongs to exactly ONE transform group (chunks are
+    padded to chunk boundaries per group with degenerate triangles);
+  * per chunk, a scalar table lookup gives the group's animated-instance
+    record (-1 = static/world space); rays are transformed once per chunk
+    by the per-lane inverse of the clamped keyframe matrix lerp
+    (reference transform.h:458-466) and the 32-triangle inner loop runs on
+    the transformed ray — t stays parameterized in world units because the
+    direction is not renormalized;
+  * animated chunk AABBs are the union of the two keyframe images of the
+    object-space chunk box: component-wise matrix LERP makes every moving
+    point a convex combination of its keyframe images, so the union box is
+    exactly conservative for all times;
+  * winning hits store world-space normals immediately (object normals
+    through inv^T), so the cross-chunk accumulation state is always in
+    world space.
 
 Grid: (lane_blocks [parallel], tri_chunks [arbitrary]); Mosaic keeps each
 lane block's outputs resident in VMEM across the chunk dimension — the same
 revisit pattern as a matmul K-loop.
+
+Analytic spheres (always few) stay on the unrolled kernel
+(intersect_kernel._run with spheres_only) and merge by closest t.
 """
 
 from __future__ import annotations
@@ -23,18 +59,31 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect_kernel import TRI_REC, LANES
+from .intersect_kernel import TRI_REC, LANES, _inv_lerped
 
 CHUNK = 32          # triangles per grid step (SMEM block)
 DEF_ROWS = 128
+# the animated variant keeps ~20 extra live (rows, 128) f32 temporaries
+# (per-lane inverse-lerped matrices + transformed rays); 128 rows exceeds
+# the 16MB scoped VMEM by ~192KB on v5e — halve the lane block
+ANIM_ROWS = 64
+_BIG = np.float32(3.0e38)     # plain numpy: jnp consts can't be captured
+                              # by a pallas kernel body
 
 
-def _build_stream_kernel(any_hit: bool):
+def _build_stream_kernel(any_hit: bool, has_anim: bool):
 
     def kernel(tri_ref,      # (CHUNK, TRI_REC) SMEM — this chunk
-               nt_ref,       # (1,) SMEM — true triangle count
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, maxt_ref,
-               *out_refs):
+               meta_ref,     # (2, n_chunks) SMEM — [anim slot | -1, slot0]
+               aabb_ref,     # (6, n_chunks) SMEM — chunk world AABBs
+               # (row-major: SMEM pads each ROW to a 512B lane tile, so
+               # (n_chunks, k) layouts would waste 512B per chunk per row)
+               inst_ref,     # (n_anim, 26) SMEM — animated instance records
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               time_ref, maxt_ref,
+               *out_and_scratch):
+        out_refs = out_and_scratch[:-1]
+        blk_ref = out_and_scratch[-1]       # (16,) SMEM scratch: ray bounds
         k = pl.program_id(1)
 
         @pl.when(k == 0)
@@ -44,88 +93,181 @@ def _build_stream_kernel(any_hit: bool):
             if not any_hit:
                 for r in out_refs[2:]:
                     r[:] = jnp.zeros(r.shape, r.dtype)
+            # block-wide conservative ray bounds for the chunk culling test
+            for i, r in enumerate((ox_ref, oy_ref, oz_ref)):
+                v = r[:]
+                blk_ref[i] = jnp.min(v)
+                blk_ref[3 + i] = jnp.max(v)
+            for i, r in enumerate((dx_ref, dy_ref, dz_ref)):
+                v = r[:]
+                blk_ref[6 + i] = jnp.min(v)
+                blk_ref[9 + i] = jnp.max(v)
+            mt = maxt_ref[:]
+            blk_ref[12] = jnp.minimum(jnp.max(mt), _BIG)
 
-        ox = ox_ref[:]
-        oy = oy_ref[:]
-        oz = oz_ref[:]
-        dx = dx_ref[:]
-        dy = dy_ref[:]
-        dz = dz_ref[:]
-        maxt = maxt_ref[:]
-        n_tris = nt_ref[0]
+        # ---- conservative per-(block, chunk) interval slab test ----------
+        # o in [ol,oh], d in [dl,dh]; per axis the slab-plane parameters
+        # (p - o)/d span an interval; mixed-sign d makes the axis
+        # unbounded (no cull from that axis). A chunk is visited only if
+        # max(axis lows, 0) <= min(axis highs, tmax, current worst best-t).
+        t_lo = jnp.float32(0.0)
+        t_hi = blk_ref[12]
+        # closest-hit: once every lane in the block has SOME hit, the
+        # block-wide max best-t bounds the interval (front-to-back payoff)
+        cur_worst = jnp.minimum(jnp.max(out_refs[0][:]), _BIG)
+        t_hi = jnp.minimum(t_hi, cur_worst)
+        if any_hit:
+            # fully-occluded block: skip everything
+            all_occ = jnp.min(out_refs[1][:]) >= 0
+            t_hi = jnp.where(all_occ, -_BIG, t_hi)
+        for ax in range(3):
+            ol, oh = blk_ref[ax], blk_ref[3 + ax]
+            dl, dh = blk_ref[6 + ax], blk_ref[9 + ax]
+            bmin, bmax = aabb_ref[ax, k], aabb_ref[3 + ax, k]
+            pos = dl > 1e-12
+            neg = dh < -1e-12
+            same_sign = pos | neg
+            inv_a = 1.0 / jnp.where(same_sign, dl, 1.0)
+            inv_b = 1.0 / jnp.where(same_sign, dh, 1.0)
+            # interval products over both planes and both endpoints
+            lo = _BIG
+            hi = -_BIG
+            for p in (bmin, bmax):
+                for oo in (ol, oh):
+                    num = p - oo
+                    for iv in (inv_a, inv_b):
+                        v = num * iv
+                        lo = jnp.minimum(lo, v)
+                        hi = jnp.maximum(hi, v)
+            lo = jnp.where(same_sign, lo, -_BIG)
+            hi = jnp.where(same_sign, hi, _BIG)
+            # d may straddle 0 but the origin interval can still sit
+            # entirely outside the slab with no sign change possible only
+            # when d spans 0 — conservative: skip the axis (handled above)
+            t_lo = jnp.maximum(t_lo, lo)
+            t_hi = jnp.minimum(t_hi, hi)
+        possible = t_lo <= t_hi
 
-        st = {"t": out_refs[0][:], "prim": out_refs[1][:]}
-        if not any_hit:
-            keys = ("inst", "u", "v", "gx", "gy", "gz", "nx", "ny", "nz",
-                    "uu", "vv")
-            for r, key in zip(out_refs[2:], keys):
-                st[key] = r[:]
+        @pl.when(possible)
+        def _chunk_body():
+            ox = ox_ref[:]
+            oy = oy_ref[:]
+            oz = oz_ref[:]
+            dx = dx_ref[:]
+            dy = dy_ref[:]
+            dz = dz_ref[:]
+            maxt = maxt_ref[:]
 
-        base = k * CHUNK
-        for j in range(CHUNK):
-            slot = base + j
-            r = tuple(tri_ref[j, c] for c in range(TRI_REC))
-            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = r[0:9]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            okd = jnp.abs(det) > 1e-12
-            inv = 1.0 / jnp.where(okd, det, 1.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > 0.0) & (t < maxt) & (t < st["t"])
-                   & (slot < n_tris))
-            st["t"] = jnp.where(hit, t, st["t"])
-            st["prim"] = jnp.where(hit, slot, st["prim"])
+            slot0 = meta_ref[1, k]
+            if has_anim:
+                ci = meta_ref[0, k]
+                cia = jnp.maximum(ci, 0)
+                is_anim = ci >= 0
+                time = time_ref[:]
+                mc0 = tuple(inst_ref[cia, j] for j in range(12))
+                mc1 = tuple(inst_ref[cia, 12 + j] for j in range(12))
+                tw0 = inst_ref[cia, 24]
+                tw1 = inst_ref[cia, 25]
+                i3, it3 = _inv_lerped(mc0, mc1, tw0, tw1, time)
+                fa = is_anim.astype(jnp.float32)   # select via lerp-to-identity
+                one_m = 1.0 - fa
+                rox = fa * (i3[0] * ox + i3[1] * oy + i3[2] * oz + it3[0]) + one_m * ox
+                roy = fa * (i3[3] * ox + i3[4] * oy + i3[5] * oz + it3[1]) + one_m * oy
+                roz = fa * (i3[6] * ox + i3[7] * oy + i3[8] * oz + it3[2]) + one_m * oz
+                rdx = fa * (i3[0] * dx + i3[1] * dy + i3[2] * dz) + one_m * dx
+                rdy = fa * (i3[3] * dx + i3[4] * dy + i3[5] * dz) + one_m * dy
+                rdz = fa * (i3[6] * dx + i3[7] * dy + i3[8] * dz) + one_m * dz
+            else:
+                rox, roy, roz, rdx, rdy, rdz = ox, oy, oz, dx, dy, dz
+
+            st = {"t": out_refs[0][:], "prim": out_refs[1][:]}
             if not any_hit:
-                w = 1.0 - u - v
-                st["inst"] = jnp.where(hit, r[24].astype(jnp.int32),
-                                       st["inst"])
-                st["u"] = jnp.where(hit, u, st["u"])
-                st["v"] = jnp.where(hit, v, st["v"])
-                st["gx"] = jnp.where(hit, e1y * e2z - e1z * e2y, st["gx"])
-                st["gy"] = jnp.where(hit, e1z * e2x - e1x * e2z, st["gy"])
-                st["gz"] = jnp.where(hit, e1x * e2y - e1y * e2x, st["gz"])
-                n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = r[9:18]
-                st["nx"] = jnp.where(hit, w * n0x + u * n1x + v * n2x, st["nx"])
-                st["ny"] = jnp.where(hit, w * n0y + u * n1y + v * n2y, st["ny"])
-                st["nz"] = jnp.where(hit, w * n0z + u * n1z + v * n2z, st["nz"])
-                uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = r[18:24]
-                st["uu"] = jnp.where(hit, w * uv0u + u * uv1u + v * uv2u,
-                                     st["uu"])
-                st["vv"] = jnp.where(hit, w * uv0v + u * uv1v + v * uv2v,
-                                     st["vv"])
+                keys = ("inst", "u", "v", "gx", "gy", "gz", "nx", "ny", "nz",
+                        "uu", "vv")
+                for r, key in zip(out_refs[2:], keys):
+                    st[key] = r[:]
 
-        out_refs[0][:] = st["t"]
-        out_refs[1][:] = st["prim"]
-        if not any_hit:
-            for r, key in zip(out_refs[2:], keys):
-                r[:] = st[key]
+            for j in range(CHUNK):
+                r = tuple(tri_ref[j, c] for c in range(TRI_REC))
+                v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = r[0:9]
+                px = rdy * e2z - rdz * e2y
+                py = rdz * e2x - rdx * e2z
+                pz = rdx * e2y - rdy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                okd = jnp.abs(det) > 1e-12
+                inv = 1.0 / jnp.where(okd, det, 1.0)
+                tx = rox - v0x
+                ty = roy - v0y
+                tz = roz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (rdx * qx + rdy * qy + rdz * qz) * inv
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv
+                hit = (okd & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t < maxt) & (t < st["t"]))
+                st["t"] = jnp.where(hit, t, st["t"])
+                st["prim"] = jnp.where(hit, slot0 + j, st["prim"])
+                if not any_hit:
+                    w = 1.0 - u - v
+                    st["inst"] = jnp.where(hit, r[24].astype(jnp.int32),
+                                           st["inst"])
+                    st["u"] = jnp.where(hit, u, st["u"])
+                    st["v"] = jnp.where(hit, v, st["v"])
+                    # normals: object-space interpolation, then to world via
+                    # inv^T for animated chunks (identity otherwise)
+                    gx = e1y * e2z - e1z * e2y
+                    gy = e1z * e2x - e1x * e2z
+                    gz = e1x * e2y - e1y * e2x
+                    n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = r[9:18]
+                    nx = w * n0x + u * n1x + v * n2x
+                    ny = w * n0y + u * n1y + v * n2y
+                    nz = w * n0z + u * n1z + v * n2z
+                    if has_anim:
+                        wgx = fa * (i3[0] * gx + i3[3] * gy + i3[6] * gz) + one_m * gx
+                        wgy = fa * (i3[1] * gx + i3[4] * gy + i3[7] * gz) + one_m * gy
+                        wgz = fa * (i3[2] * gx + i3[5] * gy + i3[8] * gz) + one_m * gz
+                        wnx = fa * (i3[0] * nx + i3[3] * ny + i3[6] * nz) + one_m * nx
+                        wny = fa * (i3[1] * nx + i3[4] * ny + i3[7] * nz) + one_m * ny
+                        wnz = fa * (i3[2] * nx + i3[5] * ny + i3[8] * nz) + one_m * nz
+                    else:
+                        wgx, wgy, wgz, wnx, wny, wnz = gx, gy, gz, nx, ny, nz
+                    st["gx"] = jnp.where(hit, wgx, st["gx"])
+                    st["gy"] = jnp.where(hit, wgy, st["gy"])
+                    st["gz"] = jnp.where(hit, wgz, st["gz"])
+                    st["nx"] = jnp.where(hit, wnx, st["nx"])
+                    st["ny"] = jnp.where(hit, wny, st["ny"])
+                    st["nz"] = jnp.where(hit, wnz, st["nz"])
+                    uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = r[18:24]
+                    st["uu"] = jnp.where(hit, w * uv0u + u * uv1u + v * uv2u,
+                                         st["uu"])
+                    st["vv"] = jnp.where(hit, w * uv0v + u * uv1v + v * uv2v,
+                                         st["vv"])
+
+            out_refs[0][:] = st["t"]
+            out_refs[1][:] = st["prim"]
+            if not any_hit:
+                for r, key in zip(out_refs[2:], keys):
+                    r[:] = st[key]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_stream(any_hit: bool, n_rows: int, rows_per_block: int,
-                     n_chunks: int, interpret: bool):
-    kernel = _build_stream_kernel(any_hit)
+def _compiled_stream(any_hit: bool, has_anim: bool, n_rows: int,
+                     rows_per_block: int, n_chunks: int, interpret: bool):
+    kernel = _build_stream_kernel(any_hit, has_anim)
     grid = (n_rows // rows_per_block, n_chunks)
     lane_spec = pl.BlockSpec((rows_per_block, LANES), lambda i, k: (i, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((CHUNK, TRI_REC), lambda i, k: (k, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),      # n_tris scalar
-    ] + [lane_spec] * 7
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # chunk meta
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # chunk AABBs
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # instance records
+    ] + [lane_spec] * 8
     f32, i32 = jnp.float32, jnp.int32
     dtypes = [f32, i32] if any_hit else [f32, i32, i32] + [f32] * 10
     out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), dt) for dt in dtypes]
@@ -136,44 +278,160 @@ def _compiled_stream(any_hit: bool, n_rows: int, rows_per_block: int,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((16,), jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
     )
 
 
-def intersect_static_stream(tri_table, n_tris: int, ray,
-                            rows_per_block: int = DEF_ROWS, any_hit=False):
-    """Closest-hit over ``tri_table`` (T_pad, TRI_REC) world-space static
-    triangles. Returns the fat-payload arrays (t, prim, inst, u, v, gn, ns,
-    uv) or (t, prim) for any-hit."""
+def _chunked_layout(n_static: int, anim_ranges):
+    """Host-side chunk layout: per-group padding so each CHUNK-sized chunk
+    belongs to one transform group. Returns (segments, chunk_meta) where
+    segments = [(src_kind, src_start, count)] describing how to assemble the
+    padded triangle table ('s'/'a'/'pad'), and chunk_meta is
+    (n_chunks, 2) int32 [anim record index | -1, global slot of first tri].
+    """
+    segments = []
+    meta = []
+
+    def add_group(kind, src_start, count, slot_base, anim_idx):
+        if count == 0:
+            return
+        segments.append((kind, src_start, count))
+        pad = (-count) % CHUNK
+        if pad:
+            segments.append(("pad", 0, pad))
+        for c in range(-(-count // CHUNK)):
+            meta.append((anim_idx, slot_base + c * CHUNK))
+
+    add_group("s", 0, n_static, 0, -1)
+    for a, (inst, start, count) in enumerate(anim_ranges):
+        add_group("a", start, count, n_static + start, a)
+    if not meta:                         # no triangles at all
+        segments.append(("pad", 0, CHUNK))
+        meta.append((-1, 0))
+    return segments, np.asarray(meta, np.int32)
+
+
+def chunk_aabbs(n_static: int, anim_ranges, s_v0, s_e1, s_e2,
+                a_v0, a_e1, a_e2, inst_m0, inst_m1) -> np.ndarray:
+    """Host-side per-chunk world AABBs following `_chunked_layout`.
+
+    ``s_*``/``a_*``: (T, 3) numpy vertex/edge arrays (static world space,
+    animated OBJECT space). ``inst_m0/m1``: per anim-range (3,4) keyframe
+    matrices. Animated chunk boxes are the union of both keyframe images —
+    exactly conservative under component-wise matrix lerp (every moving
+    point is a convex combination of its two keyframe images,
+    reference transform.h:461-466)."""
+    segments, meta = _chunked_layout(n_static, anim_ranges)
+    n_chunks = meta.shape[0]
+    out = np.empty((n_chunks, 6), np.float32)
+    out[:, :3] = np.float32(3e38)        # empty box: never visited
+    out[:, 3:] = np.float32(-3e38)
+    ci = 0
+    for seg_i, (kind, start, count) in enumerate(segments):
+        if kind == "pad":
+            continue
+        if kind == "s":
+            v0 = s_v0[start:start + count]
+            p1 = v0 + s_e1[start:start + count]
+            p2 = v0 + s_e2[start:start + count]
+            pts = (v0, p1, p2)
+        else:
+            a = next(i for i, r in enumerate(anim_ranges)
+                     if r[1] == start)
+            v0 = a_v0[start:start + count]
+            p1 = v0 + a_e1[start:start + count]
+            p2 = v0 + a_e2[start:start + count]
+            pts = []
+            for m in (inst_m0[a], inst_m1[a]):
+                for p in (v0, p1, p2):
+                    pts.append(p @ m[:3, :3].T + m[:3, 3])
+        for c in range(-(-count // CHUNK)):
+            sl = slice(c * CHUNK, min((c + 1) * CHUNK, count))
+            lo = np.min([p[sl].min(axis=0) for p in pts], axis=0)
+            hi = np.max([p[sl].max(axis=0) for p in pts], axis=0)
+            pad = 1e-5 * np.maximum(np.abs(lo), np.abs(hi)) + 1e-7
+            out[ci, :3] = lo - pad
+            out[ci, 3:] = hi + pad
+            ci += 1
+    assert ci == sum(-(-c // CHUNK) for k, _, c in segments if k != "pad")
+    return out
+
+
+def _assemble_tri_table(sa, segments):
+    """Stack the padded triangle table in-graph from SceneArrays columns."""
+    cols = ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z", "e2x", "e2y", "e2z",
+            "n0x", "n0y", "n0z", "n1x", "n1y", "n1z", "n2x", "n2y", "n2z",
+            "uv0u", "uv0v", "uv1u", "uv1v", "uv2u", "uv2v")
+    parts = []
+    for kind, start, count in segments:
+        if kind == "pad":
+            parts.append(jnp.zeros((count, TRI_REC), jnp.float32))
+            continue
+        seg = [sa.tri(kind, c)[start:start + count] for c in cols]
+        seg.append(sa.tri(kind, "inst")[start:start + count]
+                   .astype(jnp.float32))
+        parts.append(jnp.stack(seg, axis=-1))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _inst_table(sa):
+    if sa.anim_ranges:
+        rows = []
+        for (inst, start, count) in sa.anim_ranges:
+            rows.append(jnp.concatenate([
+                sa.inst_m0c[:, inst], sa.inst_m1c[:, inst],
+                sa.inst_t0[inst][None], sa.inst_t1[inst][None]]))
+        return jnp.stack(rows, axis=0)
+    return jnp.zeros((1, 26), jnp.float32)
+
+
+def intersect_stream(sa, ray, any_hit: bool = False,
+                     rows_per_block: int = None):
+    """Closest-hit (or any-hit) over ALL triangles — static and animated —
+    via the two-level streamed kernel. Spheres are NOT handled here (the
+    caller merges the unrolled sphere pass). Returns the fat-payload list
+    (t, prim, inst, u, v, gn, ns, uv) or (t, prim) for any-hit, with prim
+    in the global slot convention ([0, n_static) static, then animated)."""
+    if rows_per_block is None:
+        rows_per_block = ANIM_ROWS if sa.anim_ranges else DEF_ROWS
     n = ray.o.x.shape[0]
     blk = rows_per_block * LANES
     n_pad = -(-n // blk) * blk
     n_rows = n_pad // LANES
 
-    t_pad = -(-int(tri_table.shape[0]) // CHUNK) * CHUNK
-    if t_pad != tri_table.shape[0]:
-        tri_table = jnp.concatenate(
-            [tri_table, jnp.zeros((t_pad - tri_table.shape[0], TRI_REC),
-                                  jnp.float32)], axis=0)
-    n_chunks = t_pad // CHUNK
+    segments, meta = _chunked_layout(sa.n_static_tris, sa.anim_ranges)
+    tri_table = _assemble_tri_table(sa, segments)
+    inst_table = _inst_table(sa)
+    n_chunks = meta.shape[0]
+    has_anim = bool(sa.anim_ranges)
+    aabb = sa.chunk_aabb
+    if aabb is None:      # scenes compiled without boxes: no culling
+        aabb = jnp.concatenate(
+            [jnp.full((n_chunks, 3), -_BIG), jnp.full((n_chunks, 3), _BIG)],
+            axis=1)
 
-    def pad(x, fill=0.0):
+    def pad(x, fill=None):
         if n_pad == n:
             return x
-        return jnp.concatenate(
-            [x, jnp.full((n_pad - n,), fill, x.dtype)], axis=0)
+        if fill is None:       # edge-replicate: keeps block ray bounds tight
+            tail = jnp.broadcast_to(x[-1], (n_pad - n,)).astype(x.dtype)
+        else:
+            tail = jnp.full((n_pad - n,), fill, x.dtype)
+        return jnp.concatenate([x, tail], axis=0)
 
     interpret = jax.default_backend() == "cpu"
-    fn = _compiled_stream(any_hit, n_rows, min(rows_per_block, n_rows),
-                          n_chunks, interpret)
-    args = [tri_table, jnp.asarray([n_tris], jnp.int32)] + [
-        pad(getattr(ray.o, c)).reshape(n_rows, LANES) for c in "xyz"] + [
+    fn = _compiled_stream(any_hit, has_anim, n_rows,
+                          min(rows_per_block, n_rows), n_chunks, interpret)
+    args = [tri_table, jnp.asarray(meta.T), aabb.T, inst_table] + [
+        pad(getattr(ray.o, c)) .reshape(n_rows, LANES) for c in "xyz"] + [
         pad(getattr(ray.d, c)).reshape(n_rows, LANES) for c in "xyz"] + [
+        pad(ray.time).reshape(n_rows, LANES),
         pad(ray.maxt, fill=-1.0).reshape(n_rows, LANES)]
     outs = fn(*args)
     return [o.reshape(-1)[:n] for o in outs]
 
 
-__all__ = ["intersect_static_stream", "CHUNK"]
+__all__ = ["intersect_stream", "chunk_aabbs", "CHUNK"]

@@ -55,7 +55,7 @@ class SceneArrays:
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
-           "bvh", "measured",
+           "bvh", "anim_blas", "chunk_aabb", "measured",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -93,9 +93,36 @@ class SceneArrays:
         arr = self.inst_m0c if which == 0 else self.inst_m1c  # (12, I)
         return tuple(arr[j, inst] for j in range(12))
 
+    @property
+    def has_accel(self) -> bool:
+        """True when any BVH exists (static TLAS or an animated BLAS) —
+        routes ray queries to the XLA gather path instead of Pallas."""
+        return self.bvh is not None or any(
+            b is not None for b in (self.anim_blas or ()))
+
 
 jax.tree_util.register_pytree_node(
     SceneArrays, SceneArrays.tree_flatten, SceneArrays.tree_unflatten)
+
+
+def _morton_order(cen: np.ndarray) -> np.ndarray:
+    """Permutation sorting points by 30-bit 3D Morton code — spatial
+    locality for the streamed kernel's chunk AABBs."""
+    lo, hi = cen.min(axis=0), cen.max(axis=0)
+    q = ((cen - lo) / np.maximum(hi - lo, 1e-20)
+         * 1023.0).astype(np.uint32)
+
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x030000FF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x0300F00F)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x030C30C3)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x09249249)
+        return x
+
+    code = ((spread(q[:, 0]) << np.uint64(2))
+            | (spread(q[:, 1]) << np.uint64(1)) | spread(q[:, 2]))
+    return np.argsort(code, kind="stable")
 
 
 class Scene:
@@ -275,22 +302,34 @@ class Scene:
             if em.shape is not None:
                 m0, _, _, _ = em.shape.to_world.matrices()
                 mat = m0
+                sh_animated = em.shape.to_world.animated
                 if getattr(em.shape, "is_analytic_sphere", False):
                     # analytic sphere emitter: cone-sampled NEE
-                    # (emitters EMITTER_AREA_SPHERE; sphere.cpp semantics)
+                    # (emitters EMITTER_AREA_SPHERE; sphere.cpp semantics).
+                    # Animated spheres record their sphere-table slot at
+                    # param 9 so the cone is re-centered per lane at the
+                    # ray's own time (extension beyond the reference, which
+                    # forbids emitters on instanced shapes, instance.cpp:48)
                     from ..emitters import EMITTER_AREA_SPHERE, E_POS, E_CUTOFF
                     etype = EMITTER_AREA_SPHERE
                     r_w = float(np.linalg.norm(m0[:3, 0]))
                     row[E_POS:E_POS + 3] = m0[:3, 3]
                     row[E_CUTOFF] = r_w
                     row[E_AREA] = 4.0 * np.pi * r_w * r_w
+                    sph_slot = sum(
+                        1 for s in self.shapes[:self.shapes.index(em.shape)]
+                        if getattr(s, "is_analytic_sphere", False))
+                    row[9] = float(sph_slot) if sh_animated else -1.0
                 else:
                     row[E_AREA] = float(
                         np.sum(em.shape.mesh.surface_areas(m0)))
                 if (etype == EMITTER_AREA_RECT
-                        and not isinstance(em.shape, RectangleShape)
+                        and (not isinstance(em.shape, RectangleShape)
+                             or sh_animated)
                         and not getattr(em.shape, "is_analytic_sphere",
                                         False)):
+                    # animated rect emitters also ride the mesh-CDF path so
+                    # their sampled positions track the keyframe lerp
                     etype = EMITTER_AREA_MESH
                     mesh_emitter_shapes[ei] = em.shape
             emitter_rows.append(row)
@@ -412,6 +451,17 @@ class Scene:
         for ii, sh in enumerate(self.shapes):
             m0, m1, t0, t1 = sh.to_world.matrices()
             animated = sh.to_world.animated
+            if (getattr(sh, "mesh", None) is not None
+                    and sh.mesh.faces.shape[0] > 64
+                    and not getattr(sh.mesh, "_morton_ordered", False)):
+                # spatially order triangles (object space, transform-safe
+                # for shared meshes) so the streamed kernel's 32-triangle
+                # chunks carry tight AABBs — the TPU replacement for BVH
+                # leaf locality (ops/intersect_stream.py culling)
+                f = sh.mesh.faces
+                cen = sh.mesh.vertices[f].mean(axis=1)
+                sh.mesh.faces = f[_morton_order(cen)]
+                sh.mesh._morton_ordered = True
             inst_m0.append(m0[:3, :4].reshape(-1))
             inst_m1.append(m1[:3, :4].reshape(-1))
             inst_t0.append(t0)
@@ -526,20 +576,48 @@ class Scene:
                             [sv["e1x"], sv["e1y"], sv["e1z"]],
                             [sv["e2x"], sv["e2y"], sv["e2z"]])
 
-        # mesh-area-emitter triangle CDFs (static shapes only)
-        mesh_em_meta = []            # (emitter_idx, tri_start, count, cdf_off)
+        # per-instance object-space BLAS for large animated meshes — the
+        # analog of the reference's motion IAS over per-shapegroup GASes
+        # (scene_optix.inl:91 + optix/shapes.h:232-258): the BLAS is
+        # time-invariant because rays enter object space through the
+        # per-lane lerped-inverse transform
+        anim_blas = []
+        if anim_ranges:
+            av = {c: np.concatenate(a_cols[c], axis=0)
+                  for c in ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z",
+                            "e2x", "e2y", "e2z")}
+            for (inst, start, count) in anim_ranges:
+                if count > BVH_THRESHOLD:
+                    sl = slice(start, start + count)
+                    anim_blas.append(build_bvh(
+                        [av["v0x"][sl], av["v0y"][sl], av["v0z"][sl]],
+                        [av["e1x"][sl], av["e1y"][sl], av["e1z"][sl]],
+                        [av["e2x"][sl], av["e2y"][sl], av["e2z"][sl]]))
+                else:
+                    anim_blas.append(None)
+
+        # mesh-area-emitter triangle CDFs. Animated shapes sample their
+        # object-space CDF and transform per lane at the ray's time — an
+        # extension beyond the reference, which forbids emitters on
+        # instanced/animated shapes outright (instance.cpp:48).
+        # meta: (emitter_idx, tri_start, count, cdf_off, animated, inst_idx)
+        mesh_em_meta = []
         cdf_parts = []
         cdf_off = 0
         for ei, shp in mesh_emitter_shapes.items():
             ii = self.shapes.index(shp)
-            if shp.to_world.animated or ii not in static_ranges:
-                raise RuntimeError(
-                    "area emitters on animated shapes are not supported yet")
-            start, cnt = static_ranges[ii]
-            m0 = shp.to_world.matrices()[0]
-            areas = shp.mesh.surface_areas(m0)
+            if shp.to_world.animated:
+                rng_a = next(r for r in anim_ranges if r[0] == ii)
+                start, cnt = rng_a[1], rng_a[2]
+                areas = shp.mesh.surface_areas(np.eye(4))
+                anim = 1
+            else:
+                start, cnt = static_ranges[ii]
+                m0 = shp.to_world.matrices()[0]
+                areas = shp.mesh.surface_areas(m0)
+                anim = 0
             cdf = np.cumsum(areas / max(areas.sum(), 1e-20)).astype(np.float32)
-            mesh_em_meta.append((ei, start, cnt, cdf_off))
+            mesh_em_meta.append((ei, start, cnt, cdf_off, anim, ii))
             cdf_parts.append(cdf)
             cdf_off += cnt
         em_tri_cdf = (np.concatenate(cdf_parts) if cdf_parts
@@ -555,6 +633,29 @@ class Scene:
             kw["a_" + c] = a[c]
 
         kw["bvh"] = bvh
+        kw["anim_blas"] = tuple(anim_blas)
+
+        # per-chunk world AABBs for the streamed kernel's block culling
+        from ..ops.intersect_stream import chunk_aabbs
+
+        def _cat3(cols, a, b, c):
+            if not cols[a]:
+                return np.zeros((0, 3), np.float32)
+            return np.stack([np.concatenate(cols[a]),
+                             np.concatenate(cols[b]),
+                             np.concatenate(cols[c])], axis=1)
+
+        am0 = [np.asarray(inst_m0[i]).reshape(3, 4) for i, _, _ in anim_ranges]
+        am1 = [np.asarray(inst_m1[i]).reshape(3, 4) for i, _, _ in anim_ranges]
+        kw["chunk_aabb"] = jnp.asarray(chunk_aabbs(
+            n_static, tuple(anim_ranges),
+            _cat3(s_cols, "v0x", "v0y", "v0z"),
+            _cat3(s_cols, "e1x", "e1y", "e1z"),
+            _cat3(s_cols, "e2x", "e2y", "e2z"),
+            _cat3(a_cols, "v0x", "v0y", "v0z"),
+            _cat3(a_cols, "e1x", "e1y", "e1z"),
+            _cat3(a_cols, "e2x", "e2y", "e2z"),
+            am0, am1))
         self._compiled = SceneArrays(
             inst_m0c=jnp.asarray(
                 np.stack(inst_m0).T if inst_m0 else np.zeros((12, 1)),
@@ -723,12 +824,22 @@ def _hit_reference(sa: SceneArrays, ray: Ray, include_static: bool = True):
 
     o_objs = {}
     is_anim = jnp.zeros((n,), bool)
-    for (inst, start, count) in sa.anim_ranges:
+    for a, (inst, start, count) in enumerate(sa.anim_ranges):
         o_obj, d_obj, _, _ = _anim_object_ray(sa, inst, ray)
         o_objs[inst] = (o_obj, d_obj)
-        t_a, i_a = _intersect_scan(
-            o_obj, d_obj, ray.maxt, a_cols, start, count,
-            (best_t, jnp.full((n,), -1, jnp.int32)))
+        blas = sa.anim_blas[a] if sa.anim_blas else None
+        if blas is not None:
+            # large animated mesh: object-space BLAS traversal at the
+            # per-lane transformed ray (see compile(): time-invariant BLAS)
+            from ..ops.bvh import bvh_closest
+            sub = {c: a_cols[c][start:start + count] for c in a_cols}
+            t_a, i_loc = bvh_closest(blas, sub, o_obj, d_obj, ray.maxt,
+                                     (best_t, jnp.full((n,), -1, jnp.int32)))
+            i_a = jnp.where(i_loc >= 0, i_loc + start, -1)
+        else:
+            t_a, i_a = _intersect_scan(
+                o_obj, d_obj, ray.maxt, a_cols, start, count,
+                (best_t, jnp.full((n,), -1, jnp.int32)))
         took = i_a >= 0
         # global slot convention: [0, n_static) static, then animated
         best_idx = jnp.where(took, i_a + sa.n_static_tris, best_idx)
@@ -853,10 +964,12 @@ USE_PALLAS = True
 
 
 def _closest_hit(sa: SceneArrays, ray: Ray):
-    if sa.bvh is not None:
-        # large static scenes: the XLA BVH path scales O(log T) per ray
-        # where the SMEM-streamed Pallas kernel is O(T)
-        return _hit_reference(sa, ray)
+    # TPU: ALWAYS the Pallas path. The gather-based BVH is unusable on
+    # TPU — XLA/Mosaic gathers serialize on the scalar core (~30-90M
+    # gathered elems/s measured on v5e), so pointer-chasing traversal is
+    # orders of magnitude slower than the chunk-culled dense stream
+    # (ops/intersect_stream.py). On CPU (tests/oracle) the BVH/BLAS path
+    # is the accelerator.
     if USE_PALLAS and jax.default_backend() not in ("cpu",):
         from ..ops.intersect_kernel import intersect_pallas
         return intersect_pallas(sa, ray)
@@ -891,18 +1004,24 @@ def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
 
 def ray_test(sa: SceneArrays, ray: Ray, active=None):
     """Shadow/any-hit query (reference scene.cpp ray_test)."""
-    if sa.bvh is not None:
-        from ..ops.bvh import bvh_any
-        s_cols = {c: sa.tri("s", c) for c in
-                  ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z",
-                   "e2x", "e2y", "e2z")}
-        occluded = bvh_any(sa.bvh, s_cols, ray.o, ray.d, ray.maxt)
-        if sa.anim_ranges or sa.n_spheres:
-            occluded = occluded | (_hit_reference(
-                sa, ray, include_static=False).prim >= 0)
-    elif USE_PALLAS and jax.default_backend() not in ("cpu",):
+    if USE_PALLAS and jax.default_backend() not in ("cpu",):
+        # TPU: always Pallas (see _closest_hit for the gather rationale)
         from ..ops.intersect_kernel import ray_test_pallas
         occluded = ray_test_pallas(sa, ray)
+    elif sa.has_accel:
+        if sa.bvh is not None:
+            from ..ops.bvh import bvh_any
+            s_cols = {c: sa.tri("s", c) for c in
+                      ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z",
+                       "e2x", "e2y", "e2z")}
+            occluded = bvh_any(sa.bvh, s_cols, ray.o, ray.d, ray.maxt)
+            if sa.anim_ranges or sa.n_spheres:
+                # animated instances go through the oracle sweep, which
+                # itself routes large ones onto their object-space BLAS
+                occluded = occluded | (_hit_reference(
+                    sa, ray, include_static=False).prim >= 0)
+        else:
+            occluded = _hit_reference(sa, ray).prim >= 0
     else:
         hit = _hit_reference(sa, ray)
         occluded = hit.prim >= 0

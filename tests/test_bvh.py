@@ -74,6 +74,84 @@ def test_bvh_matches_brute_force():
     assert (np.asarray(occ) == (bi_ref >= 0)).all()
 
 
+def test_animated_blas_matches_scan(tmp_path):
+    """A >threshold ANIMATED mesh routes through its object-space BLAS
+    (the analog of the reference's motion IAS over a GAS,
+    optix/shapes.h:232-258) and hits exactly match the scanned oracle."""
+    import mitsuba3dopplertof_tpu.ops.bvh as B
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    from mitsuba3dopplertof_tpu.core.transform import AnimatedTransform
+    from mitsuba3dopplertof_tpu.render.scene import _hit_reference
+    from mitsuba3dopplertof_tpu.render.types import Ray
+
+    nu, nv = 96, 48           # 9216 triangles > BVH_THRESHOLD
+    lines = []
+    for j in range(nv + 1):
+        for i in range(nu):
+            th, ph = np.pi * j / nv, 2 * np.pi * i / nu
+            lines.append(f"v {np.sin(th)*np.cos(ph):.6f} {np.cos(th):.6f} "
+                         f"{np.sin(th)*np.sin(ph):.6f}")
+
+    def vid(i, j):
+        return j * nu + (i % nu) + 1
+    for j in range(nv):
+        for i in range(nu):
+            a, b, c, d = vid(i, j), vid(i+1, j), vid(i+1, j+1), vid(i, j+1)
+            lines.append(f"f {a} {b} {c}")
+            lines.append(f"f {a} {c} {d}")
+    obj = tmp_path / "sphere.obj"
+    obj.write_text("\n".join(lines))
+
+    def make():
+        return mi.load_dict({
+            "type": "scene",
+            "mesh": {"type": "obj", "filename": str(obj),
+                     "to_world": AnimatedTransform([
+                         (0.0, tf.translate([0, 0, 0])),
+                         (1.0, tf.translate([0.8, 0, 0]))])},
+            "light": {"type": "point", "position": [0, 3, -3],
+                      "intensity": {"type": "rgb", "value": 20.0}},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "shutter_open": 0.0, "shutter_close": 1.0,
+                       "to_world": tf.look_at([0, 0, -4], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 16,
+                                "height": 16},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 4}},
+            "integrator": {"type": "path", "max_depth": 3},
+        })
+
+    sc = make()
+    sa = sc.compile()
+    assert sa.anim_blas and sa.anim_blas[0] is not None
+
+    # direct hit parity: BLAS vs scan on randomized timed rays
+    rng = np.random.default_rng(2)
+    N = 512
+    o = rng.uniform(-2, 2, (N, 3)); o[:, 2] -= 4.0
+    tgt = rng.uniform(-1.2, 1.2, (N, 3))
+    dd = tgt - o
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    ray = Ray(Vec3(f32(o[:, 0]), f32(o[:, 1]), f32(o[:, 2])),
+              Vec3(f32(dd[:, 0]), f32(dd[:, 1]), f32(dd[:, 2])),
+              f32(rng.uniform(0, 1, N)), f32(np.full(N, np.inf)))
+    h_blas = _hit_reference(sa, ray)
+
+    old = B.BVH_THRESHOLD
+    try:
+        B.BVH_THRESHOLD = 10 ** 9
+        sa2 = make().compile()
+        assert not sa2.has_accel
+        h_scan = _hit_reference(sa2, ray)
+    finally:
+        B.BVH_THRESHOLD = old
+    assert (np.asarray(h_blas.prim) == np.asarray(h_scan.prim)).all()
+    np.testing.assert_allclose(np.asarray(h_blas.t), np.asarray(h_scan.t),
+                               rtol=1e-5)
+
+
 def test_bvh_render_matches_scan(tmp_path):
     """End-to-end: a >threshold mesh renders identically through the BVH
     and the linear-scan path."""

@@ -275,6 +275,28 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
             # subtended by the sphere, pdf = 1/(2*pi*(1-cos_theta_max))
             c = Vec3(param(E_POS), param(E_POS + 1), param(E_POS + 2))
             r = param(E_CUTOFF)
+            if int(sa.n_spheres) > 0:
+                # animated sphere emitters (param 9 = sphere-table slot):
+                # re-center the cone at the keyframe-lerped position at the
+                # ray's own time (extension; reference instance.cpp:48)
+                slot = param(9).astype(jnp.int32)
+                s_anim = slot >= 0
+                sl = jnp.maximum(slot, 0)
+                t0s = gather_small(sa.sph_t0, sl)
+                t1s = gather_small(sa.sph_t1, sl)
+                span_s = t1s - t0s
+                uu = jnp.clip((ref_time - t0s)
+                              / jnp.where(span_s != 0.0, span_s, 1.0),
+                              0.0, 1.0)
+
+                def lerp_c(j):
+                    return ((1.0 - uu) * gather_small(sa.sph_m0c[j], sl)
+                            + uu * gather_small(sa.sph_m1c[j], sl))
+                c_t = Vec3(lerp_c(3), lerp_c(7), lerp_c(11))
+                l0, l4, l8 = lerp_c(0), lerp_c(4), lerp_c(8)
+                r_t = jnp.sqrt(l0 * l0 + l4 * l4 + l8 * l8)
+                c = where3(s_anim, c_t, c)
+                r = jnp.where(s_anim, r_t, r)
             dc = c - ref_p
             dc2 = jnp.maximum(dot(dc, dc), 1e-20)
             inv_dc = jax.lax.rsqrt(dc2)
@@ -305,41 +327,73 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         elif tid == EMITTER_AREA_MESH:
-            # triangle-CDF area sampling over the host mesh (static shapes;
-            # reference Mesh::sample_position, mesh.cpp build_pmf)
+            # triangle-CDF area sampling over the host mesh (reference
+            # Mesh::sample_position, mesh.cpp build_pmf). Animated emitter
+            # shapes sample their OBJECT-space CDF and transform the point
+            # by the per-lane keyframe-lerped matrix at the ray's time; the
+            # pdf uses the exact world-space triangle area at that time
+            # (extension beyond the reference, instance.cpp:48).
             z = jnp.zeros((n,), dtype)
             p = Vec3(z, z, z)
             nrm = Vec3(z, z, z)
-            picked = jnp.zeros((n,), jnp.int32)
-            for (ei, start, cnt, cdf_off) in sa.mesh_em_meta:
-                cdf = sa.em_tri_cdf[cdf_off:cdf_off + cnt]
-                k = jnp.clip(jnp.searchsorted(cdf, s_x, side="right"),
-                             0, cnt - 1).astype(jnp.int32)
-                tri = start + k
-                mask = index == ei
-                picked = jnp.where(mask, tri, picked)
+            pdf = z
             # sqrt warp for uniform barycentrics (re-uses s_x low bits + s_y)
             su = jnp.sqrt(jnp.clip((s_x * 4096.0) % 1.0, 0.0, 1.0))
             b0 = 1.0 - su
             b1 = s_y * su
-            v0 = Vec3(sa.tri("s", "v0x")[picked], sa.tri("s", "v0y")[picked],
-                      sa.tri("s", "v0z")[picked])
-            e1 = Vec3(sa.tri("s", "e1x")[picked], sa.tri("s", "e1y")[picked],
-                      sa.tri("s", "e1z")[picked])
-            e2 = Vec3(sa.tri("s", "e2x")[picked], sa.tri("s", "e2y")[picked],
-                      sa.tri("s", "e2z")[picked])
-            p = v0 + e1 * b0 + e2 * b1
-            nrm = normalize(cross(e1, e2))
+            for (ei, start, cnt, cdf_off, anim, ii) in sa.mesh_em_meta:
+                cdf = sa.em_tri_cdf[cdf_off:cdf_off + cnt]
+                k = jnp.clip(jnp.searchsorted(cdf, s_x, side="right"),
+                             0, cnt - 1).astype(jnp.int32)
+                tri = start + k
+                pre = "a" if anim else "s"
+                v0 = Vec3(sa.tri(pre, "v0x")[tri], sa.tri(pre, "v0y")[tri],
+                          sa.tri(pre, "v0z")[tri])
+                e1 = Vec3(sa.tri(pre, "e1x")[tri], sa.tri(pre, "e1y")[tri],
+                          sa.tri(pre, "e1z")[tri])
+                e2 = Vec3(sa.tri(pre, "e2x")[tri], sa.tri(pre, "e2y")[tri],
+                          sa.tri(pre, "e2z")[tri])
+                pe = v0 + e1 * b0 + e2 * b1
+                if anim:
+                    from ..core.vec import (cmat_lerp, cmat_apply_point,
+                                            cmat_apply_vector)
+                    c0 = sa.inst_cmat(0, ii)
+                    c1 = sa.inst_cmat(1, ii)
+                    t0a, t1a = sa.inst_t0[ii], sa.inst_t1[ii]
+                    span = t1a - t0a
+                    uu = jnp.clip((ref_time - t0a)
+                                  / jnp.where(span != 0.0, span, 1.0),
+                                  0.0, 1.0)
+                    c_t = cmat_lerp(c0, c1, uu)
+                    pe = cmat_apply_point(c_t, pe)
+                    e1 = cmat_apply_vector(c_t, e1)
+                    e2 = cmat_apply_vector(c_t, e2)
+                cr = cross(e1, e2)
+                cr_len = jnp.sqrt(jnp.maximum(dot(cr, cr), 1e-30))
+                ne = cr * (1.0 / cr_len)
+                if anim:
+                    # p(tri) · uniform-in-tri / world_area(tri, t)
+                    prob = cdf[k] - jnp.where(k > 0, cdf[jnp.maximum(k - 1, 0)],
+                                              0.0)
+                    inv_area = prob / jnp.maximum(0.5 * cr_len, 1e-20)
+                else:
+                    inv_area = 1.0 / jnp.maximum(param(E_AREA), 1e-20)
+                d = pe - ref_p
+                dist2 = jnp.maximum(dot(d, d), 1e-20)
+                dirn = d * jax.lax.rsqrt(dist2)
+                # two-sided mesh emitters emit from the front only (area.cpp)
+                cos_theta = -dot(dirn, ne)
+                pe_pdf = jnp.where(cos_theta > 1e-6,
+                                   dist2 * inv_area
+                                   / jnp.maximum(cos_theta, 1e-6), 0.0)
+                mask = index == ei
+                p = where3(mask, pe, p)
+                nrm = where3(mask, ne, nrm)
+                pdf = jnp.where(mask, pe_pdf, pdf)
             d = p - ref_p
             dist2 = jnp.maximum(dot(d, d), 1e-20)
             dist = jnp.sqrt(dist2)
             dirn = d * (1.0 / dist)
-            area = param(E_AREA)
-            cos_theta = -dot(dirn, nrm)
-            pdf = jnp.where(jnp.abs(cos_theta) > 1e-6,
-                            dist2 / (jnp.abs(cos_theta) * area), 0.0)
-            # two-sided mesh emitters emit from the front only (area.cpp)
-            pdf = jnp.where(cos_theta > 0.0, pdf, 0.0)
             w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
             spec = inten * w
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
@@ -398,10 +452,14 @@ def _lane_intensity(param, wavelengths):
                 eval_emission_spectrum(c0, c1, c2, scale, wavelengths.z, inv_n))
 
 
-def pdf_direction(sa, ds: DirectionSample):
+def pdf_direction(sa, ds: DirectionSample, prim=None, time=None):
     """pdf of sampling direction ds via NEE — for MIS on emitter hits
     (reference scene.cpp:296-303 pdf_emitter_direction). Delta emitters
-    return 0."""
+    return 0.
+
+    ``prim``/``time`` (optional): hit primitive slot and ray time — needed
+    for exact pdfs of ANIMATED area emitters (per-triangle world area and
+    keyframe-lerped sphere center at the hit time)."""
     n_emitters = int(sa.n_emitters)
     if n_emitters == 0:
         return jnp.zeros(ds.dist.shape, ds.dist.dtype)
@@ -417,12 +475,69 @@ def pdf_direction(sa, ds: DirectionSample):
             p = jnp.where(cos_theta > 1e-6,
                           dist2 / (jnp.abs(cos_theta)
                                    * jnp.maximum(area, 1e-20)), 0.0)
+            if prim is not None and time is not None:
+                # animated mesh emitters: pdf w.r.t. the hit triangle's
+                # world area at the ray time (matches sample_direction)
+                for (ei, start, cnt, cdf_off, anim, ii) in sa.mesh_em_meta:
+                    if not anim:
+                        continue
+                    from ..core.vec import cmat_lerp, cmat_apply_vector
+                    loc = prim - sa.n_static_tris - start
+                    m = ((ds.emitter == ei) & (loc >= 0) & (loc < cnt))
+                    locc = jnp.clip(loc, 0, cnt - 1)
+                    tri = start + locc
+                    e1 = Vec3(sa.tri("a", "e1x")[tri],
+                              sa.tri("a", "e1y")[tri],
+                              sa.tri("a", "e1z")[tri])
+                    e2 = Vec3(sa.tri("a", "e2x")[tri],
+                              sa.tri("a", "e2y")[tri],
+                              sa.tri("a", "e2z")[tri])
+                    t0a, t1a = sa.inst_t0[ii], sa.inst_t1[ii]
+                    span = t1a - t0a
+                    uu = jnp.clip((time - t0a)
+                                  / jnp.where(span != 0.0, span, 1.0),
+                                  0.0, 1.0)
+                    c_t = cmat_lerp(sa.inst_cmat(0, ii),
+                                    sa.inst_cmat(1, ii), uu)
+                    cr = cross(cmat_apply_vector(c_t, e1),
+                               cmat_apply_vector(c_t, e2))
+                    tri_area = 0.5 * jnp.sqrt(jnp.maximum(dot(cr, cr),
+                                                          1e-30))
+                    cdf = sa.em_tri_cdf[cdf_off:cdf_off + cnt]
+                    prob = cdf[locc] - jnp.where(
+                        locc > 0, cdf[jnp.maximum(locc - 1, 0)], 0.0)
+                    p_anim = jnp.where(
+                        cos_theta > 1e-6,
+                        dist2 * prob / (jnp.abs(cos_theta)
+                                        * jnp.maximum(tri_area, 1e-20)), 0.0)
+                    p = jnp.where(m, p_anim, p)
         elif tid == EMITTER_AREA_SPHERE:
             # cone pdf reconstructed from the reference point
             cx = gather_small(sa.emitter_params[E_POS], idx)
             cy = gather_small(sa.emitter_params[E_POS + 1], idx)
             cz = gather_small(sa.emitter_params[E_POS + 2], idx)
             r = gather_small(sa.emitter_params[E_CUTOFF], idx)
+            if time is not None and int(sa.n_spheres) > 0:
+                slot = gather_small(sa.emitter_params[9],
+                                    idx).astype(jnp.int32)
+                s_anim = slot >= 0
+                sl = jnp.maximum(slot, 0)
+                t0s = gather_small(sa.sph_t0, sl)
+                t1s = gather_small(sa.sph_t1, sl)
+                span_s = t1s - t0s
+                uu = jnp.clip((time - t0s)
+                              / jnp.where(span_s != 0.0, span_s, 1.0),
+                              0.0, 1.0)
+
+                def lerp_c(j):
+                    return ((1.0 - uu) * gather_small(sa.sph_m0c[j], sl)
+                            + uu * gather_small(sa.sph_m1c[j], sl))
+                cx = jnp.where(s_anim, lerp_c(3), cx)
+                cy = jnp.where(s_anim, lerp_c(7), cy)
+                cz = jnp.where(s_anim, lerp_c(11), cz)
+                l0, l4, l8 = lerp_c(0), lerp_c(4), lerp_c(8)
+                r = jnp.where(s_anim,
+                              jnp.sqrt(l0 * l0 + l4 * l4 + l8 * l8), r)
             ref = ds.p - ds.d * ds.dist
             dcx, dcy, dcz = cx - ref.x, cy - ref.y, cz - ref.z
             dc2 = jnp.maximum(dcx * dcx + dcy * dcy + dcz * dcz, 1e-20)

@@ -249,7 +249,7 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
                 emitter=lane_emitter)
             if sa.n_emitters > 0:
                 em_pdf = jnp.where(prev_bsdf_delta, 0.0,
-                                   em_mod.pdf_direction(sa, ds_hit))
+                                   em_mod.pdf_direction(sa, ds_hit, prim=si.prim, time=ray.time))
             else:
                 em_pdf = jnp.zeros((n,), f32)
             if has_env:

@@ -288,7 +288,7 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
                 pdf=jnp.zeros((n,), f32), delta=jnp.zeros((n,), bool),
                 emitter=lane_emitter)
             em_pdf = (jnp.where(prev_delta, 0.0,
-                                em_mod.pdf_direction(sa, ds_hit))
+                                em_mod.pdf_direction(sa, ds_hit, prim=si.prim, time=ray.time))
                       if sa.n_emitters > 0 else jnp.zeros((n,), f32))
             mis_b = mis_weight(prev_pdf, em_pdf)
             scale = jnp.where(emit_mask, mis_b, 0.0)

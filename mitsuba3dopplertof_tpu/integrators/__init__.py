@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+import time as _time
 from functools import partial
 from typing import Optional
 
@@ -65,8 +66,21 @@ class Integrator:
 
     def __init__(self, props: Properties):
         self.id = props.id
-        props.get_float("timeout", -1.0)
+        # cooperative cancellation budget in seconds (reference
+        # integrator.cpp:24,48-50): checked between passes
+        self.timeout = props.get_float("timeout", -1.0)
         self.hide_emitters = props.get_bool("hide_emitters", False)
+        self._cancel = False
+
+    def cancel(self):
+        """Request cooperative cancellation (reference Integrator::cancel,
+        integrator.cpp:48-50): the render loop stops at the next pass
+        boundary and develops the partial film."""
+        self._cancel = True
+
+    def should_stop(self, start_time: float) -> bool:
+        return self._cancel or (self.timeout > 0.0
+                                and _time.time() - start_time > self.timeout)
 
     def aov_names(self):
         return []
@@ -147,21 +161,62 @@ class SamplingIntegrator(Integrator):
                 for _ in range(start_pass):
                     state = sampler.advance(state)
 
-        if checkpoint_path is None and n_passes > 1:
+        from ..core import logger as _log
+        self._cancel = False
+        t_start = _time.time()
+        show_progress = (os.environ.get("MI_SHOW_PROGRESS")
+                         or _log.log_level() <= _log.DEBUG)
+        reporter = _log.ProgressReporter(
+            f"Rendering {W}x{H}@{spp}spp", enabled=bool(show_progress))
+
+        if (checkpoint_path is None and n_passes > 1 and self.timeout <= 0.0
+                and not show_progress):
             # fuse the whole pass loop into one device dispatch (each
-            # host->device round trip costs ~10s of ms through the runtime)
+            # host->device round trip costs ~10s of ms through the runtime);
+            # timeout/progress/checkpoint need the pass-granular loop below
             multi = self._get_multi_pass_fn(sensor, sampler, film, W, H,
                                             spp_per_pass, n_passes)
+            t0 = _time.time()
             block, state = multi(sa, block, state)
+            jax.block_until_ready(block)
+            _log.log(_log.DEBUG, "render: %d fused passes in %.3fs "
+                     "(incl. compile on first call)", n_passes,
+                     _time.time() - t0)
         else:
+            t_first = None
             for p in range(start_pass, n_passes):
                 block, state = pass_fn(sa, block, state)
                 state = sampler.advance(state)
+                if p == start_pass:
+                    jax.block_until_ready(block)
+                    t_first = _time.time() - t_start
                 if (checkpoint_path is not None
                         and ((p + 1) % checkpoint_every == 0
                              or p + 1 == n_passes)):
                     np.savez(checkpoint_path, block=np.asarray(block),
                              pass_idx=p + 1, seed=seed, spp=spp)
+                reporter.update((p + 1 - start_pass)
+                                / max(n_passes - start_pass, 1))
+                if p + 1 < n_passes and self.should_stop(t_start):
+                    # cooperative cancellation (integrator.cpp:48-50):
+                    # develop the partial accumulation, scaled correctly
+                    # by the weight channel
+                    _log.log(_log.WARN,
+                             "render cancelled after %d/%d passes (%s)",
+                             p + 1, n_passes,
+                             "timeout" if not self._cancel else "cancel()")
+                    break
+            if t_first is not None and n_passes - start_pass > 1:
+                jax.block_until_ready(block)
+                total = _time.time() - t_start
+                per_pass = (total - t_first) / max(n_passes - start_pass - 1,
+                                                   1)
+                # compile-vs-execute split (reference integrator.cpp:312-339
+                # logs graph-record time separately from execution)
+                _log.log(_log.DEBUG,
+                         "render: first pass %.3fs (compile+exec), "
+                         "steady-state %.3fs/pass, total %.3fs",
+                         t_first, per_pass, total)
 
         if develop_film:
             return develop(block, film.has_alpha, film.weight_index)
@@ -205,8 +260,18 @@ class SamplingIntegrator(Integrator):
         return cache[key]
 
 
-def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
-    """Build + jit the single-pass wavefront program."""
+def _build_sample_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
+    """Build the per-lane wavefront sampling body — pixel decode, sampler
+    draws, camera ray, integrator dispatch (rgb / spectral-hero / polarized
+    / specfilm / AOV), film channel assembly. Shared by the single-device
+    pass function and the sharded render (parallel/render.py), so every
+    feature works identically under shard_map.
+
+    Returns ``sample_wavefront(sa, state, lane, active) ->
+    (values, put_x, put_y, active, state)`` with ``lane`` the GLOBAL lane
+    ids (lane // spp = pixel, row-major) — identical ids produce identical
+    RNG streams on any device layout (the correlation-group contract,
+    SURVEY.md §2.6)."""
     sensor_params = sensor.device_params()
     lens_params = (sensor.device_lens_params()
                    if hasattr(sensor, "device_lens_params") else None)
@@ -216,16 +281,14 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
     shutter_time = float(sensor.shutter_open_time)
     is_doppler = integrator.is_doppler
     correlate_pixel = integrator.path_correlation_depth > 0
-    n = W * H * spp_per_pass
     if hasattr(integrator, "set_sensor"):
         integrator.set_sensor(sensor)
 
-    def pass_fn_raw(sa: SceneArrays, block, state):
-        lane = jnp.arange(n, dtype=jnp.uint32)
+    def sample_wavefront(sa: SceneArrays, state, lane, active):
+        n = lane.shape[0]
         pix = lane // jnp.uint32(spp_per_pass)
         py = (pix // jnp.uint32(W)).astype(jnp.float32)
         px = (pix % jnp.uint32(W)).astype(jnp.float32)
-        active = jnp.ones((n,), dtype=bool)
 
         # ---- position / aperture / time draws (integrator.cpp:399-543) --
         if is_doppler:
@@ -351,8 +414,26 @@ def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
         # (imageblock.cpp:471 comment)
         put_x = px if rfilter.is_box else sx
         put_y = py if rfilter.is_box else sy
-        block = block_splat_wavefront(block, rfilter, put_x, put_y, values,
-                                      active, W, H, spp_per_pass)
+        return values, put_x, put_y, active, state
+
+    return sample_wavefront
+
+
+def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
+    """Build + jit the single-pass wavefront program."""
+    sample_fn = _build_sample_fn(integrator, sensor, sampler, film, W, H,
+                                 spp_per_pass)
+    rfilter = film.rfilter
+    n = W * H * spp_per_pass
+
+    def pass_fn_raw(sa: SceneArrays, block, state):
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        values, put_x, put_y, active, state = sample_fn(
+            sa, state, lane, jnp.ones((n,), bool))
+        with jax.named_scope("ImageBlockPut"):
+            block = block_splat_wavefront(block, rfilter, put_x, put_y,
+                                          values, active, W, H,
+                                          spp_per_pass)
         return block, state
 
     pass_fn = jax.jit(pass_fn_raw, donate_argnums=(1, 2))
@@ -466,7 +547,10 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
          prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
         correlate = (depth + 1) < pcd
 
-        si = ray_intersect(sa, ray, active)
+        # profiler phases (reference ScopedPhase, profiler.h:20-49):
+        # named scopes annotate the HLO for Perfetto traces (mi.trace_to)
+        with jax.named_scope("RayIntersect"):
+            si = ray_intersect(sa, ray, active)
 
         if sa.n_textures > 0:
             si = _apply_normal_maps(sa, si)
@@ -504,7 +588,9 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
                 emitter=lane_emitter)
             if sa.n_emitters > 0:
                 em_pdf = jnp.where(prev_bsdf_delta, 0.0,
-                                   em_mod.pdf_direction(sa, ds_hit))
+                                   em_mod.pdf_direction(sa, ds_hit,
+                                                        prim=si.prim,
+                                                        time=ray.time))
             else:
                 em_pdf = jnp.zeros((n,), f32)
             if has_env:
@@ -532,12 +618,14 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         active_em = active_next & smooth
         nee, state = draw_2d(state, active, correlate)
         if sa.n_emitters > 0:
-            ds, em_weight = em_mod.sample_direction(sa, si.p, ray.time,
-                                                    nee[0], nee[1],
-                                                    wavelengths=wavelengths)
+            with jax.named_scope("SampleEmitterDirection"):
+                ds, em_weight = em_mod.sample_direction(
+                    sa, si.p, ray.time, nee[0], nee[1],
+                    wavelengths=wavelengths)
             active_em = active_em & (ds.pdf != 0.0)
             shadow_ray = si.spawn_ray_to(ds.p)
-            occluded = ray_test(sa, shadow_ray, active_em)
+            with jax.named_scope("RayTest"):
+                occluded = ray_test(sa, shadow_ray, active_em)
             nee_ok = active_em & ~occluded
             wo_nee = si.to_local(ds.d)
         else:
@@ -561,9 +649,10 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
             tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v)
         else:
             tex_mask = tex_refl = None
-        bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
-                                  s1, s2[0], s2[1], tex_refl, tex_mask,
-                                  wavelengths=wavelengths)
+        with jax.named_scope("BSDFEvalPdfSample"):
+            bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
+                                      s1, s2[0], s2[1], tex_refl, tex_mask,
+                                      wavelengths=wavelengths)
 
         # ------------- NEE contribution (path.cpp:212-226) ---------------
         if sa.n_emitters > 0:

@@ -1,11 +1,19 @@
 """shard_map render: data-parallel wavefront over a 1-D device mesh.
 
 Layout contract (SURVEY.md §2.6): the wavefront is pixel-major, shards are
-contiguous lane ranges aligned to pixel boundaries, so RNG correlation
+contiguous lane ranges aligned to pixel ROW boundaries, so RNG correlation
 groups (time_correlate_number consecutive lanes) never straddle devices.
 Each device splats its pixel rows into a local canvas; one psum over the
 mesh axis merges films — the TPU equivalent of the reference's atomic film
 scatter (reference src/render/imageblock.cpp:119-127), but deterministic.
+
+Feature parity: the per-lane sampling body is the SAME
+``integrators._build_sample_fn`` the single-device render uses — aperture
+draws, spectral hero wavelengths, polarized Stokes, AOVs and specfilm SRF
+binning all work sharded, and real pixels keep their global lane ids so
+output is bit-identical to the single-device render. Arbitrary film heights
+are handled by padding rows up to a multiple of the device count (the
+padded lanes render inactive).
 """
 
 from __future__ import annotations
@@ -17,7 +25,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..films import block_create, block_splat_wavefront, develop
-from ..sensors import sample_ray_kind as sensor_sample_ray_kind
 
 _PAD = 4   # rows of film padding above/below each shard (max filter radius)
 
@@ -31,6 +38,8 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
                    seed: int = 0, spp: int = 0, develop_film: bool = True,
                    max_lanes_per_device: int = 1 << 21):
     """Render with the wavefront sharded over ``mesh`` (axis 0)."""
+    from ..integrators import _build_sample_fn
+
     if mesh is None:
         mesh = make_mesh()
     axis = mesh.axis_names[0]
@@ -45,89 +54,48 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
     spp = sampler.sample_count
 
     W, H = film.crop_size
-    if H % D != 0:
-        raise ValueError(f"film height {H} must divide by device count {D}")
+    rows_local = -(-H // D)            # ceil: arbitrary H supported
+    Hp = rows_local * D
 
     spp_per_pass = spp
-    while (W * H * spp_per_pass) // D > max_lanes_per_device and spp_per_pass > 1:
+    while (W * Hp * spp_per_pass) // D > max_lanes_per_device and spp_per_pass > 1:
         d = spp_per_pass - 1
         while spp % d != 0:
             d -= 1
         spp_per_pass = d
     n_passes = spp // spp_per_pass
-    wavefront = W * H * spp_per_pass
+    wavefront = W * Hp * spp_per_pass
+    n_real = W * H * spp_per_pass      # lanes that exist single-device
 
     sampler.set_samples_per_wavefront(spp_per_pass)
     state = sampler.seed(seed, wavefront)   # (wavefront,) state, shardable
 
     sa = scene.compile()
-    n_ch = film.channel_count
-
-    sensor_params = sensor.device_params()
-    lens_params = (sensor.device_lens_params()
-                   if hasattr(sensor, "device_lens_params") else None)
+    n_ch = film.channel_count + len(integrator.aov_names())
     rfilter = film.rfilter
-    has_alpha = film.has_alpha
-    shutter_open = float(sensor.shutter_open)
-    shutter_time = float(sensor.shutter_open_time)
-    is_doppler = integrator.is_doppler
-    correlate_pixel = integrator.path_correlation_depth > 0
     n_local = wavefront // D
-    rows_local = H // D
+
+    sample_fn = _build_sample_fn(integrator, sensor, sampler, film, W, H,
+                                 spp_per_pass)
 
     def shard_pass(sa, state, dev_lane0):
         lane0 = dev_lane0[0]
         lane = lane0 + jnp.arange(n_local, dtype=jnp.uint32)
-        pix = lane // jnp.uint32(spp_per_pass)
-        py = (pix // jnp.uint32(W)).astype(jnp.float32)
-        px = (pix % jnp.uint32(W)).astype(jnp.float32)
-        active = jnp.ones((n_local,), bool)
-
-        if is_doppler:
-            off, state = sampler.next_2d_correlate(state, active,
-                                                   correlate_pixel)
-        else:
-            off, state = sampler.next_2d(state, active)
-        sx = px + off[0]
-        sy = py + off[1]
-
-        ap_x = ap_y = jnp.full((n_local,), 0.5, jnp.float32)
-        time = jnp.full((n_local,), shutter_open, jnp.float32)
-        if shutter_time > 0.0:
-            if is_doppler:
-                ts, state = sampler.next_1d_time(
-                    state, active, integrator.time_sampling_method,
-                    integrator.antithetic_shift,
-                    integrator.use_stratified_sampling_for_each_interval)
-            else:
-                ts, state = sampler.next_1d(state, active)
-            time = time + ts * shutter_time
-
-        ray, ray_weight = sensor_sample_ray_kind(
-            sensor_params, lens_params, time,
-            sx * (1.0 / W), sy * (1.0 / H), ap_x, ap_y)
-        spec, valid, state = integrator.sample(sa, sampler, state, ray, active)
-        spec = spec * ray_weight
-
-        one = jnp.ones((n_local,), jnp.float32)
-        if has_alpha:
-            values = [spec.x, spec.y, spec.z, jnp.where(valid, 1.0, 0.0), one]
-        else:
-            values = [spec.x, spec.y, spec.z, one]
-
-        put_x = px if rfilter.is_box else sx
-        put_y = py if rfilter.is_box else sy
+        active = lane < jnp.uint32(n_real)    # padded rows render inactive
+        values, put_x, put_y, active, state = sample_fn(sa, state, lane,
+                                                        active)
 
         # splat local pixel rows into a padded local canvas (row offset
         # removed so the local range starts at canvas row _PAD)
-        row0 = (lane0 // jnp.uint32(spp_per_pass) // jnp.uint32(W)).astype(jnp.int32)
+        row0 = (lane0 // jnp.uint32(spp_per_pass)
+                // jnp.uint32(W)).astype(jnp.int32)
         local = block_splat_wavefront(
             jnp.zeros((n_ch, rows_local + 2 * _PAD, W), jnp.float32),
             rfilter, put_x, put_y - row0.astype(jnp.float32),
             values, active, W, rows_local, spp_per_pass, pad_rows=_PAD)
 
         # place on a padded full canvas at this shard's row, merge over ICI
-        canvas = jnp.zeros((n_ch, H + 2 * _PAD, W), jnp.float32)
+        canvas = jnp.zeros((n_ch, Hp + 2 * _PAD, W), jnp.float32)
         canvas = jax.lax.dynamic_update_slice(canvas, local, (0, row0, 0))
         canvas = jax.lax.psum(canvas, axis)
         return canvas[:, _PAD:_PAD + H, :], state
@@ -156,7 +124,7 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
         state = sampler.advance(state)
 
     if develop_film:
-        return develop(block, has_alpha)
+        return develop(block, film.has_alpha, film.weight_index)
     return block
 
 

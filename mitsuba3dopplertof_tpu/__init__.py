@@ -41,6 +41,9 @@ from .utils.params import traverse, SceneParameters
 from .render.ad import render_grad, value_and_render_grad
 from .render.scene import Scene
 from .core.properties import Properties, registered_plugins
+from .core.logger import (set_log_level, log_level, log, trace_to,
+                          profile_phase, ProgressReporter,
+                          TRACE, DEBUG, INFO, WARN, ERROR)
 
 
 def load_file(path: str, **params):

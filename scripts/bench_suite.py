@@ -1,0 +1,183 @@
+"""Benchmark breadth (VERDICT round-1 item 9): throughput across scene
+scales and variants, on the real chip. bench.py stays the driver's
+single-line headline; this suite writes BENCH_TABLE.md with the full matrix:
+
+  * canonical doppler scene (reference configs_example/scene.xml)
+  * animated-mesh scenes at 2k / 10k / 40k triangles (streamed Pallas
+    kernel with chunk culling — the paper-animation-scale workloads,
+    reference doppler_tutorials/src/utils/common_configs.py)
+  * static 50k-triangle mesh
+  * volumetric (homogeneous volpath)
+  * spectral + polarized canonical variants
+
+Usage: python scripts/bench_suite.py [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def uvsphere_obj(path, nu, nv):
+    lines = []
+    for j in range(nv + 1):
+        for i in range(nu):
+            th, ph = np.pi * j / nv, 2 * np.pi * i / nu
+            lines.append(f"v {np.sin(th)*np.cos(ph):.6f} {np.cos(th):.6f} "
+                         f"{np.sin(th)*np.sin(ph):.6f}")
+
+    def vid(i, j):
+        return j * nu + (i % nu) + 1
+    for j in range(nv):
+        for i in range(nu):
+            a, b, c, d = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
+            lines.append(f"f {a} {b} {c}")
+            lines.append(f"f {a} {c} {d}")
+    open(path, "w").write("\n".join(lines))
+    return 2 * nu * nv
+
+
+def animated_mesh_scene(mi, tf, AnimatedTransform, nu, nv, spp, res=256):
+    path = f"/tmp/bench_sph_{nu}x{nv}.obj"
+    ntri = uvsphere_obj(path, nu, nv)
+    return ntri, mi.load_dict({
+        "type": "scene",
+        "mesh": {"type": "obj", "filename": path,
+                 "to_world": AnimatedTransform([
+                     (0.0, tf.translate([-0.6, 0, 0])),
+                     (0.0015, tf.translate([0.6, 0, 0]))])},
+        "floor": {"type": "rectangle",
+                  "to_world": tf.translate([0, -1.2, 0])
+                  @ tf.rotate([1, 0, 0], -90) @ tf.scale([6, 6, 1])},
+        "light": {"type": "point", "position": [0, 4, -4],
+                  "intensity": {"type": "rgb", "value": 40.0}},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "shutter_open": 0.0, "shutter_close": 0.0015,
+                   "to_world": tf.look_at([0, 0.5, -4], [0, 0, 0],
+                                          [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": res, "height": res},
+                   "sampler": {"type": "correlated", "sample_count": spp,
+                               "time_correlate_number": 2,
+                               "path_correlate_number": 2}},
+        "integrator": {"type": "dopplertofpath", "max_depth": 4,
+                       "time": 0.0015, "w_g": 150.0,
+                       "hetero_frequency": 1.0,
+                       "time_sampling_method": "antithetic",
+                       "path_correlation_depth": 2},
+    })
+
+
+def static_mesh_scene(mi, tf, nu, nv, spp, res=256):
+    path = f"/tmp/bench_static_{nu}x{nv}.obj"
+    ntri = uvsphere_obj(path, nu, nv)
+    return ntri, mi.load_dict({
+        "type": "scene",
+        "mesh": {"type": "obj", "filename": path},
+        "floor": {"type": "rectangle",
+                  "to_world": tf.translate([0, -1.2, 0])
+                  @ tf.rotate([1, 0, 0], -90) @ tf.scale([6, 6, 1])},
+        "light": {"type": "point", "position": [0, 4, -4],
+                  "intensity": {"type": "rgb", "value": 40.0}},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": tf.look_at([0, 0.5, -4], [0, 0, 0],
+                                          [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": res, "height": res},
+                   "sampler": {"type": "independent", "sample_count": spp}},
+        "integrator": {"type": "path", "max_depth": 4},
+    })
+
+
+def volpath_scene(mi, tf, spp, res=256):
+    return mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 6},
+        "medium_box": {"type": "cube",
+                       "to_world": tf.scale([1.2] * 3),
+                       "bsdf": {"type": "null"},
+                       "interior": {"type": "homogeneous",
+                                    "sigma_t": {"type": "rgb", "value": 1.5},
+                                    "albedo": {"type": "rgb", "value": 0.8}}},
+        "floor": {"type": "rectangle",
+                  "to_world": tf.translate([0, -1.5, 0])
+                  @ tf.rotate([1, 0, 0], -90) @ tf.scale([6, 6, 1])},
+        "light": {"type": "point", "position": [0, 4, -4],
+                  "intensity": {"type": "rgb", "value": 40.0}},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": tf.look_at([0, 0.5, -4], [0, 0, 0],
+                                          [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": res, "height": res},
+                   "sampler": {"type": "independent", "sample_count": spp}},
+    })
+
+
+def measure(mi, scene, spp):
+    img = np.asarray(mi.render(scene, spp=spp, seed=0))   # compile+warm
+    assert np.isfinite(img).all()
+    t0 = time.time()
+    img = np.asarray(mi.render(scene, spp=spp, seed=1))
+    dt = time.time() - t0
+    w, h = scene.sensor.film.size
+    return w * h * spp / dt / 1e6, dt
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import mitsuba3dopplertof_tpu as mi
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    from mitsuba3dopplertof_tpu.core.transform import AnimatedTransform
+    import jax
+    backend = jax.default_backend()
+
+    spp = 64 if quick else 256
+    rows = []
+
+    def record(name, tris, msps, dt):
+        rows.append((name, tris, msps, dt))
+        print(json.dumps({"bench": name, "tris": tris,
+                          "Msamples_per_s": round(msps, 2),
+                          "seconds": round(dt, 2)}))
+
+    # canonical doppler (the headline; bench.py measures the same scene)
+    sc = mi.load_file("/root/reference/configs_example/scene.xml")
+    msps, dt = measure(mi, sc, 1024 if not quick else 128)
+    record("canonical dopplertofpath 256x256", 70, msps, dt)
+
+    for nu, nv, label in [(32, 32, "2k"), (72, 70, "10k"), (144, 140, "40k")]:
+        ntri, sc = animated_mesh_scene(mi, tf, AnimatedTransform, nu, nv, spp)
+        msps, dt = measure(mi, sc, spp)
+        record(f"animated mesh {label} dopplertofpath 256x256", ntri, msps, dt)
+
+    ntri, sc = static_mesh_scene(mi, tf, 160, 158, spp)
+    msps, dt = measure(mi, sc, spp)
+    record("static mesh 50k path 256x256", ntri, msps, dt)
+
+    sc = volpath_scene(mi, tf, spp)
+    msps, dt = measure(mi, sc, spp)
+    record("volpath homogeneous 256x256", 12, msps, dt)
+
+    for variant in ("tpu_spectral", "tpu_rgb_polarized"):
+        mi.set_variant(variant)
+        sc = mi.load_file("/root/reference/configs_example/scene.xml")
+        msps, dt = measure(mi, sc, 256 if not quick else 64)
+        record(f"canonical dopplertofpath {variant}", 70, msps, dt)
+    mi.set_variant("tpu_rgb")
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_TABLE.md"), "w") as f:
+        f.write("# Benchmark table (TPU %s)\n\n" % backend)
+        f.write("Baseline gate (BASELINE.md): >= 50 Msamples/s/chip on the "
+                "canonical scene.\n\n")
+        f.write("| Scene | Triangles | Msamples/s/chip | seconds |\n")
+        f.write("|---|---|---|---|\n")
+        for name, tris, msps, dt in rows:
+            f.write(f"| {name} | {tris} | {msps:.2f} | {dt:.2f} |\n")
+    print("wrote BENCH_TABLE.md")
+
+
+if __name__ == "__main__":
+    main()

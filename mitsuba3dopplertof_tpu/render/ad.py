@@ -29,6 +29,16 @@ import jax.numpy as jnp
 DIFF_FIELDS = ("bsdf_params", "emitter_params", "tex_params",
                "tex_atlas_r", "tex_atlas_g", "tex_atlas_b")
 
+# geometry tables: static/animated triangle vertex+edge columns and the
+# instance keyframe matrices. Differentiating these through the oracle
+# intersector gives the attached-intersection interior derivative; the
+# reparam integrator family (ad/integrators) adds the warped-area boundary
+# terms (reference prb_reparam.py / reparam.py)
+GEOM_DIFF_FIELDS = tuple(
+    p + c for p in ("s_", "a_")
+    for c in ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z",
+              "e2x", "e2y", "e2z")) + ("inst_m0c", "inst_m1c")
+
 DEFAULT_GRAD_LANES = 1 << 18     # backprop holds per-bounce activations
 
 
@@ -64,17 +74,26 @@ def _render_image_fn(integrator, scene, sensor, spp, seed, max_lanes):
                                       spp_per_pass).raw
 
     def f(diff_params: Dict[str, jnp.ndarray]):
-        sa_local = jax.tree_util.tree_unflatten(
-            jax.tree_util.tree_structure(sa),
-            jax.tree_util.tree_leaves(sa))
-        for k, v in diff_params.items():
-            setattr(sa_local, k, v)
-        block = block_create(W, H, n_channels)
-        state = state0
-        for _ in range(n_passes):
-            block, state = pass_fn(sa_local, block, state)
-            state = sampler.advance(state)
-        return develop(block, film.has_alpha)
+        # AD renders trace through the differentiable oracle intersector:
+        # the Pallas kernels define no VJP, and geometry gradients
+        # (GEOM_DIFF_FIELDS) only flow through the XLA path
+        from . import scene as _scene_mod
+        old_pallas = _scene_mod.USE_PALLAS
+        _scene_mod.USE_PALLAS = False
+        try:
+            sa_local = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(sa),
+                jax.tree_util.tree_leaves(sa))
+            for k, v in diff_params.items():
+                setattr(sa_local, k, v)
+            block = block_create(W, H, n_channels)
+            state = state0
+            for _ in range(n_passes):
+                block, state = pass_fn(sa_local, block, state)
+                state = sampler.advance(state)
+            return develop(block, film.has_alpha)
+        finally:
+            _scene_mod.USE_PALLAS = old_pallas
 
     return f, sa
 
@@ -121,4 +140,5 @@ def value_and_render_grad(scene, loss_fn: Callable, spp: int = 16,
     return img, val, grads
 
 
-__all__ = ["render_grad", "value_and_render_grad", "DIFF_FIELDS"]
+__all__ = ["render_grad", "value_and_render_grad", "DIFF_FIELDS",
+           "GEOM_DIFF_FIELDS"]

@@ -50,12 +50,17 @@ def test_prb_primal_matches_path(scene):
     assert np.abs(a - b).max() < 1e-6
 
 
-def test_reparam_warns_about_boundary_terms():
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        mi.load_dict({"type": "prb_reparam", "max_depth": 2})
-        mi.load_dict({"type": "direct_reparam"})
-    assert sum("boundary" in str(x.message) for x in w) >= 2
+def test_reparam_integrators_construct_with_knobs():
+    """The reparam family now estimates boundary terms (tests/test_reparam.py
+    validates them against FD); here just the parameter surface
+    (reference prb_reparam.py:34-60)."""
+    p = mi.load_dict({"type": "prb_reparam", "max_depth": 2,
+                      "reparam_rays": 4, "reparam_kappa": 1e5,
+                      "reparam_exp": 3.0, "reparam_antithetic": True})
+    assert p.reparam_rays == 4 and p.reparam_antithetic
+    assert p.max_depth_cfg == 2
+    d = mi.load_dict({"type": "direct_reparam"})
+    assert d.reparam_max_depth == 2
 
 
 def test_prbvolpath_constructs():

@@ -12,15 +12,15 @@ recomputed from the loop carry instead of stored, trading FLOPs for HBM
 exactly like PRB does.
 
 Gradients cover the continuous shading parameters (reflectance, emission,
-textures: render.ad.DIFF_FIELDS). Silhouette/visibility boundary terms
-(the *_reparam integrators' reason to exist) are not yet estimated — the
-reparam classes compute the interior (detached-sampling) derivative and
-warn, matching the reference's prb.py caveat list.
+textures: render.ad.DIFF_FIELDS) plus — through the reparameterized family
+below — geometry (render.ad.GEOM_DIFF_FIELDS) including the
+silhouette/visibility boundary terms via warped-area reparameterization
+(ad/reparam.py, validated against finite differences in
+tests/test_reparam.py).
 """
 
 from __future__ import annotations
 
-import warnings
 from typing import Optional
 
 import jax
@@ -267,7 +267,7 @@ def _reparam_path_sample(integ, sa, sampler, state, ray, active,
             lane_tex = gather_small(
                 sa.bsdf_params[P_REFL_TEX], lane_bsdf).astype(jnp.int32)
             tex_mask = lane_tex >= 0
-            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v)
+            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim)
         else:
             tex_mask = tex_refl = None
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,

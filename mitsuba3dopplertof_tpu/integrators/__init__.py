@@ -478,7 +478,7 @@ def _apply_normal_maps(sa, si):
                           lane_bsdf).astype(jnp.int32)
     bscale = gather_small(sa.bsdf_params[P_BMAP_SCALE], lane_bsdf)
     has = (nm_tex >= 0) & si.valid
-    c = eval_texture(sa, nm_tex, si.uv_u, si.uv_v)
+    c = eval_texture(sa, nm_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim)
     is_bump = bscale > 0.0
     # bumpmap: central-difference height gradients in uv
     eps = 1e-3
@@ -646,7 +646,7 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
             lane_tex = gather_small(
                 sa.bsdf_params[P_REFL_TEX], lane_bsdf).astype(jnp.int32)
             tex_mask = lane_tex >= 0
-            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v)
+            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim)
         else:
             tex_mask = tex_refl = None
         with jax.named_scope("BSDFEvalPdfSample"):

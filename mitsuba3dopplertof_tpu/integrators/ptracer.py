@@ -214,7 +214,7 @@ class PTracerIntegrator(SamplingIntegrator):
                         sa.bsdf_params[P_REFL_TEX],
                         lane_bsdf).astype(jnp.int32)
                     tex_mask = lane_tex >= 0
-                    tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v)
+                    tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim)
                 else:
                     tex_mask = tex_refl = None
                 bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_cam,

@@ -354,12 +354,40 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
         if sa.any_sggx:
             # SGGX microflake lanes (media/__init__.py sggx_*)
             S6 = tuple(med(M_SGGX + i, medium) for i in range(6))
-            is_sggx = med(M_PHASE, medium) > 0.5
+            is_sggx = jnp.abs(med(M_PHASE, medium) - 1.0) < 0.5
             wo_sg, pdf_sg = sggx_sample(wi_m, s2[0], s2[1], S6)
             wo_phase = where3(is_sggx, wo_sg, wo_phase)
             pdf_phase = jnp.where(is_sggx, pdf_sg, pdf_phase)
             phase_nee = jnp.where(is_sggx, sggx_eval(wi_m, ds.d, S6),
                                   phase_nee)
+        if getattr(sa, "any_rayleigh", False):
+            # Rayleigh lanes: exact Cardano inverse-CDF (rayleigh.cpp)
+            from ..media import rayleigh_sample, rayleigh_eval
+            is_ray = jnp.abs(med(M_PHASE, medium) - 2.0) < 0.5
+            wo_r, pdf_r = rayleigh_sample(wi_m, s2[0], s2[1])
+            wo_phase = where3(is_ray, wo_r, wo_phase)
+            pdf_phase = jnp.where(is_ray, pdf_r, pdf_phase)
+            phase_nee = jnp.where(is_ray, rayleigh_eval(cos_nee), phase_nee)
+        if getattr(sa, "tab_phase_tables", None) and any(
+                t is not None for t in sa.tab_phase_tables):
+            # tabulated lanes: exact trapezoid-CDF inversion per medium
+            # (tabphase.cpp / ContinuousDistribution); tables are
+            # host-known constants so there is no dynamic indirection
+            from ..media import tab_phase_tables, tab_sample, tab_eval
+            for mi_, tv in enumerate(sa.tab_phase_tables):
+                if tv is None:
+                    continue
+                grid_t, vals_t, cdf_t, inv_n = tab_phase_tables(
+                    np.asarray(tv))
+                is_tab = (medium == mi_) & (
+                    jnp.abs(med(M_PHASE, medium) - 3.0) < 0.5)
+                wo_t, pdf_t = tab_sample(wi_m, s2[0], s2[1],
+                                         grid_t, vals_t, cdf_t, inv_n)
+                wo_phase = where3(is_tab, wo_t, wo_phase)
+                pdf_phase = jnp.where(is_tab, pdf_t, pdf_phase)
+                phase_nee = jnp.where(is_tab,
+                                      tab_eval(cos_nee, grid_t, vals_t,
+                                               inv_n), phase_nee)
 
         wo_nee = si.to_local(ds.d)
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,

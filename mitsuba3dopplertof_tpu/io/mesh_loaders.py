@@ -100,6 +100,7 @@ def load_ply(filename: str):
                 "uint": "u4", "uint32": "u4", "int": "i4", "int32": "i4"}
 
     verts = normals = uvs = None
+    vertex_color = None
     faces = []
     if fmt == "ascii":
         lines = body.decode("ascii", errors="replace").split("\n")
@@ -117,6 +118,13 @@ def load_ply(filename: str):
                     uvs = arr[:, [cols.index(c) for c in ("u", "v")]]
                 elif all(c in cols for c in ("s", "t")):
                     uvs = arr[:, [cols.index(c) for c in ("s", "t")]]
+                if all(c in cols for c in ("red", "green", "blue")):
+                    ci = [cols.index(c) for c in ("red", "green", "blue")]
+                    ctypes = [props[j][0] for j in ci]
+                    col = arr[:, ci]
+                    if any(t in ("uchar", "uint8") for t in ctypes):
+                        col = col / 255.0
+                    vertex_color = col
             elif name == "face":
                 for i in range(count):
                     tok = [int(x) for x in lines[li + i].split()]
@@ -145,6 +153,12 @@ def load_ply(filename: str):
                     uvs = np.stack([arr["u"], arr["v"]], axis=-1).astype(np.float64)
                 elif all(c in names for c in ("s", "t")):
                     uvs = np.stack([arr["s"], arr["t"]], axis=-1).astype(np.float64)
+                if all(c in names for c in ("red", "green", "blue")):
+                    col = np.stack([arr["red"], arr["green"], arr["blue"]],
+                                   axis=-1).astype(np.float64)
+                    if arr.dtype["red"].kind == "u":
+                        col = col / 255.0
+                    vertex_color = col
             elif name == "face":
                 cnt_t, it_t = None, None
                 for p in props:
@@ -173,7 +187,10 @@ def load_ply(filename: str):
                         for k in range(1, n - 1):
                             faces.append([poly[0], poly[k], poly[k + 1]])
 
-    return Mesh(verts, np.asarray(faces, dtype=np.int64), normals, uvs)
+    attrs = ({"vertex_color": vertex_color}
+             if vertex_color is not None else None)
+    return Mesh(verts, np.asarray(faces, dtype=np.int64), normals, uvs,
+                attributes=attrs)
 
 
 def load_serialized(filename: str, shape_index: int = 0):
@@ -223,11 +240,14 @@ def load_serialized(filename: str, shape_index: int = 0):
         normals = take(vertex_count * 3).reshape(-1, 3).astype(np.float64)
     if flags & 0x0002:
         uvs = take(vertex_count * 2).reshape(-1, 2).astype(np.float64)
+    vertex_color = None
     if flags & 0x0008:  # vertex colors
-        take(vertex_count * 3)
+        vertex_color = take(vertex_count * 3).reshape(-1, 3).astype(np.float64)
     faces = np.frombuffer(stream, dtype="<u4", count=face_count * 3,
                           offset=pos).reshape(-1, 3).astype(np.int64)
-    return Mesh(verts, faces, normals, uvs)
+    attrs = ({"vertex_color": vertex_color}
+             if vertex_color is not None else None)
+    return Mesh(verts, faces, normals, uvs, attributes=attrs)
 
 
 __all__ = ["load_obj", "load_ply", "load_serialized"]

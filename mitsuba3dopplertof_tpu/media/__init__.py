@@ -24,6 +24,7 @@ PHASE_ISOTROPIC = 0
 PHASE_HG = 1
 PHASE_RAYLEIGH = 2
 PHASE_SGGX = 3
+PHASE_TAB = 4
 
 N_MED_PARAMS = 21
 M_SIGMA_T = 0    # rgb extinction (heterogeneous: gray majorant-free base)
@@ -103,7 +104,13 @@ class BlendPhase(PhaseFunction):
 
 @register_plugin("phase", "tabphase")
 class TabulatedPhase(PhaseFunction):
-    """reference src/phase/tabphase.cpp — v1 reduces to its mean cosine."""
+    """reference src/phase/tabphase.cpp — piecewise-linear phase function
+    of cos(theta) over [-1, 1] (forward convention: theta between the
+    propagation direction and wo, tabphase.cpp:115 cos = -dot(wo, wi)),
+    sampled by exact inversion of the trapezoid-integrated CDF (the
+    ContinuousDistribution semantics, distr_1d.h)."""
+
+    type_id = PHASE_TAB
 
     def __init__(self, props: Properties):
         super().__init__(props)
@@ -111,9 +118,13 @@ class TabulatedPhase(PhaseFunction):
         if isinstance(vals, str):
             vals = [float(x) for x in vals.replace(",", " ").split()]
         v = np.asarray(vals, np.float64)
+        if v.size < 2:
+            v = np.repeat(v, 2)
+        if (v < 0).any() or v.max() <= 0:
+            raise RuntimeError("tabphase: values must be >= 0, not all 0")
+        self.values = v
         cos = np.linspace(-1, 1, len(v))
         self.g = float((v * cos).sum() / max(v.sum(), 1e-9))
-        self.type_id = PHASE_HG if abs(self.g) > 1e-4 else PHASE_ISOTROPIC
 
 
 @register_plugin("phase", "sggx")
@@ -180,9 +191,16 @@ class HomogeneousMedium(Medium):
         p[M_ALBEDO:M_ALBEDO + 3] = self.albedo
         p[M_G] = getattr(self.phase, "g", 0.0)
         p[M_SCALE] = self.scale
-        if getattr(self.phase, "type_id", 0) == PHASE_SGGX:
+        # M_PHASE kernel codes: 0 = HG/isotropic (M_G), 1 = SGGX,
+        # 2 = Rayleigh, 3 = tabulated (table via sa.tab_phase_tables)
+        tid = getattr(self.phase, "type_id", 0)
+        if tid == PHASE_SGGX:
             p[M_PHASE] = 1.0
             p[M_SGGX:M_SGGX + 6] = self.phase.S
+        elif tid == PHASE_RAYLEIGH:
+            p[M_PHASE] = 2.0
+        elif tid == PHASE_TAB:
+            p[M_PHASE] = 3.0
         return p
 
 
@@ -340,10 +358,83 @@ def rayleigh_eval(cos_theta):
     return 3.0 / (16.0 * PI) * (1.0 + cos_theta * cos_theta)
 
 
+def rayleigh_sample(wi: Vec3, s1, s2):
+    """Exact inverse-CDF sample of the Rayleigh phase around the
+    propagation direction (reference src/phase/rayleigh.cpp sample):
+    solve c^3 + 3c = 4(2u - 1) via Cardano."""
+    z = 4.0 * (2.0 * s1 - 1.0)          # in [-4, 4]
+    disc = jnp.sqrt(z * z + 4.0)
+    a = jnp.cbrt(0.5 * (z + disc))
+    b = jnp.cbrt(0.5 * (z - disc))      # jnp.cbrt handles negatives
+    cos_theta = jnp.clip(a + b, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    phi = TWO_PI * s2
+    from ..core.vec import coordinate_system
+    d = -wi
+    t1, t2 = coordinate_system(d)
+    wo = (t1 * (sin_theta * jnp.cos(phi)) + t2 * (sin_theta * jnp.sin(phi))
+          + d * cos_theta)
+    return wo, rayleigh_eval(cos_theta)
+
+
+def tab_phase_tables(values: np.ndarray):
+    """Host-side tables for a tabulated phase function: (grid, vals, cdf,
+    inv_norm) with cdf the trapezoid-integrated piecewise-linear pdf
+    (reference ContinuousDistribution, distr_1d.h)."""
+    v = np.asarray(values, np.float64)
+    K = v.size
+    grid = np.linspace(-1.0, 1.0, K)
+    dx = grid[1] - grid[0]
+    seg = 0.5 * (v[:-1] + v[1:]) * dx
+    cdf = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cdf[-1]
+    return (grid.astype(np.float32), v.astype(np.float32),
+            (cdf / total).astype(np.float32), np.float32(1.0 / total))
+
+
+def tab_eval(cos_theta, grid, vals, inv_norm):
+    """Normalized solid-angle phase value (tabphase.cpp:100-116:
+    eval_pdf_normalized / (2 pi))."""
+    f = jnp.interp(cos_theta, jnp.asarray(grid), jnp.asarray(vals))
+    return f * inv_norm * (1.0 / TWO_PI)
+
+
+def tab_sample(wi: Vec3, s1, s2, grid, vals, cdf, inv_norm):
+    """Exact inversion of the trapezoid CDF: locate the segment, solve the
+    quadratic for the linear-pdf segment (ContinuousDistribution::sample)."""
+    g_ = jnp.asarray(grid)
+    v_ = jnp.asarray(vals)
+    c_ = jnp.asarray(cdf)
+    K = int(g_.shape[0])
+    i = jnp.clip(jnp.searchsorted(c_, s1, side="right") - 1, 0, K - 2)
+    c0 = g_[i]
+    f0 = v_[i]
+    f1 = v_[i + 1]
+    dx = g_[1] - g_[0]
+    a_rem = (s1 - c_[i]) / inv_norm       # un-normalized area into segment
+    slope = (f1 - f0) / dx
+    # (slope/2) x^2 + f0 x - a_rem = 0
+    disc = jnp.sqrt(jnp.maximum(f0 * f0 + 2.0 * slope * a_rem, 0.0))
+    x_lin = jnp.where(jnp.abs(slope) > 1e-9,
+                      (disc - f0) / jnp.where(jnp.abs(slope) > 1e-9,
+                                              slope, 1.0),
+                      a_rem / jnp.maximum(f0, 1e-12))
+    cos_theta = jnp.clip(c0 + x_lin, -1.0, 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    phi = TWO_PI * s2
+    from ..core.vec import coordinate_system
+    d = -wi
+    t1, t2 = coordinate_system(d)
+    wo = (t1 * (sin_theta * jnp.cos(phi)) + t2 * (sin_theta * jnp.sin(phi))
+          + d * cos_theta)
+    return wo, tab_eval(cos_theta, grid, vals, inv_norm)
+
+
 __all__ = ["Medium", "HomogeneousMedium", "HeterogeneousMedium",
            "PhaseFunction", "IsotropicPhase", "HGPhase", "RayleighPhase",
            "BlendPhase", "TabulatedPhase", "SGGXPhase",
-           "hg_sample", "hg_eval", "rayleigh_eval",
+           "hg_sample", "hg_eval", "rayleigh_eval", "rayleigh_sample",
+           "tab_phase_tables", "tab_eval", "tab_sample", "PHASE_TAB",
            "sggx_sample", "sggx_eval", "sggx_sample_vndf", "sggx_ndf_pdf",
            "sggx_projected_area", "M_PHASE", "M_SGGX", "PHASE_SGGX",
            "N_MED_PARAMS", "M_SIGMA_T", "M_ALBEDO", "M_G", "M_MAXD",

@@ -55,7 +55,7 @@ class SceneArrays:
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
-           "bvh", "anim_blas", "chunk_aabb", "measured",
+           "bvh", "anim_blas", "chunk_aabb", "mesh_attr", "measured",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -64,7 +64,8 @@ class SceneArrays:
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
-        "polarized", "any_hetero", "any_sggx",
+        "polarized", "any_hetero", "any_sggx", "any_rayleigh",
+        "tab_phase_tables",
     ]
 
     def __init__(self, **kw):
@@ -219,6 +220,7 @@ class Scene:
             t = getattr(em, "irradiance_tex", None)
             if t is not None:
                 em.tex_index = add_tex(t)
+        from ..textures import TEX_VOLUME, TEX_MESHATTR
         tex_rows, tex_types, tex_h = [], [], []
         atlas = []
         atlas_off = 0
@@ -231,10 +233,22 @@ class Scene:
                 tex_h.append(img.shape[0])
                 atlas.append(img.reshape(-1, 3))
                 atlas_off += img.shape[0] * img.shape[1]
+            elif t.type_id == TEX_VOLUME:
+                # volume texture grids ride the same flat rgb atlas
+                g = t.grid_rgb()
+                row[T_ATLAS] = float(atlas_off)
+                tex_h.append(0)
+                atlas.append(g.reshape(-1, 3))
+                atlas_off += g.shape[0] * g.shape[1] * g.shape[2]
             else:
                 tex_h.append(0)
             tex_rows.append(row)
             tex_types.append(t.type_id)
+        # names requested by mesh_attribute textures (packed per triangle
+        # during the shape sweep below)
+        mesh_attr_names = [t.name for t in tex_objs
+                           if t.type_id == TEX_MESHATTR]
+        s_attr_rows, a_attr_rows = [], []
         tex_params = (np.stack(tex_rows).T if tex_rows
                       else np.zeros((N_TEX_PARAMS, 1)))
         tex_type_arr = (np.array(tex_types, np.int32) if tex_types
@@ -528,6 +542,24 @@ class Scene:
             else:
                 uv0 = uv1 = uv2 = np.zeros((nt, 2))
 
+            if mesh_attr_names:
+                att = None
+                for nm_ in mesh_attr_names:
+                    att = getattr(mesh, "attributes", {}).get(nm_)
+                    if att is not None:
+                        break
+                if att is None:
+                    rows9 = np.full((nt, 9), 0.5, np.float32)
+                else:
+                    att = np.asarray(att, np.float32)
+                    if att.ndim == 1:
+                        att = att[:, None]
+                    if att.shape[1] == 1:
+                        att = np.repeat(att, 3, axis=1)
+                    rows9 = np.concatenate(
+                        [att[f[:, k]][:, :3] for k in range(3)], axis=1)
+                (a_attr_rows if animated else s_attr_rows).append(rows9)
+
             data = {
                 "v0x": p0[:, 0], "v0y": p0[:, 1], "v0z": p0[:, 2],
                 "e1x": e1[:, 0], "e1y": e1[:, 1], "e1z": e1[:, 2],
@@ -634,6 +666,13 @@ class Scene:
 
         kw["bvh"] = bvh
         kw["anim_blas"] = tuple(anim_blas)
+        if mesh_attr_names and (s_attr_rows or a_attr_rows):
+            # (9, T_total) per-vertex attribute table in global slot order
+            kw["mesh_attr"] = jnp.asarray(
+                np.concatenate(s_attr_rows + a_attr_rows, axis=0).T,
+                jnp.float32)
+        else:
+            kw["mesh_attr"] = None
 
         # per-chunk world AABBs for the streamed kernel's block culling
         from ..ops.intersect_stream import chunk_aabbs
@@ -721,6 +760,12 @@ class Scene:
             sensor_medium=sensor_medium,
             n_media=len(media_objs),
             any_hetero=any_hetero,
+            any_rayleigh=any(getattr(m.phase, "type_id", 0) == 2
+                             for m in media_objs),
+            tab_phase_tables=tuple(
+                (tuple(float(x) for x in m.phase.values)
+                 if getattr(m.phase, "type_id", 0) == 4 else None)
+                for m in media_objs),
             any_sggx=any(getattr(m.phase, "type_id", 0) == 3
                          for m in media_objs),
             spectral=spectral,
@@ -993,7 +1038,8 @@ def build_si(sa: SceneArrays, ray: Ray, hit, active=None) -> SurfaceInteraction:
         valid=valid, t=t, p=p, n=ng, sh_n=ns, sh_s=sh_s, sh_t=sh_t,
         uv_u=hit.uv_u, uv_v=hit.uv_v, wi=wi,
         inst=jnp.where(valid, hit.inst, -1),
-        prim=jnp.where(valid, hit.prim, -1), time=ray.time)
+        prim=jnp.where(valid, hit.prim, -1), time=ray.time,
+        b_u=hit.u, b_v=hit.v)
 
 
 def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:

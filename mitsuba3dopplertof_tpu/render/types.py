@@ -41,6 +41,8 @@ class SurfaceInteraction(NamedTuple):
     inst: jnp.ndarray       # (N,) int32 instance (-1 = miss)
     prim: jnp.ndarray       # (N,) int32 triangle index
     time: jnp.ndarray
+    b_u: jnp.ndarray = None  # barycentric u (mesh_attribute interpolation)
+    b_v: jnp.ndarray = None
 
     def to_local(self, v: Vec3) -> Vec3:
         return Vec3(dot(v, self.sh_s), dot(v, self.sh_t), dot(v, self.sh_n))

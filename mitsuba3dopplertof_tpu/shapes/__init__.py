@@ -29,13 +29,17 @@ class Mesh:
 
     def __init__(self, vertices: np.ndarray, faces: np.ndarray,
                  normals: Optional[np.ndarray] = None,
-                 uvs: Optional[np.ndarray] = None):
+                 uvs: Optional[np.ndarray] = None,
+                 attributes: Optional[dict] = None):
         self.vertices = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
         self.faces = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
         self.normals = (np.asarray(normals, dtype=np.float64).reshape(-1, 3)
                         if normals is not None else None)
         self.uvs = (np.asarray(uvs, dtype=np.float64).reshape(-1, 2)
                     if uvs is not None else None)
+        # named per-vertex attributes, e.g. {"vertex_color": (V, k) array}
+        # (reference Mesh attribute system, mesh.cpp add_attribute)
+        self.attributes = dict(attributes or {})
 
     @property
     def n_triangles(self) -> int:

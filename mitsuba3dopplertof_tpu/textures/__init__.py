@@ -18,13 +18,17 @@ from ..core.properties import Properties, register_plugin
 
 TEX_CHECKERBOARD = 0
 TEX_BITMAP = 1
+TEX_VOLUME = 2       # 3D volume sampled at the world hit position
+TEX_MESHATTR = 3     # per-vertex mesh attribute, barycentric-interpolated
 
-N_TEX_PARAMS = 12
+N_TEX_PARAMS = 27
 # param columns
-T_COLOR0 = 0     # checkerboard color0 rgb
+T_COLOR0 = 0     # checkerboard color0 rgb / mesh_attribute scale at [0]
 T_COLOR1 = 3     # checkerboard color1 rgb
 T_UVSCALE = 6    # uv transform: scale u, scale v, offset u, offset v
-T_ATLAS = 10     # bitmap: atlas offset (as float), 11: width (height derived)
+T_ATLAS = 10     # bitmap/volume: atlas offset (as float), 11: width
+T_GRID = 12      # volume: nx, ny, nz at 12..14
+T_W2G = 15       # volume: world-to-grid 3x4 row-major at 15..26
 
 
 def _get_rgb(props, key, default):
@@ -119,29 +123,87 @@ class BitmapTexture(Texture):
 
 @register_plugin("texture", "mesh_attribute")
 class MeshAttribute(Texture):
-    """reference src/textures/mesh_attribute.cpp — placeholder that
-    evaluates to a constant mean until per-vertex attributes land."""
-    type_id = TEX_CHECKERBOARD
+    """reference src/textures/mesh_attribute.cpp — evaluates a per-vertex
+    mesh attribute (e.g. 'vertex_color' from PLY/serialized files)
+    barycentrically interpolated at the hit. The attribute table is packed
+    per global triangle slot at scene compile (render/scene.py)."""
+    type_id = TEX_MESHATTR
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.get_string("name", "")
-        self.color0 = self.color1 = np.array([0.5, 0.5, 0.5])
+        self.name = props.get_string("name")
+        self.scale = props.get_float("scale", 1.0)
 
     def params_row(self):
         p = super().params_row()
-        p[T_COLOR0:T_COLOR0 + 3] = self.color0
-        p[T_COLOR1:T_COLOR1 + 3] = self.color1
+        p[T_COLOR0] = self.scale
         return p
+
+    def mean_rgb(self):
+        return np.array([0.5, 0.5, 0.5]) * self.scale
+
+
+@register_plugin("texture", "volume")
+class VolumeTexture(Texture):
+    """reference src/textures/volume.cpp — a 3D volume (constvolume /
+    gridvolume) evaluated at the WORLD hit position through the volume's
+    inverse to_world; trilinear interpolation (gridvolume.cpp eval
+    semantics, same convention as the medium grids)."""
+    type_id = TEX_VOLUME
+
+    def __init__(self, props: Properties):
+        super().__init__(props)
+        from ..volumes import Volume
+        self.volume = None
+        for key, v in props.objects():
+            if isinstance(v, Volume):
+                self.volume = v
+        if self.volume is None:
+            raise RuntimeError("volume texture: provide a nested volume")
+
+    def grid_rgb(self) -> np.ndarray:
+        """(nz, ny, nx, 3) float grid (constants become a 1x1x1 cell)."""
+        v = self.volume
+        g = getattr(v, "data", None)
+        if g is None:
+            rgb = np.asarray(v.mean_rgb(), np.float32)
+            return rgb.reshape(1, 1, 1, 3)
+        g = np.asarray(g, np.float32)
+        if g.shape[-1] == 1:
+            g = np.repeat(g, 3, axis=-1)
+        return g[..., :3]
+
+    def world_to_grid(self) -> np.ndarray:
+        m = np.asarray(getattr(self.volume, "to_world", np.eye(4)),
+                       np.float64)
+        return np.linalg.inv(m)[:3, :4]
+
+    def params_row(self):
+        p = super().params_row()
+        g = self.grid_rgb()
+        p[T_GRID] = g.shape[2]
+        p[T_GRID + 1] = g.shape[1]
+        p[T_GRID + 2] = g.shape[0]
+        p[T_W2G:T_W2G + 12] = self.world_to_grid().reshape(-1)
+        return p
+
+    def mean_rgb(self):
+        return self.grid_rgb().reshape(-1, 3).mean(axis=0)
 
 
 # ---------------------------------------------------------------------------
 # Device-side evaluation
 # ---------------------------------------------------------------------------
 
-def eval_texture(sa, tex_id, uv_u, uv_v):
+def eval_texture(sa, tex_id, uv_u, uv_v, p=None, b_u=None, b_v=None,
+                 prim=None):
     """Evaluate per-lane textures (tex_id < 0 handled by the caller).
-    Returns Vec3 rgb."""
+    Returns Vec3 rgb.
+
+    ``p`` (Vec3, world hit position): required by `volume` textures;
+    ``b_u``/``b_v``/``prim`` (barycentrics + global triangle slot):
+    required by `mesh_attribute` textures. Call sites without an SI omit
+    them; those branches then return their mean."""
     from ..core.vec import Vec3, where3
     from ..render.scene import gather_small
     idx = jnp.maximum(tex_id, 0)
@@ -177,6 +239,65 @@ def eval_texture(sa, tex_id, uv_u, uv_v):
             flat = off + yi * w + xi
             val = Vec3(sa.tex_atlas_r[flat], sa.tex_atlas_g[flat],
                        sa.tex_atlas_b[flat])
+        elif tid == TEX_VOLUME and p is not None:
+            # world -> volume local [0,1]^3 -> trilinear atlas lookup
+            # (reference volume.cpp eval + gridvolume.cpp trilinear; same
+            # voxel-center convention as the medium grids)
+            def w2g(j):
+                return param(T_W2G + j)
+            lx = w2g(0) * p.x + w2g(1) * p.y + w2g(2) * p.z + w2g(3)
+            ly = w2g(4) * p.x + w2g(5) * p.y + w2g(6) * p.z + w2g(7)
+            lz = w2g(8) * p.x + w2g(9) * p.y + w2g(10) * p.z + w2g(11)
+            nx = param(T_GRID).astype(jnp.int32)
+            ny = param(T_GRID + 1).astype(jnp.int32)
+            nz = param(T_GRID + 2).astype(jnp.int32)
+            off = param(T_ATLAS).astype(jnp.int32)
+            nxf = jnp.maximum(nx.astype(lx.dtype), 1.0)
+            nyf = jnp.maximum(ny.astype(lx.dtype), 1.0)
+            nzf = jnp.maximum(nz.astype(lx.dtype), 1.0)
+            fx = jnp.clip(lx * nxf - 0.5, 0.0, nxf - 1.0)
+            fy = jnp.clip(ly * nyf - 0.5, 0.0, nyf - 1.0)
+            fz = jnp.clip(lz * nzf - 0.5, 0.0, nzf - 1.0)
+            x0 = fx.astype(jnp.int32)
+            y0 = fy.astype(jnp.int32)
+            z0 = fz.astype(jnp.int32)
+            x1 = jnp.minimum(x0 + 1, nx - 1)
+            y1 = jnp.minimum(y0 + 1, ny - 1)
+            z1 = jnp.minimum(z0 + 1, nz - 1)
+            tx = fx - x0.astype(lx.dtype)
+            ty = fy - y0.astype(lx.dtype)
+            tz = fz - z0.astype(lx.dtype)
+
+            def at(x, y, z):
+                lin = jnp.clip(off + (z * ny + y) * nx + x, 0,
+                               sa.tex_atlas_r.shape[0] - 1)
+                return Vec3(sa.tex_atlas_r[lin], sa.tex_atlas_g[lin],
+                            sa.tex_atlas_b[lin])
+            c00 = at(x0, y0, z0) * (1 - tx) + at(x1, y0, z0) * tx
+            c10 = at(x0, y1, z0) * (1 - tx) + at(x1, y1, z0) * tx
+            c01 = at(x0, y0, z1) * (1 - tx) + at(x1, y0, z1) * tx
+            c11 = at(x0, y1, z1) * (1 - tx) + at(x1, y1, z1) * tx
+            c0 = c00 * (1 - ty) + c10 * ty
+            c1 = c01 * (1 - ty) + c11 * ty
+            val = c0 * (1 - tz) + c1 * tz
+        elif tid == TEX_MESHATTR and b_u is not None and prim is not None \
+                and getattr(sa, "mesh_attr", None) is not None:
+            # barycentric interpolation of the packed per-vertex attribute
+            # (reference mesh_attribute.cpp eval); scale at T_COLOR0
+            t_total = sa.mesh_attr.shape[1]
+            pr = jnp.clip(prim, 0, t_total - 1)
+            bw = 1.0 - b_u - b_v
+            val = Vec3(
+                bw * sa.mesh_attr[0, pr] + b_u * sa.mesh_attr[3, pr]
+                + b_v * sa.mesh_attr[6, pr],
+                bw * sa.mesh_attr[1, pr] + b_u * sa.mesh_attr[4, pr]
+                + b_v * sa.mesh_attr[7, pr],
+                bw * sa.mesh_attr[2, pr] + b_u * sa.mesh_attr[5, pr]
+                + b_v * sa.mesh_attr[8, pr]) * param(T_COLOR0)
+        elif tid in (TEX_VOLUME, TEX_MESHATTR):
+            # no SI context at this call site: fall back to a neutral gray
+            h = jnp.full_like(uv_u, 0.5)
+            val = Vec3(h, h, h)
         else:
             continue
         out = where3(lane_type == tid, val, out)
@@ -184,5 +305,7 @@ def eval_texture(sa, tex_id, uv_u, uv_v):
 
 
 __all__ = ["Texture", "Checkerboard", "BitmapTexture", "MeshAttribute",
-           "eval_texture", "N_TEX_PARAMS", "TEX_CHECKERBOARD", "TEX_BITMAP",
-           "T_COLOR0", "T_COLOR1", "T_UVSCALE", "T_ATLAS"]
+           "VolumeTexture", "eval_texture", "N_TEX_PARAMS",
+           "TEX_CHECKERBOARD", "TEX_BITMAP", "TEX_VOLUME", "TEX_MESHATTR",
+           "T_COLOR0", "T_COLOR1", "T_UVSCALE", "T_ATLAS", "T_GRID",
+           "T_W2G"]

@@ -44,6 +44,54 @@ def test_uniform_sphere_chi2():
     assert t.run(), t.messages
 
 
+def test_rayleigh_phase_chi2():
+    """Rayleigh Cardano inverse-CDF sampling matches its pdf
+    (reference src/phase/rayleigh.cpp)."""
+    from mitsuba3dopplertof_tpu.media import rayleigh_sample, rayleigh_eval
+    wi = Vec3(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(-1.0))
+
+    def sample(n):
+        s = _rng(n, 2, seed=3)
+        wiN = Vec3(jnp.full(n, wi.x), jnp.full(n, wi.y), jnp.full(n, wi.z))
+        wo, _ = rayleigh_sample(wiN, jnp.asarray(s[:, 0]),
+                                jnp.asarray(s[:, 1]))
+        return np.stack([np.asarray(wo.x), np.asarray(wo.y),
+                         np.asarray(wo.z)], axis=-1)
+
+    def pdf(d):
+        return np.asarray(rayleigh_eval(jnp.asarray(d[:, 2])))
+
+    t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_count=200_000,
+                      res=15)
+    assert t.run(), t.messages
+
+
+def test_tabphase_chi2():
+    """Tabulated-phase trapezoid-CDF inversion matches its piecewise-linear
+    pdf (reference src/phase/tabphase.cpp + ContinuousDistribution)."""
+    from mitsuba3dopplertof_tpu.media import (tab_phase_tables, tab_sample,
+                                              tab_eval)
+    vals = np.array([0.1, 0.4, 1.2, 0.2, 0.9, 2.0, 0.05])
+    grid, v, cdf, inv_n = tab_phase_tables(vals)
+    wi = Vec3(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(-1.0))
+
+    def sample(n):
+        s = _rng(n, 2, seed=4)
+        wiN = Vec3(jnp.full(n, wi.x), jnp.full(n, wi.y), jnp.full(n, wi.z))
+        wo, _ = tab_sample(wiN, jnp.asarray(s[:, 0]), jnp.asarray(s[:, 1]),
+                           grid, v, cdf, inv_n)
+        return np.stack([np.asarray(wo.x), np.asarray(wo.y),
+                         np.asarray(wo.z)], axis=-1)
+
+    def pdf(d):
+        # propagation dir = -wi = +z; cos_forward = d.z
+        return np.asarray(tab_eval(jnp.asarray(d[:, 2]), grid, v, inv_n))
+
+    t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_count=200_000,
+                      res=15)
+    assert t.run(), t.messages
+
+
 def test_ggx_vndf_chi2():
     """GGX visible-normal sampling matches its pdf (reference
     microfacet chi2 tests)."""

@@ -301,6 +301,32 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
                     else jnp.where(m, a, b)
                     for a, b in zip(r, result)))
             continue
+        if tid == BSDF_MEASURED_POL:
+            from .measured_polarized_impl import pbsdf_eval_pdf_sample
+            m_idx = param(P_MEASURED_IDX).astype(jnp.int32)
+            alpha = param(P_ALPHA_SAMPLE)
+            r = None
+            for k, (tbl, wls) in enumerate(zip(sa.measured_pol,
+                                               sa.measured_pol_wls)):
+                rk = pbsdf_eval_pdf_sample(tbl, alpha, wi, wo_nee,
+                                           s1, s2x, s2y, wavelengths=wls)
+                if r is None:
+                    r = rk
+                else:
+                    mk = m_idx == k
+                    r = BSDFSampleResult(*(
+                        where3(mk, a, b) if isinstance(a, Vec3)
+                        else jnp.where(mk, a, b)
+                        for a, b in zip(rk, r)))
+            if result is None:
+                result = r
+            else:
+                m = lane_type == tid
+                result = BSDFSampleResult(*(
+                    where3(m, a, b) if isinstance(a, Vec3)
+                    else jnp.where(m, a, b)
+                    for a, b in zip(r, result)))
+            continue
         fn = _DISPATCH.get(int(tid))
         if fn is None:
             raise NotImplementedError(f"BSDF type id {tid} not implemented")
@@ -1072,17 +1098,44 @@ class Measured(BSDF):
         return p
 
 
+BSDF_MEASURED_POL = 16
+P_ALPHA_SAMPLE = 16   # measured_polarized: GGX alpha for importance sampling
+
+
 @register_plugin("bsdf", "measured_polarized")
-class MeasuredPolarized(Measured):
-    """reference src/bsdfs/measured_polarized.cpp — v1 reduces to the
-    unpolarized measured model (pBSDF Mueller tables planned)."""
+class MeasuredPolarized(BSDF):
+    """Measured polarized pBRDF (reference src/bsdfs/measured_polarized.cpp;
+    Baek et al. 2020 KAIST dataset). Full 4x4 Mueller evaluation via 4-D
+    interpolation over (phi_d, theta_d, theta_h, wavelength) with the
+    reflection-plane Stokes-basis rotations (measured_polarized_impl.py);
+    scalar variants use the M00 intensity. Sampling: cosine/GGX mixture
+    with the user's alpha_sample."""
+
+    type_id = BSDF_MEASURED_POL
+    flags = FLAG_SMOOTH
 
     def __init__(self, props: Properties):
-        import warnings
-        warnings.warn("measured_polarized: using the unpolarized reduction")
-        if props.has_property("alpha_sample"):
-            props.get_float("alpha_sample")
         super().__init__(props)
+        from ..io.tensor_file import read_tensor_file
+        from .measured_polarized_impl import build_pbsdf_tables
+        fname = props.get_string("filename")
+        self.alpha_sample = props.get_float("alpha_sample", 0.1)
+        # reference: non-spectral modes may pin a single wavelength
+        self.wavelength = props.get_float("wavelength", -1.0)
+        self.tables = build_pbsdf_tables(read_tensor_file(fname))
+        self.measured_index = -1     # assigned at scene compile
+
+    def params_row(self):
+        p = np.zeros(N_BSDF_PARAMS)
+        p[P_MEASURED_IDX] = float(self.measured_index)
+        p[P_ALPHA_SAMPLE] = self.alpha_sample
+        return p
+
+    def pol_wavelengths(self):
+        from .measured_polarized_impl import RGB_WAVELENGTHS
+        if self.wavelength > 0.0:
+            return (self.wavelength,) * 3
+        return RGB_WAVELENGTHS
 
 
 BSDF_PRINCIPLED = 11

@@ -42,13 +42,14 @@ from ..render.types import Ray, DirectionSample
 from ..bsdfs import (eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH,
                      BSDF_NULL, BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR,
                      BSDF_DIELECTRIC, BSDF_THINDIELECTRIC, BSDF_POLARIZER,
-                     BSDF_RETARDER, BSDF_CIRCULAR, P_REFL, P_ETA, P_K,
-                     P_POL_THETA, P_POL_DELTA)
+                     BSDF_RETARDER, BSDF_CIRCULAR, BSDF_MEASURED_POL,
+                     P_REFL, P_ETA, P_K, P_POL_THETA, P_POL_DELTA,
+                     P_MEASURED_IDX)
 from .. import emitters as em_mod
 
 _POLARIZING_TYPES = (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
                      BSDF_THINDIELECTRIC, BSDF_POLARIZER, BSDF_RETARDER,
-                     BSDF_CIRCULAR)
+                     BSDF_CIRCULAR, BSDF_MEASURED_POL)
 
 
 def _mis_weight(pdf_a, pdf_b):
@@ -132,6 +133,26 @@ def _specular_bounce_mueller(si, bs, eta_re: Vec3, eta_im: Vec3,
     s_axis_out = _safe_axis(cross(n, wi_hat), fb_out)
     return mu.rotate_mueller_basis(M, -wo_hat, s_axis_in, fb_in,
                                    wi_hat, s_axis_out, fb_out)
+
+
+
+def _measured_pol_mueller(sa, lane_bsdf, si, wo_local: Vec3):
+    """4x4 Mueller of measured pBRDF lanes at (si.wi, wo_local), local
+    implicit Stokes bases (measured_polarized_impl.pbsdf_eval_mueller),
+    dispatched over the scene's pbsdf tables."""
+    from ..bsdfs.measured_polarized_impl import pbsdf_eval_mueller
+    from ..render.scene import gather_small
+    m_idx = gather_small(sa.bsdf_params[P_MEASURED_IDX],
+                         lane_bsdf).astype(jnp.int32)
+    M = None
+    for k, (tbl, wls) in enumerate(zip(sa.measured_pol,
+                                       sa.measured_pol_wls)):
+        Mk = pbsdf_eval_mueller(tbl, si.wi, wo_local, wavelengths=wls)
+        M = Mk if M is None else mu.mm_where(m_idx == k, Mk, M)
+    if M is None:
+        z = jnp.zeros_like(wo_local.z)
+        M = mu.mm_identity(z)
+    return M
 
 
 def _element_bounce_mueller(si, theta, delta, kind: int):
@@ -312,6 +333,12 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
             lw = weight_fn(ray.time, path_length + ds.dist)
             scale = jnp.where(nee_ok, mis_em * lw, 0.0)
             v_nee = bs.val_nee * em_weight * scale
+            # depolarized default; rough-conductor and measured-pBRDF
+            # lanes get their exact NEE Mueller instead
+            S_add = tuple(Vec3(T_mm[4 * i].x * v_nee.x,
+                               T_mm[4 * i].y * v_nee.y,
+                               T_mm[4 * i].z * v_nee.z)
+                          for i in range(4))
             if BSDF_ROUGHCONDUCTOR in sa.bsdf_types_present:
                 e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
                             gather_small(sa.bsdf_params[P_ETA + 1],
@@ -330,16 +357,21 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
                 M_nee = _renormalize(M_nee, v_nee)
                 TM = mu.mm_mul(T_mm, M_nee)
                 is_rc = lane_type == BSDF_ROUGHCONDUCTOR
-                S_pol = tuple(Vec3(TM[4 * i].x, TM[4 * i].y, TM[4 * i].z)
+                S_add = tuple(where3(is_rc,
+                                     Vec3(TM[4 * i].x, TM[4 * i].y,
+                                          TM[4 * i].z), S_add[i])
                               for i in range(4))
-                S_dep = tuple(Vec3(T_mm[4 * i].x * v_nee.x,
-                                   T_mm[4 * i].y * v_nee.y,
-                                   T_mm[4 * i].z * v_nee.z)
+            if BSDF_MEASURED_POL in sa.bsdf_types_present:
+                M_nee = _measured_pol_mueller(sa, lane_bsdf, si, wo_nee)
+                M_nee = _to_world_mueller(si, M_nee, -wo_nee, si.wi)
+                M_nee = _renormalize(M_nee, v_nee)
+                TM = mu.mm_mul(T_mm, M_nee)
+                is_mp = lane_type == BSDF_MEASURED_POL
+                S_add = tuple(where3(is_mp,
+                                     Vec3(TM[4 * i].x, TM[4 * i].y,
+                                          TM[4 * i].z), S_add[i])
                               for i in range(4))
-                S_res = tuple(S_res[i] + where3(is_rc, S_pol[i], S_dep[i])
-                              for i in range(4))
-            else:
-                S_res = add_emission(S_res, T_mm, v_nee)
+            S_res = tuple(S_res[i] + S_add[i] for i in range(4))
 
         # ---------------- Mueller bounce factor --------------------------
         wgt = where3(active_next, bs.weight, Vec3.ones((n,)))
@@ -367,6 +399,10 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
                     e_im = zero3
                 M_t = _specular_bounce_mueller(
                     si, bs, e_re, e_im, rough=(tid == BSDF_ROUGHCONDUCTOR))
+                M_t = _to_world_mueller(si, M_t, -bs.wo, si.wi)
+                M_t = _renormalize(M_t, wgt)
+            elif tid == BSDF_MEASURED_POL:
+                M_t = _measured_pol_mueller(sa, lane_bsdf, si, bs.wo)
                 M_t = _to_world_mueller(si, M_t, -bs.wo, si.wi)
                 M_t = _renormalize(M_t, wgt)
             else:

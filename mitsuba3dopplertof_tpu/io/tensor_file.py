@@ -15,7 +15,7 @@ _DTYPES = {1: np.uint8, 2: np.int8, 3: np.uint16, 4: np.int16,
            10: np.float32, 11: np.float64}
 _DTYPE_IDS = {np.dtype(np.uint8): 1, np.dtype(np.float32): 10,
               np.dtype(np.float64): 11, np.dtype(np.int32): 6,
-              np.dtype(np.uint32): 5}
+              np.dtype(np.uint32): 5, np.dtype(np.uint16): 3}
 
 
 def read_tensor_file(path: str) -> Dict[str, np.ndarray]:

@@ -56,6 +56,7 @@ class SceneArrays:
            "env_rot", "env_rot_fwd", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
            "bvh", "anim_blas", "chunk_aabb", "mesh_attr", "measured",
+           "measured_pol",
            "bsphere_radius"]
     )
     META_FIELDS = [
@@ -65,7 +66,7 @@ class SceneArrays:
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
         "polarized", "any_hetero", "any_sggx", "any_rayleigh",
-        "tab_phase_tables",
+        "tab_phase_tables", "measured_pol_wls",
     ]
 
     def __init__(self, **kw):
@@ -268,9 +269,16 @@ class Scene:
         bsdf_type = np.array([b.type_id for b in bsdf_objs], np.int32)
         bsdf_flags = np.array([b.flags for b in bsdf_objs], np.int32)
         from ..bsdfs import Measured as _Measured
+        from ..bsdfs import MeasuredPolarized as _MeasuredPol
         measured_tables = []
+        measured_pol_tables = []
+        measured_pol_wls = []
         for b in bsdf_objs:
-            if isinstance(b, _Measured):
+            if isinstance(b, _MeasuredPol):
+                b.measured_index = len(measured_pol_tables)
+                measured_pol_tables.append(b.tables)
+                measured_pol_wls.append(tuple(b.pol_wavelengths()))
+            elif isinstance(b, _Measured):
                 b.measured_index = len(measured_tables)
                 measured_tables.append(b.tables)
         bsdf_params = np.stack([b.params_row() for b in bsdf_objs]).T
@@ -771,6 +779,8 @@ class Scene:
             spectral=spectral,
             polarized=polarized,
             measured=tuple(measured_tables),
+            measured_pol=tuple(measured_pol_tables),
+            measured_pol_wls=tuple(measured_pol_wls),
             **kw,
         )
         return self._compiled

@@ -336,6 +336,34 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
             else:
                 r = _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x,
                                                 s2y, tex_refl, tex_mask)
+        elif (tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR)
+                and wavelengths is not None
+                and getattr(sa, "ior_spectra", None)):
+            # tpu_spectral: named-material conductors interpolate real
+            # eta(lambda)/k(lambda) at the lane's hero wavelengths — the
+            # rgb channels carry the 3 wavelengths (ior_data.py; replaces
+            # the rgb-tint approximation)
+            import numpy as _np
+            ior_host = jnp.asarray(_np.asarray(sa.bsdf_ior_host, _np.int32))
+            lane_ior = gather_small(ior_host, lane_bsdf)
+            lam3 = (wavelengths.x, wavelengths.y, wavelengths.z)
+
+            def param_spec(j, _p=param):
+                base = _p(j)
+                if P_ETA <= j < P_ETA + 3 or P_K <= j < P_K + 3:
+                    which_k = j >= P_K
+                    lam = lam3[j - (P_K if which_k else P_ETA)]
+                    out = base
+                    for e_i, (wls_t, eta_t, k_t) in enumerate(
+                            sa.ior_spectra):
+                        tab = k_t if which_k else eta_t
+                        v = jnp.interp(lam,
+                                       jnp.asarray(wls_t, jnp.float32),
+                                       jnp.asarray(tab, jnp.float32))
+                        out = jnp.where(lane_ior == e_i, v, out)
+                    return out
+                return base
+            r = fn(param_spec, wi, wo_nee, s1, s2x, s2y)
         else:
             r = fn(param, wi, wo_nee, s1, s2x, s2y)
         if result is None:
@@ -418,6 +446,14 @@ class Conductor(BSDF):
         super().__init__(props)
         mat = props.get_string("material", "none")
         eta_d, k_d = CONDUCTOR_IOR.get(mat, CONDUCTOR_IOR["none"])
+        # tpu_spectral: named materials without explicit eta/k overrides
+        # interpolate real eta(lambda)/k(lambda) spectra (ior_data.py,
+        # the analog of reference complex_ior_from_file, ior.h:139-144)
+        from .ior_data import CONDUCTOR_SPECTRA
+        self.material = (mat if (mat in CONDUCTOR_SPECTRA
+                                 and not props.has_property("eta")
+                                 and not props.has_property("k"))
+                         else None)
         self.eta = _get_rgb(props, "eta", list(eta_d))
         self.k = _get_rgb(props, "k", list(k_d))
         self.specular_reflectance = _get_rgb(

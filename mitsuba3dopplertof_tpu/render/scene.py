@@ -66,7 +66,8 @@ class SceneArrays:
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
         "polarized", "any_hetero", "any_sggx", "any_rayleigh",
-        "tab_phase_tables", "measured_pol_wls",
+        "tab_phase_tables", "measured_pol_wls", "ior_spectra",
+        "bsdf_ior_host",
     ]
 
     def __init__(self, **kw):
@@ -295,6 +296,23 @@ class Scene:
                 rgb = bsdf_params[P_REFL:P_REFL + 3, bi]
                 if rgb.max() > 0:
                     bsdf_params[P_REFL:P_REFL + 3, bi] = _lum(rgb)
+        # spectral conductor eta/k: map bsdf rows with a named material to
+        # an entry in the static ior_spectra tuple (ior.h complex_ior
+        # analog; used by bsdfs.eval_pdf_sample under tpu_spectral)
+        ior_spectra = []
+        ior_by_name = {}
+        bsdf_ior_host = []
+        from ..bsdfs.ior_data import CONDUCTOR_SPECTRA as _CSPEC
+        for b in bsdf_objs:
+            mat = getattr(b, "material", None)
+            if spectral and mat in _CSPEC:
+                if mat not in ior_by_name:
+                    ior_by_name[mat] = len(ior_spectra)
+                    ior_spectra.append(_CSPEC[mat])
+                bsdf_ior_host.append(ior_by_name[mat])
+            else:
+                bsdf_ior_host.append(-1)
+
         if spectral:
             # replace reflectance rgb with sigmoid-upsampling coefficients
             # (JH'19 method, core/cie.py) — P_REFL columns hold (c0, c1, c2)
@@ -781,6 +799,8 @@ class Scene:
             measured=tuple(measured_tables),
             measured_pol=tuple(measured_pol_tables),
             measured_pol_wls=tuple(measured_pol_wls),
+            ior_spectra=tuple(ior_spectra),
+            bsdf_ior_host=tuple(bsdf_ior_host),
             **kw,
         )
         return self._compiled

@@ -169,3 +169,48 @@ def test_specfilm_srf_binning():
     tot = np.asarray(full.integrator.render(full, seed=0, spp=512)).ravel()
     assert abs(img.sum() / tot[0] - 1.0) < 1e-3
     assert (img > 0.1).all()       # every band sees the D65-shaped emission
+
+
+def test_spectral_gold_conductor():
+    """Named conductors interpolate real eta/k spectra under tpu_spectral
+    (VERDICT round-1 item 7; reference ior.h complex_ior_from_file).
+    Gold's Fresnel reflectance rises steeply from blue to red, so a
+    white-lit gold sphere must render with R > G > B — and the spectral
+    render must stay in the same hue family as the rgb-tint variant."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+
+    def scene():
+        return mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": tf.look_at([0, 0, -4], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 16,
+                                "height": 16},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 128}},
+            "ball": {"type": "sphere",
+                     "bsdf": {"type": "roughconductor", "material": "Au",
+                              "alpha": 0.3}},
+            "light": {"type": "point", "position": [1, 2, -4],
+                      "intensity": {"type": "rgb", "value": 50.0}},
+        })
+
+    mi.set_variant("tpu_spectral")
+    try:
+        img_s = np.asarray(mi.render(scene(), seed=0))[..., :3]
+    finally:
+        mi.set_variant("tpu_rgb")
+    img_r = np.asarray(mi.render(scene(), seed=0))[..., :3]
+
+    assert np.isfinite(img_s).all()
+    cs = img_s.reshape(-1, 3).sum(axis=0)
+    cr = img_r.reshape(-1, 3).sum(axis=0)
+    assert cs[0] > cs[1] > cs[2], cs         # gold hue, spectral
+    assert cr[0] > cr[1] > cr[2], cr         # gold hue, rgb
+    # same hue family: R/B ratios within 2x of each other
+    rat_s = cs[0] / max(cs[2], 1e-9)
+    rat_r = cr[0] / max(cr[2], 1e-9)
+    assert 0.5 < rat_s / rat_r < 2.0, (rat_s, rat_r)

@@ -107,3 +107,32 @@ def test_velocity_estimation_pipeline():
         assert abs(med - target) < 6.0, (target, med)
     static = np.abs(gt) < 0.5
     assert abs(float(np.median(vmap[static]))) < 2.0
+
+
+def test_variance_curve_method_by_correlation_depth(scene):
+    """The Fig.-12-shaped acceptance check (VERDICT round-1 item 10;
+    reference doppler_tutorials/src/main_experiment.py:86-123): variance
+    for method x path_correlation_depth in {0, 2, 16} must order
+    uniform > stratified > antithetic at full correlation, and deeper
+    path correlation must help monotonically (within estimator noise)."""
+    depths = [0, 2, 16]
+    v = {}
+    for method in ("uniform", "stratified", "antithetic"):
+        for d in depths:
+            v[(method, d)] = _variance(scene, _make_integrator(method, d),
+                                       n_seeds=8)[0]
+
+    # ordering at full path correlation (Fig. 12's right edge)
+    assert v[("uniform", 16)] > v[("stratified", 16)], v
+    assert v[("stratified", 16)] > v[("antithetic", 16)], v
+
+    # deeper correlation helps monotonically for the correlated methods
+    # (15% slack absorbs the 8-seed variance-of-variance noise)
+    for method in ("stratified", "antithetic"):
+        assert v[(method, 2)] < v[(method, 0)] * 1.15, (method, v)
+        assert v[(method, 16)] < v[(method, 2)] * 1.15, (method, v)
+        assert v[(method, 16)] < v[(method, 0)] * 0.8, (method, v)
+
+    # uniform time sampling gains nothing from path correlation alone
+    # beyond noise
+    assert v[("uniform", 16)] > v[("antithetic", 0)] * 0.5, v

@@ -67,7 +67,7 @@ class SceneArrays:
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
         "polarized", "any_hetero", "any_sggx", "any_rayleigh",
         "tab_phase_tables", "measured_pol_wls", "ior_spectra",
-        "bsdf_ior_host",
+        "bsdf_ior_host", "max_optical_depth_hint",
     ]
 
     def __init__(self, **kw):
@@ -155,6 +155,7 @@ class Scene:
 
         from ..bsdfs import Diffuse, N_BSDF_PARAMS
         from ..emitters import N_EMITTER_PARAMS, E_AREA
+        from ..media import M_MAXD
         from ..core.properties import Properties
 
         import mitsuba3dopplertof_tpu as _mi0
@@ -801,6 +802,10 @@ class Scene:
             measured_pol_wls=tuple(measured_pol_wls),
             ior_spectra=tuple(ior_spectra),
             bsdf_ior_host=tuple(bsdf_ior_host),
+            max_optical_depth_hint=float(
+                max((max(float(np.max(m.params_row()[M_MAXD:M_MAXD + 1])),
+                         float(np.max(m.params_row()[:3])))
+                     for m in media_objs), default=0.0) * 2.0 * radius),
             **kw,
         )
         return self._compiled

@@ -367,17 +367,31 @@ class MultijitterSampler(Sampler):
         return (fx, fy), state
 
 
+# Sobol' second-dimension direction numbers: v[0] = 2^31,
+# v[k+1] = v[k] ^ (v[k] >> 1) — together with the van der Corput first
+# dimension this forms the classic (0,2)-sequence in base 2
+_SOBOL2_DIRS = []
+_v = 1 << 31
+for _ in range(32):
+    _SOBOL2_DIRS.append(_v)
+    _v ^= _v >> 1
+_SOBOL2_DIRS = tuple(_SOBOL2_DIRS)
+
+
 @register_plugin("sampler", "ldsampler")
 class LDSampler(Sampler):
     """Low-discrepancy sampler (reference src/samplers/ldsampler.cpp):
-    scrambled radical-inverse (base 2/3) per dimension."""
+    each 2D draw is a scrambled (0,2)-sequence pair — van der Corput +
+    Sobol' — so every dyadic elementary interval of area 1/N holds exactly
+    one of N = 2^m samples (the reference's sample02 structure). 1D draws
+    use the scrambled van der Corput sequence per dimension."""
     kind = "ldsampler"
 
     def __init__(self, props: Properties):
         super().__init__(props)
 
     @staticmethod
-    def _radical_inverse_2(idx, scramble):
+    def _vdc(idx, scramble):
         v = idx
         # bit-reverse a uint32
         v = ((v >> 16) | (v << 16))
@@ -388,17 +402,28 @@ class LDSampler(Sampler):
         v = v ^ scramble
         return v.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
 
+    @staticmethod
+    def _sobol2(idx, scramble):
+        v = scramble
+        for bit, d in enumerate(_SOBOL2_DIRS):
+            hit = ((idx >> jnp.uint32(bit)) & jnp.uint32(1)) != 0
+            v = jnp.where(hit, v ^ jnp.uint32(d), v)
+        return v.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+
     def next_1d(self, state, active=None):
         n = state.rng.state_lo.shape[0]
         idx = self.current_sample_index(state, n)
         scramble = state.permutation_seed + state.dimension_index * jnp.uint32(0x9E3779B9)
         state = state._replace(dimension_index=state.dimension_index + 1)
-        return self._radical_inverse_2(idx, scramble), state
+        return self._vdc(idx, scramble), state
 
     def next_2d(self, state, active=None):
-        f1, state = self.next_1d(state, active)
-        f2, state = self.next_1d(state, active)
-        return (f1, f2), state
+        n = state.rng.state_lo.shape[0]
+        idx = self.current_sample_index(state, n)
+        s1 = state.permutation_seed + state.dimension_index * jnp.uint32(0x9E3779B9)
+        s2 = state.permutation_seed + state.dimension_index * jnp.uint32(0x8D2FBC71) + jnp.uint32(0x4B1BD1B5)
+        state = state._replace(dimension_index=state.dimension_index + 1)
+        return (self._vdc(idx, s1), self._sobol2(idx, s2)), state
 
 
 @register_plugin("sampler", "orthogonal")

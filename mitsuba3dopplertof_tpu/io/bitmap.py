@@ -296,4 +296,192 @@ def write_png(path: str, img: np.ndarray, gamma: bool = True):
 
 
 __all__ = ["read_exr", "read_exr_rgb", "write_exr", "write_exr_rgb",
+           "read_pfm", "write_pfm", "read_ppm", "write_ppm",
+           "read_rgbe", "write_rgbe", "read_jpeg", "write_jpeg",
+           "read_bitmap", "write_bitmap",
            "write_png"]
+
+
+# ---------------------------------------------------------------------------
+# Additional codecs (reference src/core/bitmap.cpp: JPEG/PFM/PPM/RGBE)
+# ---------------------------------------------------------------------------
+
+def read_pfm(path: str) -> np.ndarray:
+    """Portable FloatMap (reference bitmap.cpp read_pfm): 'PF' rgb /
+    'Pf' gray, scale line's sign gives endianness, rows bottom-up."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    parts = buf.split(maxsplit=3)
+    header, w, h = parts[0], int(parts[1]), int(parts[2])
+    rest = parts[3]
+    nl = rest.index(b"\n") if b"\n" in rest[:32] else rest.index(b" ")
+    scale = float(rest[:nl])
+    data = rest[nl + 1:]
+    ch = 3 if header == b"PF" else 1
+    dt = "<f4" if scale < 0 else ">f4"
+    img = np.frombuffer(data, dt, count=w * h * ch).reshape(h, w, ch)
+    img = img[::-1].astype(np.float32)          # bottom-up storage
+    if abs(scale) not in (0.0, 1.0):
+        img = img * abs(scale)
+    return np.repeat(img, 3, axis=2) if ch == 1 else img
+
+
+def write_pfm(path: str, img: np.ndarray):
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=2)
+    h, w, _ = img.shape
+    with open(path, "wb") as f:
+        f.write(b"PF\n%d %d\n-1.0\n" % (w, h))
+        f.write(np.ascontiguousarray(img[::-1, :, :3], "<f4").tobytes())
+
+
+def read_ppm(path: str) -> np.ndarray:
+    """Binary PPM 'P6' (reference bitmap.cpp read_ppm); returns linear
+    float rgb in [0,1] (values are stored gamma-less by convention here)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    tokens = []
+    pos = 0
+    while len(tokens) < 4:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(buf) and not buf[end:end + 1].isspace():
+            end += 1
+        tokens.append(buf[pos:end])
+        pos = end
+    pos += 1
+    if tokens[0] != b"P6":
+        raise RuntimeError(f"{path}: only binary 'P6' PPM supported")
+    w, h, maxv = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    dt = np.uint8 if maxv < 256 else ">u2"
+    img = np.frombuffer(buf, dt, count=w * h * 3, offset=pos)
+    return (img.reshape(h, w, 3).astype(np.float32) / float(maxv))
+
+
+def write_ppm(path: str, img: np.ndarray):
+    img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (w, h))
+        f.write((img[..., :3] * 255.0 + 0.5).astype(np.uint8).tobytes())
+
+
+def read_rgbe(path: str) -> np.ndarray:
+    """Radiance .hdr / RGBE (reference bitmap.cpp read_rgbe): shared
+    exponent, new-style RLE scanlines."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if not (buf.startswith(b"#?RADIANCE") or buf.startswith(b"#?RGBE")):
+        raise RuntimeError(f"{path}: not a Radiance RGBE file")
+    pos = buf.index(b"\n\n") + 2
+    dim_end = buf.index(b"\n", pos)
+    dims = buf[pos:dim_end].split()
+    if dims[0] != b"-Y" or dims[2] != b"+X":
+        raise RuntimeError(f"{path}: unsupported orientation {dims}")
+    h, w = int(dims[1]), int(dims[3])
+    pos = dim_end + 1
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    data = np.frombuffer(buf, np.uint8, offset=pos)
+    di = 0
+    for y in range(h):
+        if w < 8 or w > 0x7FFF or data[di] != 2 or data[di + 1] != 2:
+            # flat (old-style) scanline
+            rgbe[y] = data[di:di + w * 4].reshape(w, 4)
+            di += w * 4
+            continue
+        di += 4
+        for c in range(4):
+            x = 0
+            while x < w:
+                run = int(data[di]); di += 1
+                if run > 128:
+                    rgbe[y, x:x + run - 128, c] = data[di]
+                    di += 1
+                    x += run - 128
+                else:
+                    rgbe[y, x:x + run, c] = data[di:di + run]
+                    di += run
+                    x += run
+    f_exp = np.ldexp(1.0, rgbe[..., 3].astype(np.int32) - 136)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * f_exp[..., None]
+
+
+def write_rgbe(path: str, img: np.ndarray):
+    img = np.maximum(np.asarray(img, np.float32), 0.0)[..., :3]
+    h, w = img.shape[:2]
+    m = img.max(axis=2)
+    nz = m >= 1e-32
+    e = np.frexp(np.maximum(m, 1e-32))[1]
+    scale = np.ldexp(1.0, -e + 8)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, (e + 128).astype(np.uint8), 0)
+    rgbe[~nz] = 0
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(b"-Y %d +X %d\n" % (h, w))
+        f.write(rgbe.tobytes())              # flat scanlines
+
+
+def read_jpeg(path: str) -> np.ndarray:
+    """JPEG via imageio (reference bitmap.cpp libjpeg path); returns
+    LINEAR rgb (sRGB decoded)."""
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path), np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    img = img[..., :3] / 255.0
+    return np.where(img <= 0.04045, img / 12.92,
+                    ((img + 0.055) / 1.055) ** 2.4).astype(np.float32)
+
+
+def write_jpeg(path: str, img: np.ndarray, quality: int = 90):
+    import imageio.v3 as iio
+    img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)[..., :3]
+    srgb = np.where(img <= 0.0031308, img * 12.92,
+                    1.055 * img ** (1 / 2.4) - 0.055)
+    iio.imwrite(path, (srgb * 255.0 + 0.5).astype(np.uint8),
+                quality=quality)
+
+
+def read_bitmap(path: str) -> np.ndarray:
+    """Extension-dispatched image read (reference Bitmap::Bitmap(path))."""
+    low = path.lower()
+    if low.endswith(".exr"):
+        return read_exr_rgb(path)
+    if low.endswith(".pfm"):
+        return read_pfm(path)
+    if low.endswith((".ppm", ".pnm")):
+        return read_ppm(path)
+    if low.endswith(".hdr"):
+        return read_rgbe(path)
+    if low.endswith((".jpg", ".jpeg")):
+        return read_jpeg(path)
+    import imageio.v3 as iio
+    img = np.asarray(iio.imread(path), np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    return img[..., :3] / 255.0
+
+
+def write_bitmap(path: str, img: np.ndarray):
+    """Extension-dispatched image write (reference Bitmap::write)."""
+    low = path.lower()
+    if low.endswith(".exr"):
+        return write_exr_rgb(path, img)
+    if low.endswith(".pfm"):
+        return write_pfm(path, img)
+    if low.endswith((".ppm", ".pnm")):
+        return write_ppm(path, img)
+    if low.endswith(".hdr"):
+        return write_rgbe(path, img)
+    if low.endswith((".jpg", ".jpeg")):
+        return write_jpeg(path, img)
+    if low.endswith(".png"):
+        return write_png(path, img)
+    raise RuntimeError(f"write_bitmap: unsupported extension for {path}")

@@ -41,15 +41,20 @@ from .utils.params import traverse, SceneParameters
 from .render.ad import render_grad, value_and_render_grad
 from .render.scene import Scene
 from .core.properties import Properties, registered_plugins
+from .core.fresolver import file_resolver, resolve_filename
 from .core.logger import (set_log_level, log_level, log, trace_to,
                           profile_phase, ProgressReporter,
                           TRACE, DEBUG, INFO, WARN, ERROR)
 
 
 def load_file(path: str, **params):
-    """Parse + build a scene from Mitsuba XML (reference xml.cpp:1483)."""
+    """Parse + build a scene from Mitsuba XML (reference xml.cpp:1483).
+    The scene file's directory is scoped onto the file resolver so
+    relative asset filenames resolve against the scene location."""
+    import os as _os
     str_params = {k: str(v) for k, v in params.items()}
-    return load_dict(xml_to_dict(path, str_params, is_file=True))
+    with file_resolver().scoped(_os.path.dirname(_os.path.abspath(path))):
+        return load_dict(xml_to_dict(path, str_params, is_file=True))
 
 
 def load_string(text: str, **params):

@@ -1124,7 +1124,8 @@ class Measured(BSDF):
         super().__init__(props)
         from ..io.tensor_file import read_tensor_file
         from .measured_impl import build_tables
-        fname = props.get_string("filename")
+        from ..core.fresolver import resolve_filename
+        fname = resolve_filename(props.get_string("filename"))
         self.tables = build_tables(read_tensor_file(fname))
         self.measured_index = -1     # assigned at scene compile
 
@@ -1154,7 +1155,8 @@ class MeasuredPolarized(BSDF):
         super().__init__(props)
         from ..io.tensor_file import read_tensor_file
         from .measured_polarized_impl import build_pbsdf_tables
-        fname = props.get_string("filename")
+        from ..core.fresolver import resolve_filename
+        fname = resolve_filename(props.get_string("filename"))
         self.alpha_sample = props.get_float("alpha_sample", 0.1)
         # reference: non-spectral modes may pin a single wavelength
         self.wavelength = props.get_float("wavelength", -1.0)

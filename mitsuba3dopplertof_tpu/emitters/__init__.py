@@ -656,7 +656,8 @@ class EnvmapEmitter(Emitter):
         self.scale = props.get_float("scale", 1.0)
         if props.has_property("filename"):
             from ..io.bitmap import read_exr
-            filename = props.get_string("filename")
+            from ..core.fresolver import resolve_filename
+            filename = resolve_filename(props.get_string("filename"))
             if filename.lower().endswith(".exr"):
                 ch = read_exr(filename)
                 names = ("R", "G", "B") if "R" in ch else tuple(sorted(ch))[:3]

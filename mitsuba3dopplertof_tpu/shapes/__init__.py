@@ -259,7 +259,8 @@ class ObjShape(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
         from ..io.mesh_loaders import load_obj
-        filename = props.get_string("filename")
+        from ..core.fresolver import resolve_filename
+        filename = resolve_filename(props.get_string("filename"))
         props.mark_queried("face_normals")
         self.mesh = load_obj(filename)
 
@@ -269,7 +270,8 @@ class PlyShape(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
         from ..io.mesh_loaders import load_ply
-        filename = props.get_string("filename")
+        from ..core.fresolver import resolve_filename
+        filename = resolve_filename(props.get_string("filename"))
         props.mark_queried("face_normals")
         self.mesh = load_ply(filename)
 
@@ -279,7 +281,8 @@ class SerializedShape(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
         from ..io.mesh_loaders import load_serialized
-        filename = props.get_string("filename")
+        from ..core.fresolver import resolve_filename
+        filename = resolve_filename(props.get_string("filename"))
         shape_index = props.get_int("shape_index", 0)
         props.mark_queried("face_normals")
         self.mesh = load_serialized(filename, shape_index)

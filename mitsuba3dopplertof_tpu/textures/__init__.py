@@ -93,7 +93,8 @@ class BitmapTexture(Texture):
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        filename = props.get_string("filename")
+        from ..core.fresolver import resolve_filename
+        filename = resolve_filename(props.get_string("filename"))
         raw = props.get_bool("raw", False)
         props.get_string("filter_type", "bilinear")
         props.get_string("wrap_mode", "repeat")

@@ -43,7 +43,8 @@ class GridVolume(Volume):
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        filename = props.get_string("filename")
+        from ..core.fresolver import resolve_filename
+        filename = resolve_filename(props.get_string("filename"))
         self.to_world = np.asarray(
             props.get_transform("to_world", np.eye(4)), np.float64)
         props.get_string("filter_type", "trilinear")

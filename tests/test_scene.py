@@ -173,3 +173,31 @@ def test_multipass_equals_singlepass_statistically():
     # within a few standard errors
     spread = max(np.std(m1), np.std(m8), 1e-6)
     assert abs(a - b) < 6 * spread, (a, b, spread)
+
+
+def test_file_resolver_relative_assets(tmp_path):
+    """Relative asset filenames resolve against the scene file's directory
+    (reference fresolver.cpp + thread-local resolver; VERDICT round-1
+    misc gap)."""
+    (tmp_path / "meshes").mkdir()
+    (tmp_path / "meshes" / "tri.obj").write_text(
+        "v -1 -1 2\nv 1 -1 2\nv 0 1 2\nf 1 2 3\n")
+    (tmp_path / "scene.xml").write_text("""
+<scene version="3.0.0">
+  <integrator type="depth"/>
+  <sensor type="perspective"><float name="fov" value="45"/>
+    <film type="hdrfilm"><integer name="width" value="4"/>
+      <integer name="height" value="4"/><rfilter type="box"/></film>
+    <sampler type="independent"><integer name="sample_count" value="1"/></sampler>
+  </sensor>
+  <shape type="obj"><string name="filename" value="meshes/tri.obj"/></shape>
+</scene>""")
+    import os
+    old = os.getcwd()
+    os.chdir("/")        # make sure CWD-relative resolution would fail
+    try:
+        sc = mi.load_file(str(tmp_path / "scene.xml"))
+    finally:
+        os.chdir(old)
+    img = np.asarray(mi.render(sc, spp=1, seed=0))
+    assert img[2, 2, 0] > 0      # center pixel hits the triangle

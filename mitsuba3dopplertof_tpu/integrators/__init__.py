@@ -171,14 +171,28 @@ class SamplingIntegrator(Integrator):
 
         if (checkpoint_path is None and n_passes > 1 and self.timeout <= 0.0
                 and not show_progress):
-            # fuse the whole pass loop into one device dispatch (each
-            # host->device round trip costs ~10s of ms through the runtime);
-            # timeout/progress/checkpoint need the pass-granular loop below
+            # fuse the pass loop into few device dispatches (each
+            # host->device round trip costs ~10s of ms through the runtime),
+            # but bound each dispatch to ~15s: one giant fused dispatch can
+            # exceed the device watchdog and kill the TPU worker. The group
+            # size adapts from the measured first-group time; the fused
+            # program compiles ONCE because the loop bound is dynamic.
             multi = self._get_multi_pass_fn(sensor, sampler, film, W, H,
-                                            spp_per_pass, n_passes)
+                                            spp_per_pass)
             t0 = _time.time()
-            block, state = multi(sa, block, state)
-            jax.block_until_ready(block)
+            done = 0
+            group = 1
+            while done < n_passes:
+                g = min(group, n_passes - done)
+                tg = _time.time()
+                block, state = multi(sa, block, state, jnp.int32(g))
+                jax.block_until_ready(block)
+                dt_g = _time.time() - tg
+                done += g
+                # adapt: target ~15s per dispatch (first call includes
+                # compile, so re-estimate each round from the latest rate)
+                per_pass = max(dt_g / g, 1e-4)
+                group = max(1, min(int(15.0 / per_pass), n_passes - done))
             _log.log(_log.DEBUG, "render: %d fused passes in %.3fs "
                      "(incl. compile on first call)", n_passes,
                      _time.time() - t0)
@@ -222,10 +236,14 @@ class SamplingIntegrator(Integrator):
             return develop(block, film.has_alpha, film.weight_index)
         return block
 
-    def _get_multi_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass,
-                           n_passes):
+    def _get_multi_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):
+        """One compiled program running a DYNAMIC number of fused passes:
+        the fori_loop bound is a traced argument, so a single compilation
+        serves any group size. The render loop dispatches adaptively-sized
+        groups (~15s each) — one giant fused dispatch can exceed the
+        device watchdog and kill the TPU worker."""
         key = ("multi", id(sensor), id(sampler), id(film), W, H,
-               spp_per_pass, n_passes, sampler.sample_count,
+               spp_per_pass, sampler.sample_count,
                sampler.samples_per_wavefront)
         cache = self._pass_fn_cache if hasattr(self, "_pass_fn_cache") else {}
         self._pass_fn_cache = cache
@@ -233,16 +251,16 @@ class SamplingIntegrator(Integrator):
             raw = self._get_pass_fn(sensor, sampler, film, W, H,
                                     spp_per_pass).raw
 
-            def all_passes(sa, block, state):
+            def run_passes(sa, block, state, n):
                 def body(_, carry):
                     blk, st = carry
                     blk, st = raw(sa, blk, st)
                     return blk, Sampler_advance(st)
-                return jax.lax.fori_loop(0, n_passes, body, (block, state))
+                return jax.lax.fori_loop(0, n, body, (block, state))
 
             from ..samplers import Sampler as _S
             Sampler_advance = _S.advance
-            cache[key] = jax.jit(all_passes, donate_argnums=(1, 2))
+            cache[key] = jax.jit(run_passes, donate_argnums=(1, 2))
         return cache[key]
 
     def _get_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):

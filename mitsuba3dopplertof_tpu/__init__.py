@@ -19,6 +19,26 @@ from __future__ import annotations
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: large-scene programs carry variadic
+# device-wide sorts (ops/ray_binning.py) whose TPU lowering compiles in
+# O(minutes); caching makes that a once-per-scene-shape cost across
+# processes. Opt out with MI_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("MI_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "mitsuba3dopplertof_tpu", "xla"))
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:           # cache is an optimization, never a failure
+        pass
+
 # plugin registration side effects
 from . import shapes as _shapes            # noqa: F401
 from . import bsdfs as _bsdfs              # noqa: F401
@@ -42,6 +62,8 @@ from .render.ad import render_grad, value_and_render_grad
 from .render.scene import Scene
 from .core.properties import Properties, registered_plugins
 from .core.fresolver import file_resolver, resolve_filename
+from .core.stream import (Stream, FileStream, MemoryStream, ZStream,
+                          DummyStream, MemoryMappedFile)
 from .core.logger import (set_log_level, log_level, log, trace_to,
                           profile_phase, ProgressReporter,
                           TRACE, DEBUG, INFO, WARN, ERROR)

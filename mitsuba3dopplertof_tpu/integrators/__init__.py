@@ -170,15 +170,23 @@ class SamplingIntegrator(Integrator):
             f"Rendering {W}x{H}@{spp}spp", enabled=bool(show_progress))
 
         if (checkpoint_path is None and n_passes > 1 and self.timeout <= 0.0
-                and not show_progress):
+                and not show_progress
+                and not os.environ.get("MI_NO_FUSED_PASSES")):
             # fuse the pass loop into few device dispatches (each
             # host->device round trip costs ~10s of ms through the runtime),
             # but bound each dispatch to ~15s: one giant fused dispatch can
             # exceed the device watchdog and kill the TPU worker. The group
             # size adapts from the measured first-group time; the fused
             # program compiles ONCE because the loop bound is dynamic.
+            # ray binning (large scenes) + donated fori carry trips a
+            # PJRT-client aliasing bug on the axon runtime; donation only
+            # saves the (small) film/state copies, so drop it there
+            from ..ops.ray_binning import should_bin as _should_bin
+            from ..ops.intersect_kernel import _stream_rows, LANES as _LANES
+            donate = not _should_bin(sa, W * H * spp_per_pass,
+                                     _stream_rows(sa), _LANES)
             multi = self._get_multi_pass_fn(sensor, sampler, film, W, H,
-                                            spp_per_pass)
+                                            spp_per_pass, donate=donate)
             t0 = _time.time()
             done = 0
             group = 1
@@ -236,7 +244,8 @@ class SamplingIntegrator(Integrator):
             return develop(block, film.has_alpha, film.weight_index)
         return block
 
-    def _get_multi_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):
+    def _get_multi_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass,
+                           donate: bool = True):
         """One compiled program running a DYNAMIC number of fused passes:
         the fori_loop bound is a traced argument, so a single compilation
         serves any group size. The render loop dispatches adaptively-sized
@@ -244,7 +253,7 @@ class SamplingIntegrator(Integrator):
         device watchdog and kill the TPU worker."""
         key = ("multi", id(sensor), id(sampler), id(film), W, H,
                spp_per_pass, sampler.sample_count,
-               sampler.samples_per_wavefront)
+               sampler.samples_per_wavefront, donate)
         cache = self._pass_fn_cache if hasattr(self, "_pass_fn_cache") else {}
         self._pass_fn_cache = cache
         if key not in cache:
@@ -260,7 +269,9 @@ class SamplingIntegrator(Integrator):
 
             from ..samplers import Sampler as _S
             Sampler_advance = _S.advance
-            cache[key] = jax.jit(run_passes, donate_argnums=(1, 2))
+            dn = (() if (not donate or os.environ.get("MI_NO_DONATE"))
+                  else (1, 2))
+            cache[key] = jax.jit(run_passes, donate_argnums=dn)
         return cache[key]
 
     def _get_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):

@@ -91,6 +91,28 @@ def _inv_lerped(mc0, mc1, tw0, tw1, time):
     return i, (nt0, nt1, nt2)
 
 
+def _atan2(y, x):
+    """Kernel-safe atan2: Mosaic has no atan2/atan lowering, so build it
+    from a degree-9 minimax polynomial on [0,1] + octant reduction
+    (max err ~1e-5 rad — far below any uv tolerance)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    a = lo / jnp.maximum(hi, 1e-30)
+    s = a * a
+    r = a * (0.99997726 + s * (-0.33262347 + s * (0.19354346
+             + s * (-0.11643287 + s * (0.05265332 - s * 0.01172120)))))
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0.0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
+
+def _acos(z):
+    """Kernel-safe acos via _atan2 (z pre-clipped by the caller)."""
+    return _atan2(jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0)), z)
+
+
 def _sphere_hit(oox, ooy, ooz, odx, ody, odz, maxt, bt):
     """Nearest positive root of the unit-sphere quadratic (object space),
     reference src/shapes/sphere.cpp ray_intersect_preliminary semantics."""
@@ -242,11 +264,12 @@ def _build_kernel(n_static: int, anim_ranges, any_hit: bool,
                         st[pre + "x"] = jnp.where(hit, wnx, st[pre + "x"])
                         st[pre + "y"] = jnp.where(hit, wny, st[pre + "y"])
                         st[pre + "z"] = jnp.where(hit, wnz, st[pre + "z"])
-                    # spherical uv (reference sphere.cpp uv convention)
-                    phi = jnp.arctan2(pny, pnx)
+                    # spherical uv (reference sphere.cpp uv convention;
+                    # _atan2/_acos: Mosaic-lowerable replacements)
+                    phi = _atan2(pny, pnx)
                     u = phi * jnp.float32(0.15915494309)
                     u = jnp.where(u < 0.0, u + 1.0, u)
-                    v = jnp.arccos(jnp.clip(pnz, -1.0, 1.0)) * jnp.float32(
+                    v = _acos(jnp.clip(pnz, -1.0, 1.0)) * jnp.float32(
                         0.31830988618)
                     st["uu"] = jnp.where(hit, u, st["uu"])
                     st["vv"] = jnp.where(hit, v, st["vv"])
@@ -403,11 +426,23 @@ def _run(sa, ray, any_hit: bool, rows_per_block: int = DEF_ROWS,
 STREAM_THRESHOLD = 192
 
 
-def intersect_pallas(sa, ray) -> HitRecord:
+def _stream_rows(sa):
+    from .intersect_stream import ANIM_ROWS, DEF_ROWS
+    return ANIM_ROWS if sa.anim_ranges else DEF_ROWS
+
+
+def intersect_pallas(sa, ray, active=None) -> HitRecord:
     if sa.n_static_tris + sa.n_anim_tris <= STREAM_THRESHOLD:
         return HitRecord(*_run(sa, ray, any_hit=False))
     from .intersect_stream import intersect_stream
-    hit_s = HitRecord(*intersect_stream(sa, ray))
+    from .ray_binning import binned, should_bin
+    n = ray.o.x.shape[0]
+    if should_bin(sa, n, _stream_rows(sa), LANES):
+        outs = binned(sa, ray, active,
+                      lambda r: intersect_stream(sa, r))
+        hit_s = HitRecord(*outs)
+    else:
+        hit_s = HitRecord(*intersect_stream(sa, ray))
     if sa.n_spheres == 0:
         return hit_s
     hit_d = HitRecord(*_run(sa, ray, any_hit=False, spheres_only=True))
@@ -416,13 +451,21 @@ def intersect_pallas(sa, ray) -> HitRecord:
     return HitRecord(*merged)
 
 
-def ray_test_pallas(sa, ray):
+def ray_test_pallas(sa, ray, active=None):
     if sa.n_static_tris + sa.n_anim_tris <= STREAM_THRESHOLD:
         (occ,) = _run(sa, ray, any_hit=True)
         return occ > 0
     from .intersect_stream import intersect_stream
-    t_s, prim_s = intersect_stream(sa, ray, any_hit=True)
-    occ = prim_s >= 0
+    from .ray_binning import binned, should_bin
+    n = ray.o.x.shape[0]
+    if should_bin(sa, n, _stream_rows(sa), LANES):
+        (occ_i,) = binned(
+            sa, ray, active,
+            lambda r: [intersect_stream(sa, r, any_hit=True)[1] >= 0])
+        occ = occ_i > 0
+    else:
+        t_s, prim_s = intersect_stream(sa, ray, any_hit=True)
+        occ = prim_s >= 0
     if sa.n_spheres > 0:
         (occ_d,) = _run(sa, ray, any_hit=True, spheres_only=True)
         occ = occ | (occ_d > 0)

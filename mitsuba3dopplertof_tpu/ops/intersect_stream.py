@@ -61,7 +61,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect_kernel import TRI_REC, LANES, _inv_lerped
 
-CHUNK = 32          # triangles per grid step (SMEM block)
+CHUNK = 32          # triangles per culling unit (one conservative AABB test)
+CPG = 8             # chunks per grid step: amortizes the fixed per-step cost
+                    # (DMA issue + loop bookkeeping, ~µs) 8x; culling
+                    # granularity stays one chunk via nested pl.when
 DEF_ROWS = 128
 # the animated variant keeps ~20 extra live (rows, 128) f32 temporaries
 # (per-lane inverse-lerped matrices + transformed rays); 128 rows exceeds
@@ -73,20 +76,21 @@ _BIG = np.float32(3.0e38)     # plain numpy: jnp consts can't be captured
 
 def _build_stream_kernel(any_hit: bool, has_anim: bool):
 
-    def kernel(tri_ref,      # (CHUNK, TRI_REC) SMEM — this chunk
+    def kernel(tri_ref,      # (CPG*CHUNK, TRI_REC) SMEM — this group
                meta_ref,     # (2, n_chunks) SMEM — [anim slot | -1, slot0]
                aabb_ref,     # (6, n_chunks) SMEM — chunk world AABBs
                # (row-major: SMEM pads each ROW to a 512B lane tile, so
                # (n_chunks, k) layouts would waste 512B per chunk per row)
+               grp_ref,      # (6, n_groups) SMEM — group (CPG-chunk) AABBs
                inst_ref,     # (n_anim, 26) SMEM — animated instance records
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                time_ref, maxt_ref,
                *out_and_scratch):
         out_refs = out_and_scratch[:-1]
         blk_ref = out_and_scratch[-1]       # (16,) SMEM scratch: ray bounds
-        k = pl.program_id(1)
+        g = pl.program_id(1)
 
-        @pl.when(k == 0)
+        @pl.when(g == 0)
         def _init():
             out_refs[0][:] = jnp.full(out_refs[0].shape, jnp.inf, jnp.float32)
             out_refs[1][:] = jnp.full(out_refs[1].shape, -1, jnp.int32)
@@ -105,51 +109,60 @@ def _build_stream_kernel(any_hit: bool, has_anim: bool):
             mt = maxt_ref[:]
             blk_ref[12] = jnp.minimum(jnp.max(mt), _BIG)
 
-        # ---- conservative per-(block, chunk) interval slab test ----------
+        # ---- conservative (block, box) interval slab test ----------------
         # o in [ol,oh], d in [dl,dh]; per axis the slab-plane parameters
         # (p - o)/d span an interval; mixed-sign d makes the axis
-        # unbounded (no cull from that axis). A chunk is visited only if
+        # unbounded (no cull from that axis). A box is visited only if
         # max(axis lows, 0) <= min(axis highs, tmax, current worst best-t).
-        t_lo = jnp.float32(0.0)
-        t_hi = blk_ref[12]
-        # closest-hit: once every lane in the block has SOME hit, the
-        # block-wide max best-t bounds the interval (front-to-back payoff)
-        cur_worst = jnp.minimum(jnp.max(out_refs[0][:]), _BIG)
-        t_hi = jnp.minimum(t_hi, cur_worst)
-        if any_hit:
-            # fully-occluded block: skip everything
-            all_occ = jnp.min(out_refs[1][:]) >= 0
-            t_hi = jnp.where(all_occ, -_BIG, t_hi)
-        for ax in range(3):
-            ol, oh = blk_ref[ax], blk_ref[3 + ax]
-            dl, dh = blk_ref[6 + ax], blk_ref[9 + ax]
-            bmin, bmax = aabb_ref[ax, k], aabb_ref[3 + ax, k]
-            pos = dl > 1e-12
-            neg = dh < -1e-12
-            same_sign = pos | neg
-            inv_a = 1.0 / jnp.where(same_sign, dl, 1.0)
-            inv_b = 1.0 / jnp.where(same_sign, dh, 1.0)
-            # interval products over both planes and both endpoints
-            lo = _BIG
-            hi = -_BIG
-            for p in (bmin, bmax):
-                for oo in (ol, oh):
-                    num = p - oo
-                    for iv in (inv_a, inv_b):
-                        v = num * iv
-                        lo = jnp.minimum(lo, v)
-                        hi = jnp.maximum(hi, v)
-            lo = jnp.where(same_sign, lo, -_BIG)
-            hi = jnp.where(same_sign, hi, _BIG)
-            # d may straddle 0 but the origin interval can still sit
-            # entirely outside the slab with no sign change possible only
-            # when d spans 0 — conservative: skip the axis (handled above)
-            t_lo = jnp.maximum(t_lo, lo)
-            t_hi = jnp.minimum(t_hi, hi)
-        possible = t_lo <= t_hi
+        def slab_test(box):
+            """box: callable ax -> (bmin, bmax) scalars."""
+            t_lo = jnp.float32(0.0)
+            t_hi = blk_ref[12]
+            # closest-hit: once every lane in the block has SOME hit, the
+            # block-wide max best-t bounds the interval (front-to-back)
+            cur_worst = jnp.minimum(jnp.max(out_refs[0][:]), _BIG)
+            t_hi = jnp.minimum(t_hi, cur_worst)
+            if any_hit:
+                # fully-occluded block: skip everything
+                all_occ = jnp.min(out_refs[1][:]) >= 0
+                t_hi = jnp.where(all_occ, -_BIG, t_hi)
+            for ax in range(3):
+                ol, oh = blk_ref[ax], blk_ref[3 + ax]
+                dl, dh = blk_ref[6 + ax], blk_ref[9 + ax]
+                bmin, bmax = box(ax)
+                pos = dl > 1e-12
+                neg = dh < -1e-12
+                same_sign = pos | neg
+                inv_a = 1.0 / jnp.where(same_sign, dl, 1.0)
+                inv_b = 1.0 / jnp.where(same_sign, dh, 1.0)
+                # interval products over both planes and both endpoints
+                lo = _BIG
+                hi = -_BIG
+                for p in (bmin, bmax):
+                    for oo in (ol, oh):
+                        num = p - oo
+                        for iv in (inv_a, inv_b):
+                            v = num * iv
+                            lo = jnp.minimum(lo, v)
+                            hi = jnp.maximum(hi, v)
+                lo = jnp.where(same_sign, lo, -_BIG)
+                hi = jnp.where(same_sign, hi, _BIG)
+                # d may straddle 0: no sign change possible → conservative:
+                # skip the axis (handled above)
+                t_lo = jnp.maximum(t_lo, lo)
+                t_hi = jnp.minimum(t_hi, hi)
+            return t_lo <= t_hi
 
-        @pl.when(possible)
-        def _chunk_body():
+        def _chunk_pass(c):
+            k = g * CPG + c
+            possible = slab_test(lambda ax: (aabb_ref[ax, k],
+                                             aabb_ref[3 + ax, k]))
+
+            @pl.when(possible)
+            def _chunk_body():
+                _run_chunk(c, k)
+
+        def _run_chunk(c, k):
             ox = ox_ref[:]
             oy = oy_ref[:]
             oz = oz_ref[:]
@@ -188,7 +201,7 @@ def _build_stream_kernel(any_hit: bool, has_anim: bool):
                     st[key] = r[:]
 
             for j in range(CHUNK):
-                r = tuple(tri_ref[j, c] for c in range(TRI_REC))
+                r = tuple(tri_ref[c * CHUNK + j, cc] for cc in range(TRI_REC))
                 v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = r[0:9]
                 px = rdy * e2z - rdz * e2y
                 py = rdz * e2x - rdx * e2z
@@ -251,6 +264,16 @@ def _build_stream_kernel(any_hit: bool, has_anim: bool):
                 for r, key in zip(out_refs[2:], keys):
                     r[:] = st[key]
 
+        # two-level dispatch: one scalar test skips the whole CPG-chunk
+        # group; survivors re-test per chunk (cull granularity unchanged)
+        g_possible = slab_test(
+            lambda ax: (grp_ref[ax, g], grp_ref[3 + ax, g]))
+
+        @pl.when(g_possible)
+        def _group_body():
+            for c in range(CPG):
+                _chunk_pass(c)
+
     return kernel
 
 
@@ -258,14 +281,16 @@ def _build_stream_kernel(any_hit: bool, has_anim: bool):
 def _compiled_stream(any_hit: bool, has_anim: bool, n_rows: int,
                      rows_per_block: int, n_chunks: int, interpret: bool):
     kernel = _build_stream_kernel(any_hit, has_anim)
-    grid = (n_rows // rows_per_block, n_chunks)
-    lane_spec = pl.BlockSpec((rows_per_block, LANES), lambda i, k: (i, 0),
+    n_groups = n_chunks // CPG
+    grid = (n_rows // rows_per_block, n_groups)
+    lane_spec = pl.BlockSpec((rows_per_block, LANES), lambda i, g: (i, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((CHUNK, TRI_REC), lambda i, k: (k, 0),
+        pl.BlockSpec((CPG * CHUNK, TRI_REC), lambda i, g: (g, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),      # chunk meta
         pl.BlockSpec(memory_space=pltpu.SMEM),      # chunk AABBs
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # group AABBs
         pl.BlockSpec(memory_space=pltpu.SMEM),      # instance records
     ] + [lane_spec] * 8
     f32, i32 = jnp.float32, jnp.int32
@@ -413,6 +438,25 @@ def intersect_stream(sa, ray, any_hit: bool = False,
             [jnp.full((n_chunks, 3), -_BIG), jnp.full((n_chunks, 3), _BIG)],
             axis=1)
 
+    # pad the chunk tables to a CPG multiple with never-visited chunks
+    # (empty AABBs) so each grid step covers exactly CPG chunks
+    pad_c = (-n_chunks) % CPG
+    if pad_c:
+        tri_table = jnp.concatenate(
+            [tri_table, jnp.zeros((pad_c * CHUNK, TRI_REC), jnp.float32)],
+            axis=0)
+        meta = np.concatenate(
+            [meta, np.zeros((pad_c, 2), np.int32)], axis=0)
+        empty = np.concatenate([np.full((pad_c, 3), _BIG, np.float32),
+                                np.full((pad_c, 3), -_BIG, np.float32)],
+                               axis=1)
+        aabb = jnp.concatenate([aabb, jnp.asarray(empty)], axis=0)
+        n_chunks += pad_c
+    # group AABBs: union of each CPG run (empties keep inverted bounds)
+    ga = aabb.reshape(n_chunks // CPG, CPG, 6)
+    grp = jnp.concatenate([jnp.min(ga[:, :, :3], axis=1),
+                           jnp.max(ga[:, :, 3:], axis=1)], axis=1)
+
     def pad(x, fill=None):
         if n_pad == n:
             return x
@@ -425,7 +469,7 @@ def intersect_stream(sa, ray, any_hit: bool = False,
     interpret = jax.default_backend() == "cpu"
     fn = _compiled_stream(any_hit, has_anim, n_rows,
                           min(rows_per_block, n_rows), n_chunks, interpret)
-    args = [tri_table, jnp.asarray(meta.T), aabb.T, inst_table] + [
+    args = [tri_table, jnp.asarray(meta.T), aabb.T, grp.T, inst_table] + [
         pad(getattr(ray.o, c)) .reshape(n_rows, LANES) for c in "xyz"] + [
         pad(getattr(ray.d, c)).reshape(n_rows, LANES) for c in "xyz"] + [
         pad(ray.time).reshape(n_rows, LANES),

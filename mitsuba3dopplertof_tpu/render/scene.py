@@ -317,12 +317,14 @@ class Scene:
         if spectral:
             # replace reflectance rgb with sigmoid-upsampling coefficients
             # (JH'19 method, core/cie.py) — P_REFL columns hold (c0, c1, c2)
-            # only diffuse rows: other types read P_REFL as an rgb tint and
-            # keep the rgb-as-3-wavelength approximation (documented v1 limit)
+            # for diffuse albedo / plastic diffuse / principled base color;
+            # remaining types (conductors get real eta/k spectra; dielectric
+            # tints are ~1) read P_REFL as an rgb tint. Texture lookups stay
+            # rgb-as-3-wavelength (atlases are too large to fit per-texel).
             from ..core import cie as _cie
-            from ..bsdfs import P_REFL, BSDF_DIFFUSE
+            from ..bsdfs import P_REFL, SPECTRAL_UPSAMPLED_TYPES
             for bi, b in enumerate(bsdf_objs):
-                if b.type_id != BSDF_DIFFUSE:
+                if b.type_id not in SPECTRAL_UPSAMPLED_TYPES:
                     continue
                 rgb = bsdf_params[P_REFL:P_REFL + 3, bi]
                 if rgb.max() > 0:
@@ -1043,16 +1045,17 @@ def _spheres_reference(sa: SceneArrays, ray: Ray, hit):
 USE_PALLAS = True
 
 
-def _closest_hit(sa: SceneArrays, ray: Ray):
+def _closest_hit(sa: SceneArrays, ray: Ray, active=None):
     # TPU: ALWAYS the Pallas path. The gather-based BVH is unusable on
-    # TPU — XLA/Mosaic gathers serialize on the scalar core (~30-90M
-    # gathered elems/s measured on v5e), so pointer-chasing traversal is
-    # orders of magnitude slower than the chunk-culled dense stream
-    # (ops/intersect_stream.py). On CPU (tests/oracle) the BVH/BLAS path
-    # is the accelerator.
+    # TPU — XLA/Mosaic gathers serialize on the scalar core inside kernels,
+    # so pointer-chasing traversal is orders of magnitude slower than the
+    # chunk-culled dense stream (ops/intersect_stream.py). Device-wide
+    # XLA sorts ARE fast, so large scenes additionally reorder the
+    # wavefront for block coherence (ops/ray_binning.py). On CPU
+    # (tests/oracle) the BVH/BLAS path is the accelerator.
     if USE_PALLAS and jax.default_backend() not in ("cpu",):
         from ..ops.intersect_kernel import intersect_pallas
-        return intersect_pallas(sa, ray)
+        return intersect_pallas(sa, ray, active)
     return _hit_reference(sa, ray)
 
 
@@ -1079,7 +1082,7 @@ def build_si(sa: SceneArrays, ray: Ray, hit, active=None) -> SurfaceInteraction:
 
 def ray_intersect(sa: SceneArrays, ray: Ray, active=None) -> SurfaceInteraction:
     """Full surface-interaction query (reference scene.cpp:125-137)."""
-    hit = _closest_hit(sa, ray)
+    hit = _closest_hit(sa, ray, active)
     return build_si(sa, ray, hit, active)
 
 
@@ -1088,7 +1091,7 @@ def ray_test(sa: SceneArrays, ray: Ray, active=None):
     if USE_PALLAS and jax.default_backend() not in ("cpu",):
         # TPU: always Pallas (see _closest_hit for the gather rationale)
         from ..ops.intersect_kernel import ray_test_pallas
-        occluded = ray_test_pallas(sa, ray)
+        occluded = ray_test_pallas(sa, ray, active)
     elif sa.has_accel:
         if sa.bvh is not None:
             from ..ops.bvh import bvh_any

@@ -216,3 +216,81 @@ def test_maxt_and_time_clamp_semantics(tmp_path):
     short = ray._replace(maxt=f32(np.full(n, 1e-3)))
     assert (np.asarray(ik.intersect_pallas(sa, short).prim) == -1).all()
     assert not np.asarray(ik.ray_test_pallas(sa, short)).any()
+
+
+def test_ray_binning_restore_identity():
+    """ops.ray_binning.binned is a pure permutation: run() outputs computed
+    on the sorted wavefront come back in original lane order."""
+    from types import SimpleNamespace
+    from mitsuba3dopplertof_tpu.ops.ray_binning import binned
+    n = 4096
+    rng = np.random.default_rng(0)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    o = rng.uniform(-2, 2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(Vec3(*(f32(o[:, i]) for i in range(3))),
+              Vec3(*(f32(d[:, i]) for i in range(3))),
+              f32(rng.uniform(0, 1, n)), f32(np.full(n, np.inf)))
+    active = jnp.asarray(rng.random(n) < 0.7)
+    # truthy anim_ranges: time rides in the sort (static scenes drop it
+    # because the kernel never reads it)
+    sa = SimpleNamespace(chunk_aabb=jnp.asarray(
+        np.array([[-2, -2, -2, 2, 2, 2]], np.float32)), anim_ranges=(0,))
+    outs = binned(sa, ray, active,
+                  lambda r: [r.o.x, r.d.y * 2.0,
+                             (r.time > 0.5).astype(jnp.int32)])
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(ray.o.x))
+    np.testing.assert_allclose(np.asarray(outs[1]),
+                               np.asarray(ray.d.y) * 2.0, rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(outs[2]), (np.asarray(ray.time) > 0.5).astype(np.int32))
+
+
+def test_binned_dispatch_matches_oracle(tmp_path):
+    """With a wavefront larger than one lane block, intersect_pallas routes
+    through ray binning (sort -> streamed kernel -> restore); results must
+    equal the oracle, and lanes deadened by `active` must report misses."""
+    from mitsuba3dopplertof_tpu.ops import ray_binning as rb
+    from mitsuba3dopplertof_tpu.ops.intersect_stream import ANIM_ROWS
+    # two big meshes push past the 1024-triangle binning gate
+    d = {
+        "type": "scene",
+        "m1": {"type": "obj", "filename": _grid_mesh_obj(tmp_path, "uvs2", 24, 15),
+               "to_world": tf.translate([2.0, 0.5, 1.0]) @ tf.scale([0.8] * 3)},
+        "m2": {"type": "obj", "filename": _grid_mesh_obj(tmp_path, "uvs3", 24, 15),
+               "to_world": tf.translate([-2.0, -0.5, 1.5]) @ tf.scale([0.7] * 3)},
+        "mover": {"type": "cube",
+                  "to_world": _anim(
+                      tf.translate([-1.5, 0, 1]) @ tf.scale([0.5] * 3),
+                      tf.translate([-1.5, 1.0, 1]) @ tf.scale([0.5] * 3))},
+        "ball": {"type": "sphere", "center": [0.0, 1.5, 1.0], "radius": 0.6},
+        "light": {"type": "point", "position": [0, 4, -4],
+                  "intensity": {"type": "rgb", "value": 10.0}},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": tf.look_at([0, 0, -6], [0, 0, 0], [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        "integrator": {"type": "path", "max_depth": 2},
+    }
+    sa = mi.load_dict(d).compile()
+    block = ANIM_ROWS * ik.LANES
+    n = 2 * block + 511          # > one block and not block-aligned
+    assert rb.should_bin(sa, n, ANIM_ROWS, ik.LANES)
+    ray = _rays(n, seed=13)
+    rng = np.random.default_rng(17)
+    active = jnp.asarray(rng.random(n) < 0.8)
+    hp = jax.tree_util.tree_map(np.asarray,
+                                ik.intersect_pallas(sa, ray, active))
+    hr = jax.tree_util.tree_map(np.asarray, _hit_reference(sa, ray))
+    act = np.asarray(active)
+    # triangle hits on dead lanes are suppressed (sphere merge is unsorted
+    # and unmasked, same as the unbinned path — build_si masks by active)
+    sph_base = sa.n_static_tris + sa.n_anim_tris
+    dead_tri = (~act) & (hp.prim >= 0) & (hp.prim < sph_base)
+    assert not dead_tri.any()
+    sel = lambda h: jax.tree_util.tree_map(lambda a: a[act], h)
+    _assert_hits_match(sel(hp), sel(hr), "binned dispatch")
+    occ_p = np.asarray(ik.ray_test_pallas(sa, ray, active))
+    occ_r = np.asarray(hr.prim) >= 0
+    assert (occ_p[act] == occ_r[act]).all()

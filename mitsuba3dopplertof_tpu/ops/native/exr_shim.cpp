@@ -32,11 +32,15 @@ int exr_read(const char* path, float** out, int* width, int* height,
         const char* pref[] = {"R", "G", "B", "A", "W", "Y"};
         for (const char* p : pref)
             if (chl.findChannel(p)) names.push_back(p);
-        if (names.empty())
-            for (auto it = chl.begin(); it != chl.end(); ++it)
-                names.push_back(it.name());
+        // remaining channels (AOVs: S0.R.., depth, variance moments, ...)
+        // in file order after the preferred base layout
+        for (auto it = chl.begin(); it != chl.end(); ++it) {
+            bool seen = false;
+            for (const auto& n : names) seen |= (n == it.name());
+            if (!seen) names.push_back(it.name());
+        }
         int C = (int)names.size();
-        if (C > 16) C = 16;
+        if (C > 64) C = 64;
 
         float* buf = new float[(size_t)W * H * C];
         FrameBuffer fb;

@@ -265,12 +265,14 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
         srefl = Vec3(_ers(c0, c1, c2, wavelengths.x),
                      _ers(c0, c1, c2, wavelengths.y),
                      _ers(c0, c1, c2, wavelengths.z))
-        is_diff = lane_type == BSDF_DIFFUSE
+        is_up = jnp.zeros_like(lane_type, dtype=bool)
+        for t in SPECTRAL_UPSAMPLED_TYPES:
+            is_up = is_up | (lane_type == t)
         if tex_refl is not None:
             srefl = where3(tex_mask, tex_refl, srefl)
-            tex_mask = tex_mask | is_diff
+            tex_mask = tex_mask | is_up
         else:
-            tex_mask = is_diff
+            tex_mask = is_up
         tex_refl = srefl
 
     result = None
@@ -330,12 +332,10 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
         fn = _DISPATCH.get(int(tid))
         if fn is None:
             raise NotImplementedError(f"BSDF type id {tid} not implemented")
-        if tid in (BSDF_DIFFUSE, BSDF_PRINCIPLED) and tex_refl is not None:
-            if tid == BSDF_DIFFUSE:
-                r = fn(param, wi, wo_nee, s1, s2x, s2y, tex_refl, tex_mask)
-            else:
-                r = _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x,
-                                                s2y, tex_refl, tex_mask)
+        if tid in SPECTRAL_UPSAMPLED_TYPES and tex_refl is not None:
+            # these types take the reflectance-spectrum/texture override
+            # (diffuse albedo / plastic diffuse / principled base color)
+            r = fn(param, wi, wo_nee, s1, s2x, s2y, tex_refl, tex_mask)
         elif (tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR)
                 and wavelengths is not None
                 and getattr(sa, "ior_spectra", None)):
@@ -690,7 +690,8 @@ def _thindielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
                             jnp.ones_like(F), true_, ~true_)
 
 
-def _plastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+def _plastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y,
+                             tex_refl=None, tex_mask=None):
     """Smooth plastic (reference plastic.cpp): delta specular + diffuse with
     internal-scattering compensation."""
     eta = param(P_ETA)
@@ -698,6 +699,8 @@ def _plastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
     nonlinear = param(P_K + 1) > 0.5
     spec_prob_w = param(P_ALPHA + 1)
     diff = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    if tex_refl is not None:     # spectral upsampling / texture override
+        diff = where3(tex_mask, tex_refl, diff)
     spec = Vec3(param(P_SPEC_TRANS), param(P_SPEC_TRANS + 1),
                 param(P_SPEC_TRANS + 2))
     two_sided = param(P_TWOSIDED) > 0.5
@@ -799,7 +802,8 @@ class RoughDielectric(Dielectric):
         return p
 
 
-def _roughplastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
+def _roughplastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y,
+                                  tex_refl=None, tex_mask=None):
     """reference roughplastic.cpp: GGX specular + internally-scattered
     diffuse; both lobes are smooth so NEE evaluates both."""
     eta = param(P_ETA)
@@ -808,6 +812,8 @@ def _roughplastic_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
     spec_prob_w = param(P_ALPHA + 1)
     alpha = param(P_ALPHA)
     diff = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
+    if tex_refl is not None:     # spectral upsampling / texture override
+        diff = where3(tex_mask, tex_refl, diff)
     spec = Vec3(param(P_SPEC_TRANS), param(P_SPEC_TRANS + 1),
                 param(P_SPEC_TRANS + 2))
     two_sided = param(P_TWOSIDED) > 0.5
@@ -1297,11 +1303,20 @@ def _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y,
                             jnp.ones_like(z), false_, false_)
 
 
-def _principled_dispatch(param, wi, wo_nee, s1, s2x, s2y):
-    return _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y)
+def _principled_dispatch(param, wi, wo_nee, s1, s2x, s2y,
+                         tex_refl=None, tex_mask=None):
+    return _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y,
+                                       tex_refl, tex_mask)
 
 
 _DISPATCH[BSDF_PRINCIPLED] = _principled_dispatch
+
+# types whose P_REFL triple is a reflectance color that the tpu_spectral
+# variant upsamples to sigmoid-polynomial coefficients at scene compile
+# (diffuse albedo, plastic diffuse reflectance, principled base color) and
+# whose eval accepts the (tex_refl, tex_mask) override
+SPECTRAL_UPSAMPLED_TYPES = (BSDF_DIFFUSE, BSDF_PLASTIC, BSDF_ROUGHPLASTIC,
+                            BSDF_PRINCIPLED)
 
 
 def _polarizer_like_dispatch(factor):

@@ -214,3 +214,52 @@ def test_spectral_gold_conductor():
     rat_s = cs[0] / max(cs[2], 1e-9)
     rat_r = cr[0] / max(cr[2], 1e-9)
     assert 0.5 < rat_s / rat_r < 2.0, (rat_s, rat_r)
+
+
+def test_spectral_plastic_upsampled():
+    """Plastic/roughplastic/principled constant colors are spectrally
+    upsampled (not rgb-tinted) under tpu_spectral: a saturated red
+    roughplastic render stays in the rgb render's hue family and total
+    energy (metamerism-level deviation only)."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+
+    def scene(bsdf):
+        return mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": tf.look_at([0, 0, 4], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 12,
+                                "height": 12},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 128}},
+            "floor": {"type": "rectangle",
+                      "to_world": tf.scale([3, 3, 1]), "bsdf": bsdf},
+            "light": {"type": "point", "position": [1, 2, 4],
+                      "intensity": {"type": "rgb", "value": 50.0}},
+        })
+
+    for bsdf in (
+        {"type": "roughplastic", "alpha": 0.3,
+         "diffuse_reflectance": {"type": "rgb", "value": [0.7, 0.15, 0.1]}},
+        {"type": "plastic",
+         "diffuse_reflectance": {"type": "rgb", "value": [0.7, 0.15, 0.1]}},
+        {"type": "principled",
+         "base_color": {"type": "rgb", "value": [0.7, 0.15, 0.1]},
+         "roughness": 0.4},
+    ):
+        mi.set_variant("tpu_spectral")
+        try:
+            img_s = np.asarray(mi.render(scene(bsdf), seed=0))[..., :3]
+        finally:
+            mi.set_variant("tpu_rgb")
+        img_r = np.asarray(mi.render(scene(bsdf), seed=0))[..., :3]
+        assert np.isfinite(img_s).all()
+        cs = img_s.reshape(-1, 3).mean(axis=0)
+        cr = img_r.reshape(-1, 3).mean(axis=0)
+        name = bsdf["type"]
+        assert cs[0] > 2.5 * cs[1] and cs[0] > 2.5 * cs[2], (name, cs)
+        ratio = cs.sum() / cr.sum()
+        assert abs(ratio - 1.0) < 0.12, (name, ratio, cs, cr)

@@ -65,6 +65,8 @@ from .core.fresolver import file_resolver, resolve_filename
 from .core.stream import (Stream, FileStream, MemoryStream, ZStream,
                           DummyStream, MemoryMappedFile)
 from .utils.polvis import polvis
+from .utils import plots
+from .core.struct import Struct, StructConverter, FieldFlags
 from .core.logger import (set_log_level, log_level, log, trace_to,
                           profile_phase, ProgressReporter,
                           TRACE, DEBUG, INFO, WARN, ERROR)

@@ -67,6 +67,7 @@ from .core.stream import (Stream, FileStream, MemoryStream, ZStream,
 from .utils.polvis import polvis
 from .utils import plots
 from .core.struct import Struct, StructConverter, FieldFlags
+from .utils.denoiser import Denoiser
 from .core.logger import (set_log_level, log_level, log, trace_to,
                           profile_phase, ProgressReporter,
                           TRACE, DEBUG, INFO, WARN, ERROR)

@@ -421,6 +421,9 @@ def intersect_stream(sa, ray, any_hit: bool = False,
     (t, prim, inst, u, v, gn, ns, uv) or (t, prim) for any-hit, with prim
     in the global slot convention ([0, n_static) static, then animated)."""
     if rows_per_block is None:
+        # 64 rows for animated scenes (VMEM); 128-row any-hit blocks were
+        # measured SLOWER despite half the grid steps — wider blocks mean
+        # looser ray bounds, and the lost culling outweighs the step count
         rows_per_block = ANIM_ROWS if sa.anim_ranges else DEF_ROWS
     n = ray.o.x.shape[0]
     blk = rows_per_block * LANES

@@ -294,3 +294,31 @@ def test_binned_dispatch_matches_oracle(tmp_path):
     occ_p = np.asarray(ik.ray_test_pallas(sa, ray, active))
     occ_r = np.asarray(hr.prim) >= 0
     assert (occ_p[act] == occ_r[act]).all()
+
+
+def test_donation_dropped_when_binning(tmp_path, monkeypatch):
+    """The axon PJRT client aborts on donated fori carries in programs that
+    also carry variadic sorts; the render loop must drop donation exactly
+    when ray binning is engaged (integrators/__init__.py)."""
+    from mitsuba3dopplertof_tpu.ops import ray_binning as rb
+    from mitsuba3dopplertof_tpu.ops.intersect_kernel import _stream_rows
+    small = _scene(tmp_path, "small", animated=True, spheres=False).compile()
+    assert not rb.should_bin(small, 1 << 20, _stream_rows(small), ik.LANES)
+    d = {
+        "type": "scene",
+        "m1": {"type": "obj",
+               "filename": _grid_mesh_obj(tmp_path, "uvd1", 24, 15)},
+        "m2": {"type": "obj",
+               "filename": _grid_mesh_obj(tmp_path, "uvd2", 24, 15)},
+        "light": {"type": "point", "position": [0, 4, -4],
+                  "intensity": {"type": "rgb", "value": 10.0}},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": tf.look_at([0, 0, -6], [0, 0, 0], [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 8, "height": 8},
+                   "sampler": {"type": "independent", "sample_count": 1}},
+        "integrator": {"type": "path", "max_depth": 2},
+    }
+    sa_big = mi.load_dict(d).compile()
+    assert rb.should_bin(sa_big, 1 << 20, _stream_rows(sa_big), ik.LANES)
+    # and the wavefront must exceed one lane block for binning to engage
+    assert not rb.should_bin(sa_big, 1024, _stream_rows(sa_big), ik.LANES)

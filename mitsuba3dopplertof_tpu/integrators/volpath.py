@@ -20,7 +20,8 @@ from ..core.properties import Properties, register_plugin
 from ..core.vec import Vec3, dot, where3, vmax
 from ..render.scene import ray_intersect, ray_test, gather_small
 from ..render.types import Ray, DirectionSample
-from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
+from ..bsdfs import (eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH,
+                     FLAG_NULL)
 from .. import emitters as em_mod
 from ..media import (hg_sample, hg_eval, M_SIGMA_T, M_ALBEDO, M_G,
                      M_MAXD, M_GRID_OFF, M_NX, M_NY, M_NZ,
@@ -96,6 +97,144 @@ def _grid_density(sa, medium, p: Vec3):
     dens = c0 * (1 - tz) + c1 * tz
     scale = gather_small(sa.med_params[M_SIGMA_T], idx)   # gray sigma_t base
     return jnp.where(inside, dens * scale, 0.0)
+
+
+def _sggx_S6(sa, medium, p: Vec3, S6_const):
+    """Spatially-varying SGGX S matrix: trilinear lookup of the 6-channel
+    S grid at the interaction point (reference sggx.cpp eval_ndf_params ->
+    gridvolume eval_6). Media without an S grid (M_SGGX_NX == 0) keep
+    their constant M_SGGX entries. Eight (V, 6) row-gathers per lane —
+    row-gathers stay on the fast path (see ops/intersect_mxu.py), and the
+    blend weights are shared across the six channels."""
+    from ..media import M_SGGX_OFF, M_SGGX_NX, M_SGGX_NY, M_SGGX_NZ
+    idx = jnp.maximum(medium, 0)
+
+    def w2g(j):
+        return gather_small(sa.sggx_w2g[j], idx)
+
+    def mp(j):
+        return gather_small(sa.med_params[j], idx)
+
+    lx = w2g(0) * p.x + w2g(1) * p.y + w2g(2) * p.z + w2g(3)
+    ly = w2g(4) * p.x + w2g(5) * p.y + w2g(6) * p.z + w2g(7)
+    lz = w2g(8) * p.x + w2g(9) * p.y + w2g(10) * p.z + w2g(11)
+    nx = mp(M_SGGX_NX).astype(jnp.int32)
+    ny = mp(M_SGGX_NY).astype(jnp.int32)
+    nz = mp(M_SGGX_NZ).astype(jnp.int32)
+    off = mp(M_SGGX_OFF).astype(jnp.int32)
+    has_grid = nx > 0
+    nxf = jnp.maximum(nx.astype(jnp.float32), 1.0)
+    nyf = jnp.maximum(ny.astype(jnp.float32), 1.0)
+    nzf = jnp.maximum(nz.astype(jnp.float32), 1.0)
+    fx = jnp.clip(lx * nxf - 0.5, 0.0, nxf - 1.0)
+    fy = jnp.clip(ly * nyf - 0.5, 0.0, nyf - 1.0)
+    fz = jnp.clip(lz * nzf - 0.5, 0.0, nzf - 1.0)
+    x0 = fx.astype(jnp.int32)
+    y0 = fy.astype(jnp.int32)
+    z0 = fz.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, jnp.maximum(nx - 1, 0))
+    y1 = jnp.minimum(y0 + 1, jnp.maximum(ny - 1, 0))
+    z1 = jnp.minimum(z0 + 1, jnp.maximum(nz - 1, 0))
+    tx = (fx - x0.astype(jnp.float32))[:, None]
+    ty = (fy - y0.astype(jnp.float32))[:, None]
+    tz = (fz - z0.astype(jnp.float32))[:, None]
+
+    def at(x, y, z):
+        lin = off + (z * ny + y) * nx + x
+        lin = jnp.clip(lin, 0, sa.sggx_grid.shape[0] - 1)
+        return jnp.take(sa.sggx_grid, lin, axis=0)       # (N, 6)
+    c00 = at(x0, y0, z0) * (1 - tx) + at(x1, y0, z0) * tx
+    c10 = at(x0, y1, z0) * (1 - tx) + at(x1, y1, z0) * tx
+    c01 = at(x0, y0, z1) * (1 - tx) + at(x1, y0, z1) * tx
+    c11 = at(x0, y1, z1) * (1 - tx) + at(x1, y1, z1) * tx
+    c0 = c00 * (1 - ty) + c10 * ty
+    c1 = c01 * (1 - ty) + c11 * ty
+    S = c0 * (1 - tz) + c1 * tz                          # (N, 6)
+    return tuple(jnp.where(has_grid, S[:, i], S6_const[i])
+                 for i in range(6))
+
+
+_MAX_NULL = 3    # null boundary crossings a shadow ray may tunnel through
+
+
+def _segment_tr(sa, sampler, state, o, dn, dist, medium, act, wavelengths):
+    """Transmittance of one shadow segment in `medium` (analytic rgb
+    exponential; heterogeneous lanes ratio-track)."""
+    n = dist.shape[0]
+
+    def med(j, mid):
+        return gather_small(sa.med_params[j], jnp.maximum(mid, 0))
+
+    in_med = medium >= 0
+    st_r = med(M_SIGMA_T, medium)
+    st_g = med(M_SIGMA_T + 1, medium)
+    st_b = med(M_SIGMA_T + 2, medium)
+    if wavelengths is not None:
+        from ..core.cie import eval_reflectance_spectrum as _ers
+        from ..media import M_ST_PEAK
+        pk = med(M_ST_PEAK, medium)
+        c0, c1, c2 = st_r, st_g, st_b
+        st_r = pk * _ers(c0, c1, c2, wavelengths.x)
+        st_g = pk * _ers(c0, c1, c2, wavelengths.y)
+        st_b = pk * _ers(c0, c1, c2, wavelengths.z)
+    tr = Vec3(jnp.exp(-st_r * dist), jnp.exp(-st_g * dist),
+              jnp.exp(-st_b * dist))
+    tr = where3(in_med, tr, Vec3.ones((n,)))
+    if sa.any_hetero:
+        maxd = med(M_MAXD, medium)
+        het = in_med & (maxd > 0.0)
+        tr_h, state = _ratio_track(sa, sampler, state, o, dn, dist,
+                                   medium, maxd, act & het)
+        tr = where3(het, Vec3(tr_h, tr_h, tr_h), tr)
+    return tr, state
+
+
+def _shadow_transmittance(sa, sampler, state, sh_o, sh_dn, time, sh_dist,
+                          medium, active_em, wavelengths, null_ids):
+    """Null-transparent shadow connection: walk the shadow segment through
+    up to `_MAX_NULL` index-matched (null BSDF) boundaries, accumulating
+    per-segment medium transmittance and switching media at each crossing
+    (the reference volpath's transmittance estimation along NEE rays,
+    src/integrators/volpath.cpp; medium transitions per
+    medium.h/interaction semantics). Any non-null hit occludes; lanes
+    still inside geometry after the crossing budget are conservatively
+    occluded."""
+    from ..render.types import SHADOW_EPSILON
+    n = sh_dist.shape[0]
+    tr = Vec3.ones((n,))
+    occluded = jnp.zeros((n,), bool)
+    alive = active_em
+    seg_o = sh_o
+    seg_med = medium
+    remaining = sh_dist
+    for _ in range(_MAX_NULL + 1):
+        r = Ray(seg_o, sh_dn, time, remaining * (1.0 - SHADOW_EPSILON))
+        si = ray_intersect(sa, r, alive)
+        hit = alive & si.valid
+        seg_len = jnp.where(hit, si.t, remaining)
+        tr_seg, state = _segment_tr(sa, sampler, state, seg_o, sh_dn,
+                                    seg_len, seg_med, alive, wavelengths)
+        tr = where3(alive, tr * tr_seg, tr)
+        lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
+        nm = jnp.zeros((n,), bool)
+        for nid in null_ids:
+            nm = nm | (lane_bsdf == nid)
+        is_null = hit & nm
+        occluded = occluded | (hit & ~nm)
+        # medium transition through the boundary (closed-shape convention,
+        # same as the bounce loop's): exterior falls back to the sensor
+        # medium
+        entering = dot(sh_dn, si.n) < 0.0
+        inst_med = gather_small(sa.inst_int_medium, jnp.maximum(si.inst, 0))
+        has_int = inst_med >= 0
+        seg_med = jnp.where(is_null & has_int,
+                            jnp.where(entering, inst_med,
+                                      jnp.int32(sa.sensor_medium)), seg_med)
+        seg_o = where3(hit, si._offset_p(sh_dn), seg_o)
+        remaining = jnp.where(hit, remaining - si.t, remaining)
+        alive = is_null & (remaining > 1e-5)
+    occluded = occluded | alive      # crossing budget exhausted
+    return occluded, tr, state
 
 
 def _delta_track(sa, sampler, state, ray, medium, t_surf, sigma_bar, alive):
@@ -297,10 +436,22 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
 
             d_seg = si.p - prev_p
             dist = jnp.sqrt(jnp.maximum(dot(d_seg, d_seg), 1e-20))
+            # escaped lanes carry the environment's emitter index so
+            # pdf_direction returns the env NEE pdf — emitter=-1 made
+            # em_pdf 0 and the escape path claim FULL MIS weight, which
+            # double-counts against any unoccluded NEE-to-env (masked
+            # before null-transparent shadows because enclosed media
+            # always self-occluded their NEE)
+            mis_emitter = lane_emitter
+            if has_env and sa.env_index is not None:
+                mis_emitter = jnp.where(miss_env,
+                                        jnp.int32(sa.env_index),
+                                        lane_emitter)
             ds_hit = DirectionSample(
-                p=si.p, n=si.sh_n, d=d_seg * (1.0 / dist), dist=dist,
+                p=si.p, n=si.sh_n,
+                d=where3(miss_env, ray.d, d_seg * (1.0 / dist)), dist=dist,
                 pdf=jnp.zeros((n,), f32), delta=jnp.zeros((n,), bool),
-                emitter=lane_emitter)
+                emitter=mis_emitter)
             em_pdf = (jnp.where(prev_delta, 0.0,
                                 em_mod.pdf_direction(sa, ds_hit, prim=si.prim, time=ray.time))
                       if sa.n_emitters > 0 else jnp.zeros((n,), f32))
@@ -331,21 +482,36 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             sh_d = ds.p - sh_o
             sh_dist = jnp.sqrt(jnp.maximum(dot(sh_d, sh_d), 1e-20))
             sh_dn = sh_d * (1.0 / sh_dist)
-            shadow_ray = Ray(sh_o, sh_dn, ray.time,
-                             sh_dist * (1.0 - SHADOW_EPSILON))
-            occluded = ray_test(sa, shadow_ray, active_em)
-            # transmittance along the shadow segment (current medium)
-            tr_sh = Vec3(jnp.exp(-st_r * ds.dist), jnp.exp(-st_g * ds.dist),
-                         jnp.exp(-st_b * ds.dist))
-            tr_sh = where3(in_med, tr_sh, Vec3.ones((n,)))
-            if sa.any_hetero:
-                maxd_sh = med(M_MAXD, medium)
-                het_sh = in_med & (maxd_sh > 0.0)
-                tr_h, state = _ratio_track(sa, sampler, state, sh_o, sh_dn,
-                                           sh_dist, medium, maxd_sh,
-                                           active_em & het_sh)
-                tr_sh = where3(het_sh, Vec3(tr_h, tr_h, tr_h), tr_sh)
-            nee_ok = active_em & ~occluded
+            null_ids = [i for i, f in enumerate(sa.bsdf_flags_host)
+                        if f & FLAG_NULL]
+            if not null_ids:
+                shadow_ray = Ray(sh_o, sh_dn, ray.time,
+                                 sh_dist * (1.0 - SHADOW_EPSILON))
+                occluded = ray_test(sa, shadow_ray, active_em)
+                # transmittance along the shadow segment (current medium)
+                tr_sh = Vec3(jnp.exp(-st_r * ds.dist),
+                             jnp.exp(-st_g * ds.dist),
+                             jnp.exp(-st_b * ds.dist))
+                tr_sh = where3(in_med, tr_sh, Vec3.ones((n,)))
+                if sa.any_hetero:
+                    maxd_sh = med(M_MAXD, medium)
+                    het_sh = in_med & (maxd_sh > 0.0)
+                    tr_h, state = _ratio_track(sa, sampler, state, sh_o,
+                                               sh_dn, sh_dist, medium,
+                                               maxd_sh, active_em & het_sh)
+                    tr_sh = where3(het_sh, Vec3(tr_h, tr_h, tr_h), tr_sh)
+                nee_ok = active_em & ~occluded
+            else:
+                # null-transparent shadow rays: estimate transmittance
+                # through up to _MAX_NULL index-matched boundaries with
+                # per-segment media, as the reference's volpath NEE does
+                # (src/integrators/volpath.cpp evaluate_direct /
+                # medium-aware transmittance loop). Without this, a
+                # medium enclosed in a null shell occludes its own NEE.
+                occluded, tr_sh, state = _shadow_transmittance(
+                    sa, sampler, state, sh_o, sh_dn, ray.time, sh_dist,
+                    medium, active_em, wavelengths, null_ids)
+                nee_ok = active_em & ~occluded
             em_weight = em_weight * tr_sh
         else:
             z = jnp.zeros((n,), f32)
@@ -368,6 +534,9 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
         if sa.any_sggx:
             # SGGX microflake lanes (media/__init__.py sggx_*)
             S6 = tuple(med(M_SGGX + i, medium) for i in range(6))
+            if getattr(sa, "any_sggx_grid", False):
+                # spatially-varying S evaluated at the scatter event
+                S6 = _sggx_S6(sa, medium, p_evt, S6)
             is_sggx = jnp.abs(med(M_PHASE, medium) - 1.0) < 0.5
             wo_sg, pdf_sg = sggx_sample(wi_m, s2[0], s2[1], S6)
             wo_phase = where3(is_sggx, wo_sg, wo_phase)
@@ -437,14 +606,21 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
                            jnp.where(entering, inst_med,
                                      jnp.int32(sa.sensor_medium)), medium)
 
-        prev_p = where3(hit_med | si.valid, p_evt, prev_p)
-        prev_pdf = jnp.where(active_next,
+        # null (index-matched) crossings are non-events for MIS and depth
+        # (reference volpath.cpp: null interactions neither reset the last
+        # real vertex nor count as bounces) — resetting prev_delta at a
+        # null re-crossing made escaped env hits claim full MIS weight
+        # and double-count against null-transparent NEE
+        null_evt = surf_evt & getattr(bs, "sampled_null",
+                                      jnp.zeros((n,), bool))
+        real_evt = (hit_med | si.valid) & ~null_evt
+        prev_p = where3(real_evt, p_evt, prev_p)
+        prev_pdf = jnp.where(active_next & ~null_evt,
                              jnp.where(hit_med, pdf_phase, bs.pdf), prev_pdf)
-        prev_delta = jnp.where(active_next,
+        prev_delta = jnp.where(active_next & ~null_evt,
                                jnp.where(hit_med, False, bs.sampled_delta),
                                prev_delta)
-        depth = depth + jnp.where((hit_med | si.valid) & active, 1, 0
-                                  ).astype(jnp.uint32)
+        depth = depth + jnp.where(real_evt & active, 1, 0).astype(jnp.uint32)
 
         # russian roulette
         tmax = vmax(throughput)

@@ -26,7 +26,7 @@ PHASE_RAYLEIGH = 2
 PHASE_SGGX = 3
 PHASE_TAB = 4
 
-N_MED_PARAMS = 21
+N_MED_PARAMS = 25
 M_SIGMA_T = 0    # rgb extinction (heterogeneous: gray majorant-free base)
 M_ALBEDO = 3     # rgb single-scattering albedo
 M_G = 6          # HG asymmetry
@@ -40,6 +40,10 @@ M_PHASE = 13     # 0 = isotropic/HG (M_G), 1 = SGGX microflakes
 M_SGGX = 14      # SGGX S-matrix entries Sxx,Syy,Szz,Sxy,Sxz,Syz (14:20)
 M_ST_PEAK = 20   # tpu_spectral: sigma_t peak; M_SIGMA_T then holds sigmoid
                  # upsampling coefficients (albedo coeffs ride M_ALBEDO)
+M_SGGX_OFF = 21  # spatially-varying SGGX: row offset into the (V, 6)
+M_SGGX_NX = 22   # S-grid atlas (sa.sggx_grid) + its resolution; NX == 0
+M_SGGX_NY = 23   # means "constant S" (M_SGGX entries). World->grid
+M_SGGX_NZ = 24   # transform rides sa.sggx_w2g (12, n_media).
 
 
 def _get_rgb(props, key, default):
@@ -131,21 +135,35 @@ class TabulatedPhase(PhaseFunction):
 class SGGXPhase(PhaseFunction):
     """SGGX specular microflakes (reference src/phase/sggx.cpp +
     include/mitsuba/render/microflake.h, Heitz et al. 2015). The S matrix
-    comes from a 6-value constvolume child (spatially-varying 6-channel
-    grids reduce to their mean in v1)."""
+    comes from a 6-value constvolume child, or — spatially varying — a
+    6-channel gridvolume evaluated per interaction (sggx.cpp eval_ndf_params
+    -> Volume::eval_6), matching the reference's trilinear grid lookup."""
 
     type_id = 3          # PHASE_SGGX
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        from ..volumes import Volume
+        from ..volumes import Volume, GridVolume
         S = None
+        self.S_grid = None   # GridVolume with 6 channels, or None
         for key, v in props.objects():
             if isinstance(v, Volume):
-                vals = getattr(v, "values_raw", None)
-                if vals is None:
-                    vals = getattr(v, "value", None)
-                S = np.asarray(vals, np.float64).reshape(-1)
+                if isinstance(v, GridVolume):
+                    if v.data.shape[-1] < 6:
+                        raise RuntimeError(
+                            "sggx: S gridvolume must have 6 channels "
+                            "(Sxx, Syy, Szz, Sxy, Sxz, Syz), got "
+                            f"{v.data.shape[-1]}")
+                    self.S_grid = v
+                    # channel means remain as the constant fallback row
+                    # (unused when the grid path is engaged)
+                    S = v.data[..., :6].reshape(-1, 6).mean(
+                        axis=0).astype(np.float64)
+                else:
+                    vals = getattr(v, "values_raw", None)
+                    if vals is None:
+                        vals = getattr(v, "value", None)
+                    S = np.asarray(vals, np.float64).reshape(-1)
         if S is None and props.has_property("S"):
             S = np.asarray(props.get("S"), np.float64).reshape(-1)
         if S is None or S.size < 6:
@@ -439,4 +457,5 @@ __all__ = ["Medium", "HomogeneousMedium", "HeterogeneousMedium",
            "sggx_projected_area", "M_PHASE", "M_SGGX", "PHASE_SGGX",
            "N_MED_PARAMS", "M_SIGMA_T", "M_ALBEDO", "M_G", "M_MAXD",
            "M_GRID_OFF", "M_NX", "M_NY", "M_NZ",
+           "M_SGGX_OFF", "M_SGGX_NX", "M_SGGX_NY", "M_SGGX_NZ",
            "PHASE_ISOTROPIC", "PHASE_HG", "PHASE_RAYLEIGH"]

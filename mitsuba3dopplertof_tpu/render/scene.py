@@ -55,6 +55,7 @@ class SceneArrays:
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
+           "sggx_grid", "sggx_w2g",
            "bvh", "anim_blas", "chunk_aabb", "mesh_attr", "measured",
            "measured_pol",
            "bsphere_radius"]
@@ -65,7 +66,8 @@ class SceneArrays:
         "env_radiance", "bsdf_flags_host", "tex_types_present", "n_textures",
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
-        "polarized", "any_hetero", "any_sggx", "any_rayleigh",
+        "polarized", "any_hetero", "any_sggx", "any_sggx_grid",
+        "any_rayleigh",
         "tab_phase_tables", "measured_pol_wls", "ior_spectra",
         "bsdf_ior_host", "max_optical_depth_hint",
     ]
@@ -478,6 +480,31 @@ class Scene:
             med_w2g[:, mi_] = w2g[:3, :4].reshape(-1)
         med_grid = (np.concatenate(med_grid_parts)
                     if med_grid_parts else np.zeros(1, np.float32))
+        # spatially-varying SGGX: pack 6-channel S grids into a row atlas
+        # (V, 6) evaluated per interaction (reference sggx.cpp
+        # eval_ndf_params -> gridvolume eval_6); M_SGGX_NX == 0 keeps the
+        # constant-S path (M_SGGX entries)
+        from ..media import M_SGGX_OFF, M_SGGX_NX, M_SGGX_NY, M_SGGX_NZ
+        sggx_parts = []
+        sggx_w2g = np.zeros((12, max(len(media_objs), 1)))
+        sggx_row_off = 0
+        for mi_, m in enumerate(media_objs):
+            sg = getattr(m.phase, "S_grid", None)
+            if sg is None:
+                continue
+            rows = np.ascontiguousarray(
+                sg.data[..., :6].reshape(-1, 6), np.float32)
+            med_params[M_SGGX_OFF, mi_] = sggx_row_off
+            med_params[M_SGGX_NX, mi_] = sg.data.shape[2]
+            med_params[M_SGGX_NY, mi_] = sg.data.shape[1]
+            med_params[M_SGGX_NZ, mi_] = sg.data.shape[0]
+            sggx_parts.append(rows)
+            sggx_row_off += rows.shape[0]
+            sggx_w2g[:, mi_] = np.linalg.inv(np.asarray(
+                sg.to_world, np.float64))[:3, :4].reshape(-1)
+        sggx_grid = (np.concatenate(sggx_parts, axis=0)
+                     if sggx_parts else np.zeros((1, 6), np.float32))
+        any_sggx_grid = bool(sggx_parts)
 
         # --- instances & triangles -----------------------------------------
         inst_m0, inst_m1, inst_t0, inst_t1 = [], [], [], []
@@ -765,6 +792,8 @@ class Scene:
             med_params=jnp.asarray(med_params, jnp.float32),
             med_grid=jnp.asarray(med_grid, jnp.float32),
             med_w2g=jnp.asarray(med_w2g, jnp.float32),
+            sggx_grid=jnp.asarray(sggx_grid, jnp.float32),
+            sggx_w2g=jnp.asarray(sggx_w2g, jnp.float32),
             inst_int_medium=jnp.asarray(
                 inst_int_medium if inst_int_medium else [-1], jnp.int32),
             bsphere_radius=jnp.float32(radius),
@@ -797,6 +826,7 @@ class Scene:
                 for m in media_objs),
             any_sggx=any(getattr(m.phase, "type_id", 0) == 3
                          for m in media_objs),
+            any_sggx_grid=any_sggx_grid,
             spectral=spectral,
             polarized=polarized,
             measured=tuple(measured_tables),

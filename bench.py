@@ -29,17 +29,27 @@ def main():
     img = np.asarray(mi.render(scene, spp=spp, seed=0))
     assert np.isfinite(img).all()
 
-    t0 = time.time()
-    img = np.asarray(mi.render(scene, spp=spp, seed=1))
-    dt = time.time() - t0
+    # >=5 timed repeats, report the median: the axon tunnel's ambient
+    # throughput varies between sessions, and single-shot numbers made
+    # cross-round drift indistinguishable from regressions (VERDICT r2)
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        np.asarray(mi.render(scene, spp=spp, seed=1 + i))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
 
     w, h = scene.sensor.film.size
     msps = w * h * spp / dt / 1e6
+    spread = (max(times) - min(times)) / dt
     print(json.dumps({
         "metric": "dopplertofpath_throughput",
         "value": round(msps, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 50.0, 3),
+        "repeats": repeats,
+        "spread_frac": round(spread, 3),
     }))
 
 

@@ -115,14 +115,23 @@ def volpath_scene(mi, tf, spp, res=256):
     })
 
 
-def measure(mi, scene, spp):
+def measure(mi, scene, spp, repeats=None):
+    """Median of >=5 timed repeats (+ min-max spread as a fraction of the
+    median) so cross-round deltas are attributable — single-shot numbers
+    drifted 70.8->61.7 Ms/s between rounds on tunnel variance alone."""
+    if repeats is None:
+        repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     img = np.asarray(mi.render(scene, spp=spp, seed=0))   # compile+warm
     assert np.isfinite(img).all()
-    t0 = time.time()
-    img = np.asarray(mi.render(scene, spp=spp, seed=1))
-    dt = time.time() - t0
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        np.asarray(mi.render(scene, spp=spp, seed=1 + i))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     w, h = scene.sensor.film.size
-    return w * h * spp / dt / 1e6, dt
+    spread = (max(times) - min(times)) / dt
+    return w * h * spp / dt / 1e6, dt, spread
 
 
 def main():
@@ -136,35 +145,37 @@ def main():
     spp = 64 if quick else 256
     rows = []
 
-    def record(name, tris, msps, dt):
-        rows.append((name, tris, msps, dt))
+    def record(name, tris, msps, dt, spread):
+        rows.append((name, tris, msps, dt, spread))
         print(json.dumps({"bench": name, "tris": tris,
                           "Msamples_per_s": round(msps, 2),
-                          "seconds": round(dt, 2)}))
+                          "seconds": round(dt, 2),
+                          "spread_frac": round(spread, 3)}))
 
     # canonical doppler (the headline; bench.py measures the same scene)
     sc = mi.load_file("/root/reference/configs_example/scene.xml")
-    msps, dt = measure(mi, sc, 1024 if not quick else 128)
-    record("canonical dopplertofpath 256x256", 70, msps, dt)
+    msps, dt, sp = measure(mi, sc, 1024 if not quick else 128)
+    record("canonical dopplertofpath 256x256", 70, msps, dt, sp)
 
     for nu, nv, label in [(32, 32, "2k"), (72, 70, "10k"), (144, 140, "40k")]:
         ntri, sc = animated_mesh_scene(mi, tf, AnimatedTransform, nu, nv, spp)
-        msps, dt = measure(mi, sc, spp)
-        record(f"animated mesh {label} dopplertofpath 256x256", ntri, msps, dt)
+        msps, dt, sp = measure(mi, sc, spp)
+        record(f"animated mesh {label} dopplertofpath 256x256",
+               ntri, msps, dt, sp)
 
     ntri, sc = static_mesh_scene(mi, tf, 160, 158, spp)
-    msps, dt = measure(mi, sc, spp)
-    record("static mesh 50k path 256x256", ntri, msps, dt)
+    msps, dt, sp = measure(mi, sc, spp)
+    record("static mesh 50k path 256x256", ntri, msps, dt, sp)
 
     sc = volpath_scene(mi, tf, spp)
-    msps, dt = measure(mi, sc, spp)
-    record("volpath homogeneous 256x256", 12, msps, dt)
+    msps, dt, sp = measure(mi, sc, spp)
+    record("volpath homogeneous 256x256", 12, msps, dt, sp)
 
     for variant in ("tpu_spectral", "tpu_rgb_polarized"):
         mi.set_variant(variant)
         sc = mi.load_file("/root/reference/configs_example/scene.xml")
-        msps, dt = measure(mi, sc, 256 if not quick else 64)
-        record(f"canonical dopplertofpath {variant}", 70, msps, dt)
+        msps, dt, sp = measure(mi, sc, 256 if not quick else 64)
+        record(f"canonical dopplertofpath {variant}", 70, msps, dt, sp)
     mi.set_variant("tpu_rgb")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
@@ -172,10 +183,14 @@ def main():
         f.write("# Benchmark table (TPU %s)\n\n" % backend)
         f.write("Baseline gate (BASELINE.md): >= 50 Msamples/s/chip on the "
                 "canonical scene.\n\n")
-        f.write("| Scene | Triangles | Msamples/s/chip | seconds |\n")
-        f.write("|---|---|---|---|\n")
-        for name, tris, msps, dt in rows:
-            f.write(f"| {name} | {tris} | {msps:.2f} | {dt:.2f} |\n")
+        f.write("Each row is the median of %s timed repeats; spread = "
+                "(max-min)/median.\n\n"
+                % os.environ.get("BENCH_REPEATS", "5"))
+        f.write("| Scene | Triangles | Msamples/s/chip | seconds | spread |\n")
+        f.write("|---|---|---|---|---|\n")
+        for name, tris, msps, dt, sp in rows:
+            f.write(f"| {name} | {tris} | {msps:.2f} | {dt:.2f} "
+                    f"| {sp*100:.0f}% |\n")
     print("wrote BENCH_TABLE.md")
 
 

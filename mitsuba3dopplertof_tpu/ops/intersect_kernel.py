@@ -431,18 +431,38 @@ def _stream_rows(sa):
     return ANIM_ROWS if sa.anim_ranges else DEF_ROWS
 
 
+def _use_mxu() -> bool:
+    """Large-scene kernel selector. The two-phase MXU kernel
+    (intersect_mxu.py) is parity-exact but currently ~3x SLOWER than the
+    v1 Möller stream kernel at 40k tris on v5e (K=8 contraction leaves
+    the MXU at ~6% utilization and Mosaic's f32 HIGHEST precision is a
+    6-pass emulation), so v1 stays the default; MI_STREAM_KERNEL=mxu
+    opts in for A/B comparison."""
+    import os
+    return os.environ.get("MI_STREAM_KERNEL", "v1") == "mxu"
+
+
 def intersect_pallas(sa, ray, active=None) -> HitRecord:
     if sa.n_static_tris + sa.n_anim_tris <= STREAM_THRESHOLD:
         return HitRecord(*_run(sa, ray, any_hit=False))
-    from .intersect_stream import intersect_stream
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
-    if should_bin(sa, n, _stream_rows(sa), LANES):
-        outs = binned(sa, ray, active,
-                      lambda r: intersect_stream(sa, r))
-        hit_s = HitRecord(*outs)
+    if _use_mxu():
+        from .intersect_mxu import DEF_BLK, intersect_mxu, payload_from_prim
+        if should_bin(sa, n, DEF_BLK // LANES, LANES):
+            t, prim = binned(sa, ray, active,
+                             lambda r: list(intersect_mxu(sa, r)))
+        else:
+            t, prim = intersect_mxu(sa, ray)
+        hit_s = payload_from_prim(sa, ray, t, prim)
     else:
-        hit_s = HitRecord(*intersect_stream(sa, ray))
+        from .intersect_stream import intersect_stream
+        if should_bin(sa, n, _stream_rows(sa), LANES):
+            outs = binned(sa, ray, active,
+                          lambda r: intersect_stream(sa, r))
+            hit_s = HitRecord(*outs)
+        else:
+            hit_s = HitRecord(*intersect_stream(sa, ray))
     if sa.n_spheres == 0:
         return hit_s
     hit_d = HitRecord(*_run(sa, ray, any_hit=False, spheres_only=True))
@@ -455,17 +475,27 @@ def ray_test_pallas(sa, ray, active=None):
     if sa.n_static_tris + sa.n_anim_tris <= STREAM_THRESHOLD:
         (occ,) = _run(sa, ray, any_hit=True)
         return occ > 0
-    from .intersect_stream import intersect_stream
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
-    if should_bin(sa, n, _stream_rows(sa), LANES):
-        (occ_i,) = binned(
-            sa, ray, active,
-            lambda r: [intersect_stream(sa, r, any_hit=True)[1] >= 0])
-        occ = occ_i > 0
+    if _use_mxu():
+        from .intersect_mxu import DEF_BLK, intersect_mxu
+        if should_bin(sa, n, DEF_BLK // LANES, LANES):
+            (occ_i,) = binned(
+                sa, ray, active,
+                lambda r: [intersect_mxu(sa, r, any_hit=True)[1] >= 0])
+            occ = occ_i > 0
+        else:
+            occ = intersect_mxu(sa, ray, any_hit=True)[1] >= 0
     else:
-        t_s, prim_s = intersect_stream(sa, ray, any_hit=True)
-        occ = prim_s >= 0
+        from .intersect_stream import intersect_stream
+        if should_bin(sa, n, _stream_rows(sa), LANES):
+            (occ_i,) = binned(
+                sa, ray, active,
+                lambda r: [intersect_stream(sa, r, any_hit=True)[1] >= 0])
+            occ = occ_i > 0
+        else:
+            t_s, prim_s = intersect_stream(sa, ray, any_hit=True)
+            occ = prim_s >= 0
     if sa.n_spheres > 0:
         (occ_d,) = _run(sa, ray, any_hit=True, spheres_only=True)
         occ = occ | (occ_d > 0)

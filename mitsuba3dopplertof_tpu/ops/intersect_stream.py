@@ -62,6 +62,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .intersect_kernel import TRI_REC, LANES, _inv_lerped
 
 CHUNK = 32          # triangles per culling unit (one conservative AABB test)
+PAD_TO = 128        # transform groups pad to this boundary so the MXU
+                    # kernel's 128-triangle chunks (ops/intersect_mxu.py)
+                    # nest exactly over 4 consecutive 32-tri culling boxes
 CPG = 8             # chunks per grid step: amortizes the fixed per-step cost
                     # (DMA issue + loop bookkeeping, ~µs) 8x; culling
                     # granularity stays one chunk via nested pl.when
@@ -324,18 +327,19 @@ def _chunked_layout(n_static: int, anim_ranges):
         if count == 0:
             return
         segments.append((kind, src_start, count))
-        pad = (-count) % CHUNK
+        pad = (-count) % PAD_TO
         if pad:
             segments.append(("pad", 0, pad))
-        for c in range(-(-count // CHUNK)):
+        for c in range(-(-(count + pad) // CHUNK)):
             meta.append((anim_idx, slot_base + c * CHUNK))
 
     add_group("s", 0, n_static, 0, -1)
     for a, (inst, start, count) in enumerate(anim_ranges):
         add_group("a", start, count, n_static + start, a)
     if not meta:                         # no triangles at all
-        segments.append(("pad", 0, CHUNK))
-        meta.append((-1, 0))
+        segments.append(("pad", 0, PAD_TO))
+        for c in range(PAD_TO // CHUNK):
+            meta.append((-1, 0))
     return segments, np.asarray(meta, np.int32)
 
 
@@ -381,7 +385,10 @@ def chunk_aabbs(n_static: int, anim_ranges, s_v0, s_e1, s_e2,
             out[ci, :3] = lo - pad
             out[ci, 3:] = hi + pad
             ci += 1
-    assert ci == sum(-(-c // CHUNK) for k, _, c in segments if k != "pad")
+        # fully-pad chunks at the group tail (PAD_TO boundary padding)
+        # keep their inverted never-visited boxes
+        ci += (count + (-count) % PAD_TO) // CHUNK - (-(-count // CHUNK))
+    assert ci <= n_chunks
     return out
 
 

@@ -431,15 +431,16 @@ def _stream_rows(sa):
     return ANIM_ROWS if sa.anim_ranges else DEF_ROWS
 
 
-def _use_mxu() -> bool:
-    """Large-scene kernel selector. The two-phase MXU kernel
-    (intersect_mxu.py) is parity-exact but currently ~3x SLOWER than the
-    v1 Möller stream kernel at 40k tris on v5e (K=8 contraction leaves
-    the MXU at ~6% utilization and Mosaic's f32 HIGHEST precision is a
-    6-pass emulation), so v1 stays the default; MI_STREAM_KERNEL=mxu
-    opts in for A/B comparison."""
+def _kernel_choice() -> str:
+    """Large-scene kernel selector (MI_STREAM_KERNEL): 'v2' (default) is
+    the two-phase VPU kernel with front-to-back visit lists + early
+    termination (intersect_v2.py); 'v1' the always-streamed two-level
+    kernel (intersect_stream.py); 'mxu' the two-phase MXU formulation
+    (intersect_mxu.py, parity-exact but ~3x slower than v1 at 40k tris on
+    v5e: K=8 contraction at ~6% MXU utilization and f32-HIGHEST is a
+    6-pass emulation)."""
     import os
-    return os.environ.get("MI_STREAM_KERNEL", "v1") == "mxu"
+    return os.environ.get("MI_STREAM_KERNEL", "v2")
 
 
 def intersect_pallas(sa, ray, active=None) -> HitRecord:
@@ -447,7 +448,17 @@ def intersect_pallas(sa, ray, active=None) -> HitRecord:
         return HitRecord(*_run(sa, ray, any_hit=False))
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
-    if _use_mxu():
+    choice = _kernel_choice()
+    if choice == "v2":
+        from .intersect_mxu import payload_from_prim
+        from .intersect_v2 import intersect_v2, v2_rows
+        if should_bin(sa, n, v2_rows(), LANES):
+            t, prim = binned(sa, ray, active,
+                             lambda r: list(intersect_v2(sa, r)))
+        else:
+            t, prim = intersect_v2(sa, ray)
+        hit_s = payload_from_prim(sa, ray, t, prim)
+    elif choice == "mxu":
         from .intersect_mxu import DEF_BLK, intersect_mxu, payload_from_prim
         if should_bin(sa, n, DEF_BLK // LANES, LANES):
             t, prim = binned(sa, ray, active,
@@ -477,7 +488,17 @@ def ray_test_pallas(sa, ray, active=None):
         return occ > 0
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
-    if _use_mxu():
+    choice = _kernel_choice()
+    if choice == "v2":
+        from .intersect_v2 import intersect_v2, v2_rows
+        if should_bin(sa, n, v2_rows(), LANES):
+            (occ_i,) = binned(
+                sa, ray, active,
+                lambda r: [intersect_v2(sa, r, any_hit=True)[1] >= 0])
+            occ = occ_i > 0
+        else:
+            occ = intersect_v2(sa, ray, any_hit=True)[1] >= 0
+    elif choice == "mxu":
         from .intersect_mxu import DEF_BLK, intersect_mxu
         if should_bin(sa, n, DEF_BLK // LANES, LANES):
             (occ_i,) = binned(

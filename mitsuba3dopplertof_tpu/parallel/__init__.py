@@ -16,5 +16,7 @@ seed offsets, mirroring the reference's multi-pass seed=i pattern
 """
 
 from .render import render_sharded, make_mesh
+from .multihost import init_multihost, render_multihost, host_pass_seeds
 
-__all__ = ["render_sharded", "make_mesh"]
+__all__ = ["render_sharded", "make_mesh", "init_multihost",
+           "render_multihost", "host_pass_seeds"]

@@ -78,6 +78,18 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
     sample_fn = _build_sample_fn(integrator, sensor, sampler, film, W, H,
                                  spp_per_pass)
 
+    # film merge strategy: a reconstruction filter only spills _PAD rows
+    # past a shard's own row range, so the full-canvas psum (all-reduce
+    # bytes ~ n_ch*Hp*W per device regardless of the 1/D rows each device
+    # wrote) is replaced by a HALO EXCHANGE: each device keeps its body
+    # rows sharded and ppermutes only the 2*_PAD spill rows to its
+    # neighbours. Per-device traffic drops from O(H) to O(H/D + _PAD)
+    # rows, and the result is bit-identical: every pixel row receives
+    # exactly the same set of addends (its shard's body plus at most one
+    # neighbour's spill; psum's other terms were exact zeros). Shards
+    # shorter than the filter pad fall back to the psum path.
+    use_halo = rows_local >= _PAD and D > 1
+
     def shard_pass(sa, state, dev_lane0):
         lane0 = dev_lane0[0]
         lane = lane0 + jnp.arange(n_local, dtype=jnp.uint32)
@@ -94,7 +106,20 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
             rfilter, put_x, put_y - row0.astype(jnp.float32),
             values, active, W, rows_local, spp_per_pass, pad_rows=_PAD)
 
-        # place on a padded full canvas at this shard's row, merge over ICI
+        if use_halo:
+            # neighbour spill: my top pad rows belong to the previous
+            # shard's range, my bottom pad rows to the next shard's
+            up = [(i, i - 1) for i in range(1, D)]      # send towards dev 0
+            down = [(i, i + 1) for i in range(D - 1)]   # send towards dev D-1
+            from_next = jax.lax.ppermute(local[:, :_PAD], axis, up)
+            from_prev = jax.lax.ppermute(
+                local[:, _PAD + rows_local:], axis, down)
+            body = local[:, _PAD:_PAD + rows_local]
+            body = body.at[:, :_PAD].add(from_prev)
+            body = body.at[:, rows_local - _PAD:].add(from_next)
+            return body, state                      # stays row-sharded
+
+        # fallback: place on a padded full canvas, all-reduce over ICI
         canvas = jnp.zeros((n_ch, Hp + 2 * _PAD, W), jnp.float32)
         canvas = jax.lax.dynamic_update_slice(canvas, local, (0, row0, 0))
         canvas = jax.lax.psum(canvas, axis)
@@ -108,19 +133,47 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
     state_spec = SamplerStateT(rng=pc, rng_time=pc, rng_path=pc,
                                permutation_seed=P(axis),
                                sample_index=P(), dimension_index=P())
+    film_spec = P(None, axis, None) if use_halo else P()
     shard_fn = shard_map(
         shard_pass, mesh=mesh,
         in_specs=(P(), state_spec, P(axis)),
-        out_specs=(P(), state_spec),
+        out_specs=(film_spec, state_spec),
         check_rep=False)
 
     dev_lane0 = jnp.arange(D, dtype=jnp.uint32) * jnp.uint32(n_local)
     jitted = jax.jit(shard_fn)
 
+    # multi-host meshes (jax.distributed): host-local inputs must become
+    # global arrays before they can cross the jit boundary, and every op
+    # that touches a non-fully-addressable result must itself be jitted
+    spans_hosts = len({d.process_index for d in mesh.devices.flat}) > 1
+    if spans_hosts:
+        from jax.sharding import NamedSharding
+
+        def lift(x, spec):
+            x = np.asarray(x)
+            sh = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx: x[idx])
+        sa = jax.tree_util.tree_map(lambda x: lift(x, P()), sa)
+        dev_lane0 = lift(dev_lane0, P(axis))
+        state = jax.tree_util.tree_map(lift, state, state_spec)
+        first = jax.jit(lambda p: p[:, :H] if use_halo else p)
+        accum = jax.jit(lambda b, p: b + (p[:, :H] if use_halo else p))
+        advance = jax.jit(sampler.advance)
+        dev = jax.jit(lambda b: develop(b, film.has_alpha,
+                                        film.weight_index))
+        block = None
+        for _ in range(n_passes):
+            part, state = jitted(sa, state, dev_lane0)
+            block = first(part) if block is None else accum(block, part)
+            state = advance(state)
+        return dev(block) if develop_film else block
+
     block = block_create(W, H, n_ch)
     for _ in range(n_passes):
         part, state = jitted(sa, state, dev_lane0)
-        block = block + part
+        block = block + (part[:, :H] if use_halo else part)
         state = sampler.advance(state)
 
     if develop_film:

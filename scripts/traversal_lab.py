@@ -126,7 +126,7 @@ def main():
                 intersect_pallas)
             for kind in ("camera", "bounce", "shadow"):
                 ray = make_rays(sa, sc, n, kind, rng)
-                for env in ("mxu", "v1"):
+                for env in ("v2", "v1"):
                     os.environ["MI_STREAM_KERNEL"] = env
                     hit = intersect_pallas(sa, ray)
                     jax.block_until_ready(hit.t)         # compile+warm

@@ -221,7 +221,8 @@ def _reparam_path_sample(integ, sa, sampler, state, ray, active,
 
         # follow-shape origin for the secondary reparameterizations, with a
         # detached normal offset against self-intersection
-        p_follow = _followshape_position(sa, hit, ray.time)
+        p_follow = _followshape_position(sa, hit, ray.time,
+                                         ray_o=ray.o, ray_d=ray.d)
         eps = jnp.maximum(jnp.abs(si.t), 1.0) * RAY_EPSILON
         off = _sg3(si.n) * jnp.where(dot(si.n, si.wi) >= 0.0, eps, -eps)
         p_follow = p_follow + off

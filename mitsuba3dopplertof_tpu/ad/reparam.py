@@ -60,11 +60,16 @@ def square_to_von_mises_fisher(sx, sy, kappa: float):
     return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
 
 
-def _followshape_position(sa, hit, time) -> Vec3:
+def _followshape_position(sa, hit, time, ray_o=None, ray_d=None) -> Vec3:
     """Attached hit position at FIXED (prim, barycentrics): recomputed from
     the (differentiable) triangle tables and instance keyframe matrices —
-    the analog of RayFlags.FollowShape (reference interaction.h:515). For
-    sphere hits falls back to the instance-transformed unit-sphere point."""
+    the analog of RayFlags.FollowShape (reference interaction.h:515).
+    Sphere hits follow their instance matrix EXACTLY for any affine motion
+    (rotation/scale/translation): the detached world hit point is pulled
+    into object space through the detached inverse matrix and pushed back
+    through the attached one, so the tangent is dM applied at the fixed
+    object point. Requires ``ray_o``/``ray_d`` (the ray that produced
+    ``hit``) when the scene has spheres."""
     from ..ops.intersect_kernel import _SPH_SLOT_BASE
     prim = sg(hit.prim)
     u = sg(hit.u)
@@ -100,12 +105,9 @@ def _followshape_position(sa, hit, time) -> Vec3:
         c_t = cmat_lerp(c0, c1, uu)
         p = where3(is_anim & ~is_sph, cmat_apply_point(c_t, p_obj), p)
     if sa.n_spheres > 0:
-        # sphere: follow via its (possibly animated) instance matrix
+        assert ray_o is not None and ray_d is not None, \
+            "sphere follow-shape needs the originating ray"
         s_slot = jnp.clip(prim - _SPH_SLOT_BASE, 0, sa.n_spheres - 1)
-        # object-space hit point from the stored world normal is not
-        # available; approximate follow-shape with the translation column
-        # (exact for rigid motion): p + (c_attached - c_detached)
-        uu0 = jnp.zeros_like(time)
         c0s = tuple(sa.sph_m0c[j, s_slot] for j in range(12))
         c1s = tuple(sa.sph_m1c[j, s_slot] for j in range(12))
         t0s = sg(sa.sph_t0)[s_slot]
@@ -114,9 +116,30 @@ def _followshape_position(sa, hit, time) -> Vec3:
         us = jnp.clip((time - t0s) / jnp.where(span_s != 0.0, span_s, 1.0),
                       0.0, 1.0)
         c_ts = cmat_lerp(c0s, c1s, us)
-        cen = Vec3(c_ts[3], c_ts[7], c_ts[11])
-        delta = cen - _sg3(cen)
-        p = where3(is_sph, p + delta, p)
+        # detached world hit point -> object space via the detached
+        # adjugate inverse -> back through the ATTACHED matrix
+        t_hit = sg(jnp.where(jnp.isfinite(hit.t), hit.t, 0.0))
+        pw = _sg3(ray_o) + _sg3(ray_d) * t_hit
+        cd = tuple(sg(c) for c in c_ts)
+        a00, a01, a02, b0, a10, a11, a12, b1, a20, a21, a22, b2 = cd
+        i00 = a11 * a22 - a12 * a21
+        i01 = a02 * a21 - a01 * a22
+        i02 = a01 * a12 - a02 * a11
+        i10 = a12 * a20 - a10 * a22
+        i11 = a00 * a22 - a02 * a20
+        i12 = a02 * a10 - a00 * a12
+        i20 = a10 * a21 - a11 * a20
+        i21 = a01 * a20 - a00 * a21
+        i22 = a00 * a11 - a01 * a10
+        det = a00 * i00 + a01 * i10 + a02 * i20
+        inv = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        rx = pw.x - b0
+        ry = pw.y - b1
+        rz = pw.z - b2
+        q = Vec3((i00 * rx + i01 * ry + i02 * rz) * inv,
+                 (i10 * rx + i11 * ry + i12 * rz) * inv,
+                 (i20 * rx + i21 * ry + i22 * rz) * inv)
+        p = where3(is_sph, cmat_apply_point(c_ts, q), p)
     return p
 
 
@@ -175,7 +198,8 @@ def reparameterize_ray(sa, sampler, state, ray: Ray, active,
         hit_ok = hit.prim >= 0
 
         # attached direction following the intersected shape
-        p_follow = _followshape_position(sa, hit, ray.time)
+        p_follow = _followshape_position(sa, hit, ray.time,
+                                         ray_o=aux_ray.o, ray_d=aux_ray.d)
         V_direct = normalize(p_follow - o0)
         V_direct = where3(hit_ok, V_direct, Vec3(aux_d.x, aux_d.y, aux_d.z))
 

@@ -258,8 +258,9 @@ def eval_pdf_sample(sa, lane_bsdf, wi: Vec3, wo_nee: Vec3,
         # tpu_spectral: diffuse P_REFL columns hold sigmoid-upsampling
         # coefficients (core/cie.py); evaluate the reflectance spectrum at
         # the lane's 3 hero wavelengths and feed it through the existing
-        # texture-override slot. Textured lanes keep the texel rgb as a
-        # flat 3-wavelength approximation.
+        # texture-override slot. Textured lanes arrive ALREADY spectral:
+        # eval_texture sampled the per-texel coefficient atlas at the same
+        # wavelengths (textures/__init__.py TEX_BITMAP).
         from ..core.cie import eval_reflectance_spectrum as _ers
         c0, c1, c2 = param(P_REFL), param(P_REFL + 1), param(P_REFL + 2)
         srefl = Vec3(_ers(c0, c1, c2, wavelengths.x),

@@ -233,6 +233,124 @@ def fit_reflectance_coeffs(rgb, iters: int = 60) -> np.ndarray:
     return c.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Per-texel upsampling: batched fit + cached coefficient lattice
+# (the role of the reference's precomputed rgb2spec tables, ext/rgb2spec +
+# src/core/srgb.cpp — fitted here from our own CIE model, trilinearly
+# interpolated per texel at scene compile)
+# ---------------------------------------------------------------------------
+
+def fit_reflectance_coeffs_batch(rgbs: np.ndarray, iters: int = 60
+                                 ) -> np.ndarray:
+    """Vectorized Gauss-Newton over N colors at once (same two-phase
+    smoothness-prior schedule as `fit_reflectance_coeffs`). Returns
+    (N, 3) float32 coefficients."""
+    rgbs = np.clip(np.asarray(rgbs, np.float64), 1e-4, 0.9999)
+    n = rgbs.shape[0]
+    X = _fit_tables()                                   # (3, L)
+    lam = _FIT_LAM
+    xg = (lam - LAMBDA_MIN) / LAMBDA_RANGE * 2.0 - 1.0  # (L,)
+    basis = np.stack([np.ones_like(xg), xg, xg * xg], axis=0)   # (3, L)
+    M = np.asarray(_XYZ_TO_SRGB, np.float64)   # the package's own D65 fit
+    XM = M @ X                                          # (3, L): d srgb / dS
+
+    y = (rgbs @ np.asarray(_SRGB_TO_XYZ, np.float64).T)[:, 1]
+    y = np.clip(y, 1e-3, 0.999)
+    c = np.zeros((n, 3))
+    c[:, 0] = np.arctanh(2.0 * y - 1.0)
+
+    def gn(c, w_smooth, iters):
+        lam_reg = np.full(n, 1e-6)
+        W = np.diag([w_smooth[0], w_smooth[1], w_smooth[2]])
+        for _ in range(iters):
+            p = c @ basis                               # (N, L)
+            den = (1.0 + p * p)
+            S = 0.5 + p / (2.0 * np.sqrt(den))
+            dS = 0.5 / den ** 1.5                       # dS/dp (N, L)
+            r = (np.trapezoid(X[None] * S[:, None, :], lam, axis=2) @ M.T
+                 - rgbs)                                # (N, 3)
+            # J[n, i, j] = ∫ XM[i] * dS * basis[j]
+            w = dS[:, None, :] * basis[None, :, :]      # (N, 3, L)
+            J = np.trapezoid(XM[None, :, None, :] * w[:, None, :, :],
+                             lam, axis=3)               # (N, 3i, 3j)
+            # normal equations of the augmented residual [r; W c]
+            A = (np.einsum("nki,nkj->nij", J, J) + W.T @ W
+                 + lam_reg[:, None, None] * np.eye(3))
+            b = -np.einsum("nki,nk->ni", J, r) - c @ (W.T @ W)
+            try:
+                step = np.linalg.solve(A, b[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                break
+            c_new = c + step
+            r_new = (np.trapezoid(
+                X[None] * (0.5 + (c_new @ basis)
+                           / (2.0 * np.sqrt(1.0 + (c_new @ basis) ** 2))
+                           )[:, None, :], lam, axis=2) @ M.T - rgbs)
+            better = (np.linalg.norm(r_new, axis=1)
+                      + np.linalg.norm(c_new * w_smooth, axis=1)
+                      < np.linalg.norm(r, axis=1)
+                      + np.linalg.norm(c * w_smooth, axis=1))
+            c = np.where(better[:, None], c_new, c)
+            lam_reg = np.where(better, np.maximum(lam_reg * 0.5, 1e-8),
+                               lam_reg * 4.0)
+        return c
+
+    c = gn(c, np.array([0.0, 3e-3, 3e-3]), iters)
+    c = gn(c, np.zeros(3), 20)
+    return c.astype(np.float32)
+
+
+_LATTICE = None
+_LATTICE_N = 32
+
+
+def coeff_lattice(n: int = _LATTICE_N) -> np.ndarray:
+    """(n, n, n, 3) sigmoid-polynomial coefficients over the sRGB cube,
+    fitted once and cached on disk (~the reference's .coeff table file)."""
+    global _LATTICE
+    if _LATTICE is not None and _LATTICE.shape[0] == n:
+        return _LATTICE
+    import os
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                             "mitsuba3dopplertof_tpu")
+    path = os.path.join(cache_dir, f"rgb2spec_{n}.npz")
+    if os.path.exists(path):
+        _LATTICE = np.load(path)["lattice"]
+        return _LATTICE
+    g = np.linspace(0.0, 1.0, n)
+    r, gg, b = np.meshgrid(g, g, g, indexing="ij")
+    rgbs = np.stack([r, gg, b], axis=-1).reshape(-1, 3)
+    # chunked: the batched Jacobian is (N, 3, 3, L) — keep N bounded
+    coeffs = np.concatenate(
+        [fit_reflectance_coeffs_batch(rgbs[i:i + 2048])
+         for i in range(0, rgbs.shape[0], 2048)], axis=0)
+    _LATTICE = coeffs.reshape(n, n, n, 3)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.savez_compressed(path, lattice=_LATTICE)
+    return _LATTICE
+
+
+def upsample_rgb_array(rgb: np.ndarray) -> np.ndarray:
+    """Trilinear lattice interpolation: (N, 3) rgb -> (N, 3) coefficients.
+    The per-texel path of the spectral variant (reference srgb.cpp +
+    rgb2spec table lookup)."""
+    lat = coeff_lattice()
+    n = lat.shape[0]
+    q = np.clip(np.asarray(rgb, np.float64), 0.0, 1.0) * (n - 1)
+    i0 = np.clip(q.astype(np.int32), 0, n - 2)
+    t = q - i0
+    out = np.zeros((rgb.shape[0], 3))
+    for dr in (0, 1):
+        for dg in (0, 1):
+            for db in (0, 1):
+                w = ((t[:, 0] if dr else 1 - t[:, 0])
+                     * (t[:, 1] if dg else 1 - t[:, 1])
+                     * (t[:, 2] if db else 1 - t[:, 2]))
+                out += w[:, None] * lat[i0[:, 0] + dr, i0[:, 1] + dg,
+                                        i0[:, 2] + db]
+    return out.astype(np.float32)
+
+
 _D65_Y_NORM = None
 
 

@@ -675,7 +675,9 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
             lane_tex = gather_small(
                 sa.bsdf_params[P_REFL_TEX], lane_bsdf).astype(jnp.int32)
             tex_mask = lane_tex >= 0
-            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim)
+            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v,
+                                    p=si.p, b_u=si.b_u, b_v=si.b_v,
+                                    prim=si.prim, wavelengths=wavelengths)
         else:
             tex_mask = tex_refl = None
         with jax.named_scope("BSDFEvalPdfSample"):

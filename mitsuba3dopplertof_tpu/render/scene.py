@@ -51,6 +51,7 @@ class SceneArrays:
            "emitter_type", "emitter_params", "emitter_m",  # (P, E), (12, E)
            "tex_type", "tex_params", "tex_h",
            "tex_atlas_r", "tex_atlas_g", "tex_atlas_b",
+           "tex_atlas_c0", "tex_atlas_c1", "tex_atlas_c2",
            "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
            "env_rot", "env_rot_fwd", "em_tri_cdf",
@@ -266,6 +267,17 @@ class Scene:
             la = (0.2126 * atlas_np[:, 0] + 0.7152 * atlas_np[:, 1]
                   + 0.0722 * atlas_np[:, 2])
             atlas_np = np.stack([la, la, la], axis=1)
+        # per-texel spectral upsampling: a parallel atlas of sigmoid-
+        # polynomial coefficients (reference ext/rgb2spec tables +
+        # src/core/srgb.cpp) so textured reflectance is a real spectrum
+        # under tpu_spectral instead of an rgb tint; interpolated from the
+        # disk-cached coefficient lattice (core/cie.py), so scene compile
+        # adds only a trilinear lookup per texel
+        if spectral and atlas:
+            from ..core.cie import upsample_rgb_array
+            atlas_coeff = upsample_rgb_array(atlas_np)
+        else:
+            atlas_coeff = np.zeros((1, 3), np.float32)
 
 
         if not bsdf_objs:
@@ -774,6 +786,9 @@ class Scene:
             tex_atlas_r=jnp.asarray(atlas_np[:, 0], jnp.float32),
             tex_atlas_g=jnp.asarray(atlas_np[:, 1], jnp.float32),
             tex_atlas_b=jnp.asarray(atlas_np[:, 2], jnp.float32),
+            tex_atlas_c0=jnp.asarray(atlas_coeff[:, 0], jnp.float32),
+            tex_atlas_c1=jnp.asarray(atlas_coeff[:, 1], jnp.float32),
+            tex_atlas_c2=jnp.asarray(atlas_coeff[:, 2], jnp.float32),
             sph_m0c=jnp.asarray(
                 np.stack(sph_m0).T if sph_m0 else np.zeros((12, 1)), jnp.float32),
             sph_m1c=jnp.asarray(

@@ -197,9 +197,14 @@ class VolumeTexture(Texture):
 # ---------------------------------------------------------------------------
 
 def eval_texture(sa, tex_id, uv_u, uv_v, p=None, b_u=None, b_v=None,
-                 prim=None):
+                 prim=None, wavelengths=None):
     """Evaluate per-lane textures (tex_id < 0 handled by the caller).
-    Returns Vec3 rgb.
+    Returns Vec3 rgb — or, when ``wavelengths`` (Vec3 of the lane's hero
+    wavelengths) is given under the spectral variant, bitmap texels return
+    the upsampled REFLECTANCE SPECTRUM sampled at those wavelengths
+    (per-texel sigmoid-polynomial coefficient atlas, reference
+    ext/rgb2spec + src/core/srgb.cpp; non-bitmap texture types keep their
+    rgb as a flat 3-wavelength approximation).
 
     ``p`` (Vec3, world hit position): required by `volume` textures;
     ``b_u``/``b_v``/``prim`` (barycentrics + global triangle slot):
@@ -238,8 +243,17 @@ def eval_texture(sa, tex_id, uv_u, uv_v, p=None, b_u=None, b_v=None,
             xi = jnp.clip((uu * w.astype(uu.dtype)).astype(jnp.int32), 0, w - 1)
             yi = jnp.clip((vv * h.astype(vv.dtype)).astype(jnp.int32), 0, h - 1)
             flat = off + yi * w + xi
-            val = Vec3(sa.tex_atlas_r[flat], sa.tex_atlas_g[flat],
-                       sa.tex_atlas_b[flat])
+            if wavelengths is not None and sa.tex_atlas_c0.shape[0] > 1:
+                from ..core.cie import eval_reflectance_spectrum as _ers
+                c0 = sa.tex_atlas_c0[flat]
+                c1 = sa.tex_atlas_c1[flat]
+                c2 = sa.tex_atlas_c2[flat]
+                val = Vec3(_ers(c0, c1, c2, wavelengths.x),
+                           _ers(c0, c1, c2, wavelengths.y),
+                           _ers(c0, c1, c2, wavelengths.z))
+            else:
+                val = Vec3(sa.tex_atlas_r[flat], sa.tex_atlas_g[flat],
+                           sa.tex_atlas_b[flat])
         elif tid == TEX_VOLUME and p is not None:
             # world -> volume local [0,1]^3 -> trilinear atlas lookup
             # (reference volume.cpp eval + gridvolume.cpp trilinear; same

@@ -37,7 +37,8 @@ DIFF_FIELDS = ("bsdf_params", "emitter_params", "tex_params",
 GEOM_DIFF_FIELDS = tuple(
     p + c for p in ("s_", "a_")
     for c in ("v0x", "v0y", "v0z", "e1x", "e1y", "e1z",
-              "e2x", "e2y", "e2z")) + ("inst_m0c", "inst_m1c")
+              "e2x", "e2y", "e2z")) + ("inst_m0c", "inst_m1c",
+                                       "sph_m0c", "sph_m1c")
 
 DEFAULT_GRAD_LANES = 1 << 18     # backprop holds per-bounce activations
 

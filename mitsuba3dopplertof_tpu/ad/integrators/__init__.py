@@ -40,15 +40,18 @@ class ADIntegrator(_Integrator):
     integrator."""
 
     nested_type = "path"
+    nested_extra: dict = {}
     boundary_terms = False
 
     def __init__(self, props: Properties):
         super().__init__(props)
         from ... import load_dict
-        cfg = {"type": self.nested_type}
+        cfg = {"type": self.nested_type, **self.nested_extra}
         for k in ("max_depth", "rr_depth"):
             if props.has_property(k):
                 cfg[k] = props.get_int(k)
+        if props.has_property("use_nee"):
+            cfg["use_nee"] = props.get_bool("use_nee")
         self.nested = load_dict(cfg)
         for k in list(props.keys()):
             props.mark_queried(k)
@@ -108,10 +111,12 @@ class ADIntegrator(_Integrator):
 @register_plugin("integrator", "prb_basic")
 class BasicPRBIntegrator(ADIntegrator):
     """Basic PRB: BSDF sampling only, no NEE (reference prb_basic.py).
-    Implemented over the plain path tracer with MIS disabled is not
-    required for gradient correctness — the estimator differs only in
-    variance, so this wraps `path` directly."""
+    Wraps `path` with use_nee=False so the VARIANCE behavior is
+    cross-checkable against the reference's prb_basic, not just the
+    gradient (which is estimator-agnostic); pass use_nee=true to get the
+    round-2 NEE+MIS wrapping back."""
     nested_type = "path"
+    nested_extra = {"use_nee": False}
 
 
 @register_plugin("integrator", "prb")

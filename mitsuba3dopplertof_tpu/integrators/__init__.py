@@ -482,6 +482,9 @@ class MonteCarloIntegrator(SamplingIntegrator):
         self.rr_depth = props.get_int("rr_depth", 5)
         if self.rr_depth <= 0:
             raise RuntimeError("rr_depth must be > 0")
+        # pure-BSDF-sampling mode (no NEE/MIS); the default True matches
+        # the reference's path integrator, False its prb_basic
+        self.use_nee = props.get_bool("use_nee", True)
 
     @property
     def loop_iterations(self) -> int:
@@ -570,6 +573,10 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         return sampler.next_2d(state, active)
 
     any_emission = (sa.n_emitters > 0) or has_env
+    # use_nee=False (reference prb_basic.py behavior): pure BSDF sampling —
+    # no emitter-direction draws, no shadow rays, and emitter hits are NOT
+    # MIS-weighted (there is no competing strategy)
+    nee_on = (sa.n_emitters > 0) and getattr(integrator, "use_nee", True)
 
     def bounce(_, carry):
         (state, ray, throughput, result, path_length, eta, depth, valid_ray,
@@ -615,14 +622,14 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
                 p=si.p, n=si.sh_n, d=d_seg * (1.0 / dist), dist=dist,
                 pdf=jnp.zeros((n,), f32), delta=jnp.zeros((n,), bool),
                 emitter=lane_emitter)
-            if sa.n_emitters > 0:
+            if nee_on:
                 em_pdf = jnp.where(prev_bsdf_delta, 0.0,
                                    em_mod.pdf_direction(sa, ds_hit,
                                                         prim=si.prim,
                                                         time=ray.time))
             else:
                 em_pdf = jnp.zeros((n,), f32)
-            if has_env:
+            if has_env and nee_on:
                 # MIS pdf for rays escaping to the environment (NEE can
                 # sample the env, so env hits must be MIS-weighted too)
                 if sa.env_kind == "envmap":
@@ -646,7 +653,7 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         # ---------------- emitter sampling / NEE (path.cpp:178-201) ------
         active_em = active_next & smooth
         nee, state = draw_2d(state, active, correlate)
-        if sa.n_emitters > 0:
+        if nee_on:
             with jax.named_scope("SampleEmitterDirection"):
                 ds, em_weight = em_mod.sample_direction(
                     sa, si.p, ray.time, nee[0], nee[1],

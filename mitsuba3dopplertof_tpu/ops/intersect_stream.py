@@ -358,6 +358,7 @@ def chunk_aabbs(n_static: int, anim_ranges, s_v0, s_e1, s_e2,
     out = np.empty((n_chunks, 6), np.float32)
     out[:, :3] = np.float32(3e38)        # empty box: never visited
     out[:, 3:] = np.float32(-3e38)
+    range_by_start = {r[1]: i for i, r in enumerate(anim_ranges)}
     ci = 0
     for seg_i, (kind, start, count) in enumerate(segments):
         if kind == "pad":
@@ -368,8 +369,7 @@ def chunk_aabbs(n_static: int, anim_ranges, s_v0, s_e1, s_e2,
             p2 = v0 + s_e2[start:start + count]
             pts = (v0, p1, p2)
         else:
-            a = next(i for i, r in enumerate(anim_ranges)
-                     if r[1] == start)
+            a = range_by_start[start]
             v0 = a_v0[start:start + count]
             p1 = v0 + a_e1[start:start + count]
             p2 = v0 + a_e2[start:start + count]

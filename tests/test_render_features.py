@@ -334,3 +334,43 @@ def test_batch_sensor_side_by_side():
     ref = np.asarray(sc2.integrator.render(sc2, seed=0, spp=64))
     for half in (img[:, :8, :3], img[:, 8:, :3]):
         assert abs(half.mean() / ref[..., :3].mean() - 1.0) < 0.05
+
+
+def test_use_nee_off_unbiased():
+    """use_nee=false (the reference prb_basic estimator): pure BSDF
+    sampling must agree with the NEE+MIS estimator in the mean."""
+    from mitsuba3dopplertof_tpu.core import transform as tf
+
+    def build(use_nee):
+        return mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3,
+                           "use_nee": use_nee},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": tf.look_at([0, 1.2, -3.2], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 16,
+                                "height": 16,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 16}},
+            "lamp": {"type": "rectangle",
+                     "to_world": tf.translate([0, 2.0, 0])
+                     @ tf.rotate([1, 0, 0], 90) @ tf.scale([0.8] * 3),
+                     "emitter": {"type": "area",
+                                 "radiance": {"type": "rgb", "value": 8.0}}},
+            "floor": {"type": "rectangle",
+                      "to_world": tf.translate([0, -0.5, 0])
+                      @ tf.rotate([1, 0, 0], -90) @ tf.scale([3, 3, 1])},
+        })
+    a = np.asarray(mi.render(build(True), spp=256, seed=0))
+    b = np.asarray(mi.render(build(False), spp=1024, seed=1))
+    am, bm = a[..., :3].mean(), b[..., :3].mean()
+    assert abs(am - bm) < 0.08 * am, (am, bm)
+
+
+def test_prb_basic_wraps_pure_bsdf_sampling():
+    integ = mi.load_dict({"type": "prb_basic", "max_depth": 3})
+    assert integ.nested.use_nee is False
+    integ2 = mi.load_dict({"type": "prb", "max_depth": 3})
+    assert integ2.nested.use_nee is True

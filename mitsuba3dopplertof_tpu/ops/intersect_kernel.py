@@ -449,14 +449,17 @@ def intersect_pallas(sa, ray, active=None) -> HitRecord:
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
     choice = _kernel_choice()
-    if choice == "v2":
+    if choice in ("v2", "v3"):
         from .intersect_mxu import payload_from_prim
-        from .intersect_v2 import intersect_v2, v2_rows
-        if should_bin(sa, n, v2_rows(), LANES):
-            t, prim = binned(sa, ray, active,
-                             lambda r: list(intersect_v2(sa, r)))
+        if choice == "v3":
+            from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
         else:
-            t, prim = intersect_v2(sa, ray)
+            from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
+        if should_bin(sa, n, krows(), LANES):
+            t, prim = binned(sa, ray, active,
+                             lambda r: list(isect(sa, r)))
+        else:
+            t, prim = isect(sa, ray)
         hit_s = payload_from_prim(sa, ray, t, prim)
     elif choice == "mxu":
         from .intersect_mxu import DEF_BLK, intersect_mxu, payload_from_prim
@@ -489,15 +492,18 @@ def ray_test_pallas(sa, ray, active=None):
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
     choice = _kernel_choice()
-    if choice == "v2":
-        from .intersect_v2 import intersect_v2, v2_rows
-        if should_bin(sa, n, v2_rows(), LANES):
+    if choice in ("v2", "v3"):
+        if choice == "v3":
+            from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
+        else:
+            from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
+        if should_bin(sa, n, krows(), LANES):
             (occ_i,) = binned(
                 sa, ray, active,
-                lambda r: [intersect_v2(sa, r, any_hit=True)[1] >= 0])
+                lambda r: [isect(sa, r, any_hit=True)[1] >= 0])
             occ = occ_i > 0
         else:
-            occ = intersect_v2(sa, ray, any_hit=True)[1] >= 0
+            occ = isect(sa, ray, any_hit=True)[1] >= 0
     elif choice == "mxu":
         from .intersect_mxu import DEF_BLK, intersect_mxu
         if should_bin(sa, n, DEF_BLK // LANES, LANES):

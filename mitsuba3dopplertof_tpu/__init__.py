@@ -39,6 +39,17 @@ if not _os.environ.get("MI_NO_COMPILE_CACHE"):
     except Exception:           # cache is an optimization, never a failure
         pass
 
+# NaN sanitizer (SURVEY §5 race/sanitizer analog — the TPU-native
+# equivalent of running the reference under compute-sanitizer): with
+# MI_DEBUG_NANS=1 every jitted program that produces a NaN re-runs
+# op-by-op and raises at the first NaN-producing primitive. Combine with
+# MI_NO_FUSED_PASSES=1 to bisect by pass and MI_NO_RAY_BINNING=1 to keep
+# the wavefront in pixel order while reading the failing values.
+if _os.environ.get("MI_DEBUG_NANS"):
+    import jax as _jax_dbg
+
+    _jax_dbg.config.update("jax_debug_nans", True)
+
 # plugin registration side effects
 from . import shapes as _shapes            # noqa: F401
 from . import bsdfs as _bsdfs              # noqa: F401

@@ -264,11 +264,9 @@ class SamplingIntegrator(Integrator):
                 def body(_, carry):
                     blk, st = carry
                     blk, st = raw(sa, blk, st)
-                    return blk, Sampler_advance(st)
+                    return blk, sampler.advance(st)
                 return jax.lax.fori_loop(0, n, body, (block, state))
 
-            from ..samplers import Sampler as _S
-            Sampler_advance = _S.advance
             dn = (() if (not donate or os.environ.get("MI_NO_DONATE"))
                   else (1, 2))
             cache[key] = jax.jit(run_passes, donate_argnums=dn)

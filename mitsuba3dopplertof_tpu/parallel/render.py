@@ -132,7 +132,8 @@ def render_sharded(integrator, scene, mesh: Mesh = None, sensor=None,
     pc = PCG32State(P(axis), P(axis), P(axis), P(axis))
     state_spec = SamplerStateT(rng=pc, rng_time=pc, rng_path=pc,
                                permutation_seed=P(axis),
-                               sample_index=P(), dimension_index=P())
+                               sample_index=P(), dimension_index=P(),
+                               lane=P(axis), seed_value=P())
     film_spec = P(None, axis, None) if use_halo else P()
     shard_fn = shard_map(
         shard_pass, mesh=mesh,

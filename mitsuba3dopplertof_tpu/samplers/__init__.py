@@ -54,6 +54,8 @@ class SamplerStateT(NamedTuple):
     permutation_seed: jnp.ndarray   # (N,) uint32 per-sequence seed
     sample_index: jnp.ndarray       # () uint32
     dimension_index: jnp.ndarray    # () uint32
+    lane: jnp.ndarray               # (N,) uint32 global lane ids
+    seed_value: jnp.ndarray         # () uint32 base seed of this render
 
 
 class Sampler:
@@ -68,7 +70,6 @@ class Sampler:
         self.time_correlate_number = 1
         self.path_correlate_number = 1
         self.jitter = True
-        self.lane0 = 0    # global-lane window offset (reference-layout mode)
 
     # -- seeding ------------------------------------------------------------
     def set_sample_count(self, spp: int):
@@ -80,6 +81,17 @@ class Sampler:
                 "sample_count must be a multiple of samples_per_wavefront")
         self.samples_per_wavefront = spw
 
+    def _streams(self, seed_value, lane):
+        """Derive the three PCG32 stream families for one pass. ``seed_value``
+        may be a traced uint32 scalar (the per-pass re-seed folds the pass
+        index into it inside jit)."""
+        tc = max(int(self.time_correlate_number), 1)
+        pc = max(int(self.path_correlate_number), 1)
+        rng = pcg32_seed_wavefront(seed_value, lane, 0)
+        rng_time = pcg32_seed_wavefront(seed_value, lane // np.uint32(tc), 1)
+        rng_path = pcg32_seed_wavefront(seed_value, lane // np.uint32(pc), 2)
+        return rng, rng_time, rng_path
+
     def seed(self, seed: int, wavefront_size: int,
              lane0: int = 0) -> SamplerStateT:
         """Seed lanes [lane0, lane0 + wavefront_size) of a (possibly larger)
@@ -88,28 +100,40 @@ class Sampler:
         (reference sampler.cpp:115-135)."""
         lane = jnp.uint32(lane0) + jnp.arange(wavefront_size, dtype=jnp.uint32)
         seed_value = np.uint32(self.base_seed + seed)
-        rng = pcg32_seed_wavefront(seed_value, lane, 0)
+        rng, rng_time, rng_path = self._streams(seed_value, lane)
         # per-sequence permutation seed (reference sampler.cpp:85-92)
         spw = np.uint32(self.samples_per_wavefront)
         sequence_idx = spw * (lane // spw)
         perm_seed, _ = sample_tea_32(
             jnp.full(lane.shape, self.base_seed, jnp.uint32),
             sequence_idx + jnp.uint32(seed))
-        tc = max(int(self.time_correlate_number), 1)
-        pc = max(int(self.path_correlate_number), 1)
-        rng_time = pcg32_seed_wavefront(seed_value, lane // np.uint32(tc), 1)
-        rng_path = pcg32_seed_wavefront(seed_value, lane // np.uint32(pc), 2)
         return SamplerStateT(rng, rng_time, rng_path, perm_seed,
-                             jnp.uint32(0), jnp.uint32(0))
+                             jnp.uint32(0), jnp.uint32(0),
+                             lane, jnp.uint32(seed_value))
 
-    @staticmethod
-    def advance(state: SamplerStateT) -> SamplerStateT:
-        return state._replace(sample_index=state.sample_index + 1)
+    def advance(self, state: SamplerStateT) -> SamplerStateT:
+        """Advance to the next pass: FRESH streams derived from
+        (seed, pass index, lane) — not a continuation of the previous
+        pass's streams. Masked in-pass draws (pcg32_next's ``active``)
+        leave correlation-group members (lane//tc / lane//pc share a
+        stream) at DIFFERENT stream positions once their path depths
+        diverge; continuing those streams into the next pass would break
+        the antithetic pair sync that doppler variance cancellation
+        relies on (measured: per-render variance inflation scaling with
+        pass count). Re-seeding per pass matches the reference's
+        per-pass ``sampler->seed(seed + i)`` (integrator.cpp:227-263)
+        while keeping sample_index GLOBAL so per-interval stratification
+        still tiles [0,1) exactly across passes."""
+        idx = state.sample_index + jnp.uint32(1)
+        sv = state.seed_value + idx * jnp.uint32(0x9E3779B9)
+        rng, rng_time, rng_path = self._streams(sv, state.lane)
+        return SamplerStateT(rng, rng_time, rng_path,
+                             state.permutation_seed, idx, jnp.uint32(0),
+                             state.lane, state.seed_value)
 
     def current_sample_index(self, state: SamplerStateT, n: int):
         """reference sampler.cpp:94-103."""
-        offs = (jnp.uint32(self.lane0) + jnp.arange(n, dtype=jnp.uint32)) \
-            % jnp.uint32(self.samples_per_wavefront)
+        offs = state.lane % jnp.uint32(self.samples_per_wavefront)
         return state.sample_index * jnp.uint32(self.samples_per_wavefront) + offs
 
     # -- draws ----------------------------------------------------------------

@@ -107,3 +107,28 @@ def test_profile_phase_scope_works_under_jit():
         with mi.profile_phase("TestPhase"):
             return x * 2.0
     assert float(f(jnp.float32(3.0))) == 6.0
+
+
+def test_debug_nans_flag(tmp_path):
+    """MI_DEBUG_NANS=1 wires jax_debug_nans: a NaN produced inside a jitted
+    program raises instead of propagating silently (SURVEY §5 sanitizer
+    analog). Subprocess keeps the global jax config out of this process."""
+    import subprocess, sys, os
+    code = (
+        "import os, sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"  # sitecustomize pins axon
+        "import mitsuba3dopplertof_tpu as mi\n"
+        "import jax.numpy as jnp\n"
+        "assert jax.config.jax_debug_nans\n"
+        "try:\n"
+        "    jax.jit(lambda x: jnp.log(x) - jnp.log(x * 0.0))(jnp.zeros(4))\n"
+        "except FloatingPointError:\n"
+        "    print('RAISED')\n"
+    )
+    env = dict(os.environ, MI_DEBUG_NANS="1", JAX_PLATFORMS="cpu")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert "RAISED" in out.stdout, (out.stdout, out.stderr)

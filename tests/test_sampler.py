@@ -235,3 +235,58 @@ def test_ldsampler_02_sequence_elementary_intervals():
                  + np.floor(y * (1 << b)).astype(int))
         counts = np.bincount(cells, minlength=N)
         assert (counts == 1).all(), (a, b, counts.max(), counts.min())
+
+
+def test_advance_reseeds_pair_sync():
+    """Pass advancement derives FRESH streams from (seed, pass, lane):
+    masked in-pass draws desync correlation-group members' shared streams
+    (pcg32 advances only where active), and continuing them into the next
+    pass would break antithetic pair cancellation — the measured multi-pass
+    variance inflation. After advance(), pair streams must be re-synced,
+    decorrelated from the previous pass, and deterministic."""
+    s = make_correlated(spp=8, tc=2)
+    st = seed_wavefront(s)
+    n = 32
+    # desync pair members: only even lanes draw (mask advances even streams)
+    mask = jnp.arange(n) % 2 == 0
+    _, st = s.next_1d_correlate(st, mask, jnp.ones((n,), bool))
+    assert not np.array_equal(np.asarray(st.rng_path.state_lo[0::2]),
+                              np.asarray(st.rng_path.state_lo[1::2]))
+
+    st2 = s.advance(st)
+    for stream in (st2.rng_time, st2.rng_path):
+        assert np.array_equal(np.asarray(stream.state_lo[0::2]),
+                              np.asarray(stream.state_lo[1::2]))
+        assert np.array_equal(np.asarray(stream.state_hi[0::2]),
+                              np.asarray(stream.state_hi[1::2]))
+    assert int(st2.sample_index) == 1
+    assert int(st2.dimension_index) == 0
+    # decorrelated from pass 0 and from pass 2
+    st0 = seed_wavefront(s)
+    assert not np.array_equal(np.asarray(st2.rng.state_lo),
+                              np.asarray(st0.rng.state_lo))
+    st3 = s.advance(st2)
+    assert not np.array_equal(np.asarray(st3.rng.state_lo),
+                              np.asarray(st2.rng.state_lo))
+    # deterministic: advancing the same state twice gives the same streams
+    st2b = s.advance(st)
+    assert np.array_equal(np.asarray(st2b.rng.state_lo),
+                          np.asarray(st2.rng.state_lo))
+
+
+def test_advance_keeps_global_stratification():
+    """sample_index stays GLOBAL across re-seeded passes, so per-interval
+    stratification tiles [0,1) exactly over all passes (antithetic r spans
+    stratum (pass*spw + lane_offs)//tc of sample_count//tc)."""
+    s = make_correlated(spp=16, tc=2)
+    s.set_samples_per_wavefront(4)          # 4 passes of 4 spp
+    st = s.seed(0, 4)                       # one pixel, 4 lanes
+    seen = []
+    for _ in range(4):
+        v, st = s.next_1d_time(st, None, TIME_ANTITHETIC, 0.5, True)
+        seen.append(np.asarray(v)[0::2])    # pair leaders
+        st = s.advance(st)
+    seen = np.sort(np.concatenate(seen))
+    # 8 leaders must each land in their own stratum of [0,1)
+    for k in range(8):
+        assert k / 8 <= seen[k] < (k + 1) / 8, seen

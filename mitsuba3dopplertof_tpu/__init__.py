@@ -77,6 +77,8 @@ from .core.stream import (Stream, FileStream, MemoryStream, ZStream,
                           DummyStream, MemoryMappedFile)
 from .utils.polvis import polvis
 from .utils import plots
+from . import util                          # mi.util.write_bitmap etc.
+from .util import cornell_box
 from .core.struct import Struct, StructConverter, FieldFlags
 from .utils.denoiser import Denoiser
 from .core.logger import (set_log_level, log_level, log, trace_to,
@@ -142,4 +144,5 @@ __all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant"
            "Properties", "registered_plugins", "variants", "set_variant",
            "xml_to_dict", "dict_to_xml", "traverse", "SceneParameters",
            "render_grad", "value_and_render_grad",
+           "util", "cornell_box",
            "__version__"]

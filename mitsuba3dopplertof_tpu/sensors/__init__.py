@@ -102,6 +102,9 @@ class PerspectiveSensor(Sensor):
         super().__init__(props)
         self.near_clip = props.get_float("near_clip", 1e-2)
         self.far_clip = props.get_float("far_clip", 1e4)
+        # ProjectiveCamera base property (reference sensor.cpp:196): a
+        # pinhole ignores it, but scene dicts (e.g. cornell_box) set it
+        self.focus_distance = props.get_float("focus_distance", 0.0)
         size = self.film.size
         aspect = size[0] / size[1]
         self.x_fov = parse_fov(props, aspect)

@@ -79,6 +79,8 @@ from .utils.polvis import polvis
 from .utils import plots
 from . import util                          # mi.util.write_bitmap etc.
 from .util import cornell_box
+from .core.transform import (Transform4f, ScalarTransform4f,
+                             AnimatedTransform)
 from .core.struct import Struct, StructConverter, FieldFlags
 from .utils.denoiser import Denoiser
 from .core.logger import (set_log_level, log_level, log, trace_to,
@@ -145,4 +147,5 @@ __all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant"
            "xml_to_dict", "dict_to_xml", "traverse", "SceneParameters",
            "render_grad", "value_and_render_grad",
            "util", "cornell_box",
+           "Transform4f", "ScalarTransform4f", "AnimatedTransform",
            "__version__"]

@@ -193,8 +193,85 @@ class AnimatedTransform:
         return max((t for t, _ in self.keyframes), default=0.0)
 
 
+class Transform4f:
+    """Chainable transform builder matching the reference Python API's
+    ``mi.ScalarTransform4f`` (reference include/mitsuba/core/transform.h
+    factories + python bindings): ``Transform4f().translate(a).rotate(ax,
+    deg).scale(s)`` composes on the RIGHT, i.e. equals
+    ``translate(a) @ rotate(ax, deg) @ scale(s)``. Instances convert to a
+    plain (4,4) ndarray via ``np.asarray`` so they drop into any
+    ``to_world`` slot (Properties.get_transform)."""
+
+    def __init__(self, matrix=None):
+        self.matrix = (identity() if matrix is None
+                       else np.asarray(matrix, np.float64).reshape(4, 4))
+
+    # -- chainable right-composition ---------------------------------------
+    def _compose(self, m):
+        return Transform4f(self.matrix @ m)
+
+    def translate(self, v):
+        return self._compose(translate(v))
+
+    def scale(self, v):
+        return self._compose(scale(v))
+
+    def rotate(self, axis, angle):
+        return self._compose(rotate(axis, angle))
+
+    def look_at(self, origin, target, up):
+        return self._compose(look_at(origin, target, up))
+
+    def perspective(self, fov, near, far):
+        return self._compose(perspective(fov, near, far))
+
+    # -- application --------------------------------------------------------
+    def transform_affine(self, p):
+        """Apply to a 3-point (list/array)."""
+        p = np.asarray(p, np.float64).reshape(3)
+        return self.matrix[:3, :3] @ p + self.matrix[:3, 3]
+
+    def inverse(self):
+        return Transform4f(np.linalg.inv(self.matrix))
+
+    def __matmul__(self, other):
+        if isinstance(other, Transform4f):
+            return Transform4f(self.matrix @ other.matrix)
+        other = np.asarray(other, np.float64)
+        if other.shape == (4, 4):
+            return Transform4f(self.matrix @ other)
+        return self.transform_affine(other)
+
+    def __array__(self, dtype=None, copy=None):
+        m = self.matrix
+        return m.astype(dtype) if dtype is not None else m
+
+    def __repr__(self):
+        return f"Transform4f(\n{self.matrix})"
+
+
+class _Transform4fMeta:
+    """The reference spells factories on the CLASS (``T.translate(v)``)
+    while instances chain (``T.translate(v).rotate(...)``). Plain Python
+    can't overload classmethod-vs-method by call site, so the public
+    ``ScalarTransform4f`` object is this tiny factory whose methods start
+    a chain from the identity; calling it wraps/creates an instance."""
+
+    def __call__(self, matrix=None):
+        return Transform4f(matrix)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(Transform4f(), name)
+
+
+ScalarTransform4f = _Transform4fMeta()
+
+
 __all__ = [
     "identity", "translate", "scale", "rotate", "look_at", "perspective",
     "transform_point", "transform_vector", "transform_normal",
     "affine_inverse", "animated_lerp", "AnimatedTransform",
+    "Transform4f", "ScalarTransform4f",
 ]

@@ -42,3 +42,27 @@ def test_cornell_box_renders():
     right = img[8:24, -6:].mean(axis=(0, 1))
     assert left[0] > left[1], "left wall is red"
     assert right[1] > right[0], "right wall is green"
+
+
+def test_scalar_transform4f_chain():
+    """mi.ScalarTransform4f chains like the reference bindings:
+    T.translate(a).rotate(ax, deg).scale(s) == translate @ rotate @ scale."""
+    from mitsuba3dopplertof_tpu.core.transform import (translate, rotate,
+                                                       scale)
+    T = mi.ScalarTransform4f
+    chained = T.translate([1, 2, 3]).rotate([0, 1, 0], 90).scale(2.0)
+    expect = translate([1, 2, 3]) @ rotate([0, 1, 0], 90) @ scale(2.0)
+    assert np.allclose(np.asarray(chained), expect)
+    # usable directly in a scene dict to_world slot
+    d = mi.cornell_box()
+    d["sensor"]["to_world"] = T.look_at([0, 0, 3.9], [0, 0, 0], [0, 1, 0])
+    d["sensor"]["film"]["width"] = d["sensor"]["film"]["height"] = 8
+    d["sensor"]["sampler"]["sample_count"] = 2
+    sc = mi.load_dict(d)
+    img = np.asarray(mi.render(sc, spp=2, seed=0))
+    assert np.isfinite(img).all()
+    # application to a point and inverse round-trip
+    p = T.translate([1, 0, 0]) @ [0.0, 0.0, 0.0]
+    assert np.allclose(p, [1, 0, 0])
+    inv = chained.inverse() @ chained
+    assert np.allclose(np.asarray(inv), np.eye(4), atol=1e-12)

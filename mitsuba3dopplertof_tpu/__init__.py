@@ -81,6 +81,11 @@ from . import util                          # mi.util.write_bitmap etc.
 from .util import cornell_box
 from .core.transform import (Transform4f, ScalarTransform4f,
                              AnimatedTransform)
+from .core import mueller                   # mi.mueller.* (reference parity)
+from .core import microfacet
+from .core.fresnel import (fresnel_dielectric, fresnel_conductor,
+                           reflect, refract)
+from .core.mueller import fresnel_polarized
 from .core.struct import Struct, StructConverter, FieldFlags
 from .utils.denoiser import Denoiser
 from .core.logger import (set_log_level, log_level, log, trace_to,
@@ -148,4 +153,6 @@ __all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant"
            "render_grad", "value_and_render_grad",
            "util", "cornell_box",
            "Transform4f", "ScalarTransform4f", "AnimatedTransform",
+           "mueller", "microfacet", "fresnel_dielectric",
+           "fresnel_conductor", "fresnel_polarized", "reflect", "refract",
            "__version__"]

@@ -952,14 +952,43 @@ def _roughdielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
     refl_scalar = jnp.where(same_hemi & (wi_u.z > 0.0),
                             F_r * D_r * G_r
                             / jnp.maximum(4.0 * wi_u.z, 1e-12), 0.0)
-    val_nee = refl_c * refl_scalar
-    pdf_nee = jnp.where(same_hemi,
-                        F_r * mf.ggx_pdf_visible(wi_u, h_r, alpha, alpha)
-                        / jnp.maximum(4.0 * jnp.abs(dot(wo_nee_u, h_r)),
-                                      1e-12),
-                        0.0)
-    # (transmission NEE eval omitted in v1 — the sampled lobe covers it;
-    # matches the effect of MIS weights collapsing for rough glass)
+    pdf_nee_r = jnp.where(same_hemi,
+                          F_r * mf.ggx_pdf_visible(wi_u, h_r, alpha, alpha)
+                          / jnp.maximum(4.0 * jnp.abs(dot(wo_nee_u, h_r)),
+                                        1e-12),
+                          0.0)
+    # transmission lobe (reference roughdielectric.cpp eval/pdf, wo on the
+    # far side): half vector m = normalize(wi + eta_rel * wo) flipped
+    # upward; refraction Jacobian dwh/dwo = eta^2 |wo.m| / (wi.m +
+    # eta wo.m)^2; radiance solid-angle compression 1/eta^2 cancels the
+    # eta^2 of the reference's eval numerator
+    h_t = _norm(Vec3(wi_u.x + eta_it * wo_nee_u.x,
+                     wi_u.y + eta_it * wo_nee_u.y,
+                     wi_u.z + eta_it * wo_nee_u.z))
+    h_t = where3(h_t.z < 0.0, Vec3(-h_t.x, -h_t.y, -h_t.z), h_t)
+    wi_m = dot(wi_u, h_t)
+    wo_m = dot(wo_nee_u, h_t)
+    # a transmissive configuration has wi/wo on opposite sides of the facet
+    t_ok = (~same_hemi) & (wi_u.z > 0.0) & (wi_m > 0.0) & (wo_m < 0.0)
+    F_t, _, _, _ = fresnel_dielectric(
+        jnp.where(out_side, wi_m, -wi_m), eta)
+    D_t = mf.ggx_D(h_t, alpha, alpha)
+    G_t = mf.ggx_G(wi_u, Vec3(wo_nee_u.x, wo_nee_u.y, -wo_nee_u.z), h_t,
+                   alpha, alpha)
+    denom_nee = wi_m + eta_it * wo_m
+    inv_d2 = 1.0 / jnp.maximum(denom_nee * denom_nee, 1e-12)
+    trans_scalar = jnp.where(
+        t_ok,
+        (1.0 - F_t) * D_t * G_t * jnp.abs(wi_m * wo_m) * inv_d2
+        / jnp.maximum(wi_u.z, 1e-12),
+        0.0)
+    dwh_dwo = (eta_it * eta_it) * jnp.abs(wo_m) * inv_d2
+    pdf_nee_t = jnp.where(
+        t_ok,
+        (1.0 - F_t) * mf.ggx_pdf_visible(wi_u, h_t, alpha, alpha) * dwh_dwo,
+        0.0)
+    val_nee = refl_c * refl_scalar + trans_c * trans_scalar
+    pdf_nee = pdf_nee_r + pdf_nee_t
 
     z = jnp.zeros_like(F)
     false_ = z > 1.0
@@ -1051,9 +1080,15 @@ class BlendBSDF(BSDF):
 
 
 @register_plugin("bsdf", "pplastic")
-class PPlastic(Plastic):
-    """Polarized plastic (reference src/bsdfs/pplastic.cpp); identical to
-    plastic in the unpolarized RGB variant."""
+class PPlastic(RoughPlastic):
+    """Polarized plastic (reference src/bsdfs/pplastic.cpp): GGX rough
+    specular coat + diffuse base — the reference builds its microfacet
+    distribution from ``alpha`` (pplastic.cpp:170-175), NOT a smooth delta
+    coat. Lobe shapes/sampling therefore match roughplastic in every
+    variant; under tpu_rgb_polarized the specular lobe currently uses the
+    depolarizer fallback with exact lobe weights (the reference evaluates
+    per-facet polarized Fresnel; exact Mueller here covers
+    conductor/roughconductor/dielectric, integrators/polarized.py:43-50)."""
 
 
 BSDF_POLARIZER = 12

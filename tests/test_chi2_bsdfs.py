@@ -1,0 +1,145 @@
+"""Chi-square GOF for the rough mixture BSDFs through the dispatch path —
+sample() histograms vs the same plugin's pdf evaluation (the reference's
+per-plugin chi2 suite, src/bsdfs/tests/*: test_chi2_*). Delta-carrying
+plugins (plastic, dielectric) are excluded exactly as the reference
+excludes delta lobes from chi2 (chi2.py BSDFAdapter)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import mitsuba3dopplertof_tpu as mi
+from mitsuba3dopplertof_tpu.bsdfs import eval_pdf_sample
+from mitsuba3dopplertof_tpu.core.vec import Vec3
+from mitsuba3dopplertof_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
+
+
+def _rng(n, d, seed=0):
+    return np.random.RandomState(seed).rand(n, d).astype(np.float32)
+
+
+def _scene_with(bsdf_xml: str):
+    scene = mi.load_string(f"""
+    <scene version="3.0.0">
+      <sensor type="perspective"><float name="fov" value="45"/></sensor>
+      <shape type="rectangle">{bsdf_xml}</shape>
+    </scene>""")
+    return scene.compile()
+
+
+def _chi2_bsdf(sa, wi_tuple, seed, sample_count=200_000, res=15):
+    wix, wiy, wiz = wi_tuple
+
+    def wiN(n):
+        return Vec3(jnp.full(n, jnp.float32(wix)),
+                    jnp.full(n, jnp.float32(wiy)),
+                    jnp.full(n, jnp.float32(wiz)))
+
+    def sample(n):
+        s = _rng(n, 3, seed=seed)
+        lane = jnp.zeros(n, jnp.int32)
+        r = eval_pdf_sample(sa, lane, wiN(n), wiN(n),
+                            jnp.asarray(s[:, 0]), jnp.asarray(s[:, 1]),
+                            jnp.asarray(s[:, 2]))
+        out = np.stack([np.asarray(r.wo.x), np.asarray(r.wo.y),
+                        np.asarray(r.wo.z)], axis=-1)
+        # failed samples (pdf 0) are dropped from the histogram — the
+        # reference BSDFAdapter's rejection (chi2.py); the pdf side
+        # integrates below 1 by the same fraction. Zero-WEIGHT samples
+        # (e.g. G2-shadowed) stay: their density is still pdf
+        out[np.asarray(r.pdf) <= 0.0] = np.nan
+        return out
+
+    def pdf(d):
+        n = d.shape[0]
+        lane = jnp.zeros(n, jnp.int32)
+        wo = Vec3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+                  jnp.asarray(d[:, 2]))
+        z = jnp.full(n, 0.5, jnp.float32)
+        r = eval_pdf_sample(sa, lane, wiN(n), wo, z, z, z)
+        return np.asarray(r.pdf_nee)
+
+    return ChiSquareTest(SphericalDomain(), sample, pdf,
+                         sample_count=sample_count, res=res)
+
+
+WI = (0.3, 0.2, float(np.sqrt(1.0 - 0.09 - 0.04)))
+
+
+def test_roughconductor_chi2():
+    sa = _scene_with("""<bsdf type="roughconductor">
+        <float name="alpha" value="0.3"/></bsdf>""")
+    t = _chi2_bsdf(sa, WI, seed=11)
+    assert t.run(), t.messages
+
+
+def test_roughplastic_chi2():
+    """Diffuse + GGX specular mixture with sampling weights matching the
+    plugin's own lobe-selection probabilities."""
+    sa = _scene_with("""<bsdf type="roughplastic">
+        <float name="alpha" value="0.3"/></bsdf>""")
+    t = _chi2_bsdf(sa, WI, seed=12)
+    assert t.run(), t.messages
+
+
+def test_roughdielectric_chi2():
+    """Reflection + refraction over the full sphere: checks the
+    transmission half-vector Jacobian, not just the reflect lobe."""
+    sa = _scene_with("""<bsdf type="roughdielectric">
+        <float name="alpha" value="0.3"/>
+        <float name="int_ior" value="1.5"/></bsdf>""")
+    t = _chi2_bsdf(sa, WI, seed=13)
+    assert t.run(), t.messages
+
+
+def test_roughdielectric_chi2_from_inside():
+    """Incidence from the dense side (wi.z < 0) exercises the eta-flip
+    branch and total internal reflection."""
+    sa = _scene_with("""<bsdf type="roughdielectric">
+        <float name="alpha" value="0.35"/>
+        <float name="int_ior" value="1.5"/></bsdf>""")
+    t = _chi2_bsdf(sa, (0.3, 0.2, -WI[2]), seed=14)
+    assert t.run(), t.messages
+
+
+def test_pplastic_chi2():
+    sa = _scene_with("""<bsdf type="pplastic">
+        <float name="alpha" value="0.3"/></bsdf>""")
+    t = _chi2_bsdf(sa, WI, seed=15)
+    assert t.run(), t.messages
+
+
+def test_principled_chi2():
+    sa = _scene_with("""<bsdf type="principled">
+        <float name="roughness" value="0.5"/>
+        <float name="metallic" value="0.4"/>
+        <float name="specular" value="0.5"/></bsdf>""")
+    t = _chi2_bsdf(sa, WI, seed=16)
+    assert t.run(), t.messages
+
+
+def test_roughdielectric_sample_eval_consistency():
+    """VNDF identity: the sampled-lobe weight (G2/G1 * color * compression)
+    must equal eval(wo_sampled)/pdf(wo_sampled) — ties the sampling branch
+    to the NEE eval/pdf branch, both lobes, both incidence sides."""
+    sa = _scene_with("""<bsdf type="roughdielectric">
+        <float name="alpha" value="0.3"/>
+        <float name="int_ior" value="1.5"/></bsdf>""")
+    for side, seed in ((1.0, 21), (-1.0, 22)):
+        n = 50_000
+        wi = (0.3, 0.2, side * WI[2])
+        wiN = Vec3(jnp.full(n, jnp.float32(wi[0])),
+                   jnp.full(n, jnp.float32(wi[1])),
+                   jnp.full(n, jnp.float32(wi[2])))
+        s = _rng(n, 3, seed=seed)
+        lane = jnp.zeros(n, jnp.int32)
+        r = eval_pdf_sample(sa, lane, wiN, wiN, jnp.asarray(s[:, 0]),
+                            jnp.asarray(s[:, 1]), jnp.asarray(s[:, 2]))
+        half = jnp.full(n, 0.5, jnp.float32)
+        r2 = eval_pdf_sample(sa, lane, wiN, r.wo, half, half, half)
+        pdf = np.asarray(r.pdf)
+        ok = pdf > 1e-6
+        ratio = np.asarray(r2.val_nee.x)[ok] / pdf[ok]
+        wgt = np.asarray(r.weight.x)[ok]
+        err = np.abs(ratio - wgt) / np.maximum(wgt, 1e-3)
+        assert np.quantile(err, 0.99) < 1e-2, (side, np.quantile(err, 0.99))

@@ -731,7 +731,10 @@ def envmap_sample_direction(sa, ref_p: Vec3, s_x, s_y):
     u = (xi.astype(dtype) + ju) / W
     v = (yi.astype(dtype) + jv) / H
     theta = v * np.pi
-    phi = u * 2.0 * np.pi - np.pi
+    # exact inverse of the eval/pdf uv convention u = atan2(ex,-ez)/2pi
+    # (a -pi phase here would sample texels 180 deg in yaw away from the
+    # direction handed back — wrong radiance AND broken MIS)
+    phi = u * 2.0 * np.pi
     st = jnp.sin(theta)
     # emitter space direction (inverse of uv mapping): x = sin(t)sin(p)...
     ex = st * jnp.sin(phi)

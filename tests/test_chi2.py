@@ -148,3 +148,27 @@ def test_diffuse_bsdf_sampling_chi2():
     t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_count=100_000,
                       res=15)
     assert t.run(), t.messages
+
+
+def test_hg_phase_chi2():
+    """Henyey-Greenstein inverse-CDF sampling matches its pdf
+    (reference src/phase/hg.cpp chi2)."""
+    from mitsuba3dopplertof_tpu.media import hg_sample, hg_eval
+    g = 0.6
+    wi = Vec3(jnp.float32(0.0), jnp.float32(0.0), jnp.float32(-1.0))
+
+    def sample(n):
+        s = _rng(n, 2, seed=9)
+        wiN = Vec3(jnp.full(n, wi.x), jnp.full(n, wi.y), jnp.full(n, wi.z))
+        wo, _ = hg_sample(wiN, jnp.float32(g), jnp.asarray(s[:, 0]),
+                          jnp.asarray(s[:, 1]))
+        return np.stack([np.asarray(wo.x), np.asarray(wo.y),
+                         np.asarray(wo.z)], axis=-1)
+
+    def pdf(d):
+        # propagation dir = -wi = +z; cos_forward = d.z
+        return np.asarray(hg_eval(jnp.asarray(d[:, 2]), jnp.float32(g)))
+
+    t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_count=200_000,
+                      res=15)
+    assert t.run(), t.messages

@@ -94,3 +94,28 @@ def test_checkpoint_resume_bitwise(tmp_path):
                                        checkpoint_path=ck))
     assert np.array_equal(resumed, full), \
         float(np.abs(resumed - full).max())
+
+
+def test_multipass_variance_not_inflated():
+    """Regression for the round-3 find: continuing desynced correlation
+    streams across passes destroyed antithetic pairing — at fixed total
+    spp, variance grew ~linearly with pass count (12x at 32 passes).
+    With per-pass re-seeding, a P-pass render's across-seed variance must
+    stay within a small factor of the single-pass render's."""
+    def image_means(spp_per_pass, seeds=6):
+        out = []
+        for s in range(seeds):
+            sc = _scene(spp=32)
+            integ = sc.integrator
+            integ.samples_per_pass = spp_per_pass
+            img = np.asarray(integ.render(sc, spp=32, seed=s))
+            out.append(float(np.abs(img).mean()))
+        return np.asarray(out)
+
+    single = image_means(32)
+    multi = image_means(4)            # 8 passes
+    v_s = single.var(ddof=1)
+    v_m = multi.var(ddof=1)
+    # identical estimator variance up to noise in a 6-seed estimate; the
+    # broken advance() gave v_m/v_s ~ 8 here
+    assert v_m < 4.0 * max(v_s, 1e-12), (v_s, v_m)

@@ -29,6 +29,12 @@ T_UVSCALE = 6    # uv transform: scale u, scale v, offset u, offset v
 T_ATLAS = 10     # bitmap/volume: atlas offset (as float), 11: width
 T_GRID = 12      # volume: nx, ny, nz at 12..14
 T_W2G = 15       # volume: world-to-grid 3x4 row-major at 15..26
+# bitmap-only (aliases volume's grid columns — dispatch is type-masked):
+T_FILTER = 12    # 0 = nearest, 1 = bilinear (reference default)
+T_WRAP = 13      # 0 = repeat, 1 = mirror, 2 = clamp
+
+FILTER_MODES = {"nearest": 0, "bilinear": 1}
+WRAP_MODES = {"repeat": 0, "mirror": 1, "clamp": 2}
 
 
 def _get_rgb(props, key, default):
@@ -86,9 +92,10 @@ class Checkerboard(Texture):
 
 @register_plugin("texture", "bitmap")
 class BitmapTexture(Texture):
-    """reference src/textures/bitmap.cpp — image-backed texture. v1:
-    nearest-neighbor lookup with repeat wrapping; sRGB->linear on load for
-    8-bit images (the reference's raw=false default)."""
+    """reference src/textures/bitmap.cpp — image-backed texture with
+    bilinear (default) / nearest filtering and repeat / mirror / clamp
+    wrapping (bitmap.cpp:145-163); sRGB->linear on load for 8-bit images
+    (the reference's raw=false default)."""
     type_id = TEX_BITMAP
 
     def __init__(self, props: Properties):
@@ -96,9 +103,21 @@ class BitmapTexture(Texture):
         from ..core.fresolver import resolve_filename
         filename = resolve_filename(props.get_string("filename"))
         raw = props.get_bool("raw", False)
-        props.get_string("filter_type", "bilinear")
-        props.get_string("wrap_mode", "repeat")
+        ft = props.get_string("filter_type", "bilinear")
+        wm = props.get_string("wrap_mode", "repeat")
+        if ft not in FILTER_MODES:
+            raise RuntimeError(f"bitmap: invalid filter_type '{ft}'")
+        if wm not in WRAP_MODES:
+            raise RuntimeError(f"bitmap: invalid wrap_mode '{wm}'")
+        self.filter_mode = FILTER_MODES[ft]
+        self.wrap_mode = WRAP_MODES[wm]
         self.image = self._load(filename, raw)
+
+    def params_row(self):
+        p = super().params_row()
+        p[T_FILTER] = self.filter_mode
+        p[T_WRAP] = self.wrap_mode
+        return p
 
     @staticmethod
     def _load(filename: str, raw: bool) -> np.ndarray:
@@ -238,22 +257,53 @@ def eval_texture(sa, tex_id, uv_u, uv_v, p=None, b_u=None, b_v=None,
             off = param(T_ATLAS).astype(jnp.int32)
             w = param(T_ATLAS + 1).astype(jnp.int32)
             h = gather_small(sa.tex_h, idx)
-            uu = u - jnp.floor(u)
-            vv = v - jnp.floor(v)
-            xi = jnp.clip((uu * w.astype(uu.dtype)).astype(jnp.int32), 0, w - 1)
-            yi = jnp.clip((vv * h.astype(vv.dtype)).astype(jnp.int32), 0, h - 1)
-            flat = off + yi * w + xi
-            if wavelengths is not None and sa.tex_atlas_c0.shape[0] > 1:
-                from ..core.cie import eval_reflectance_spectrum as _ers
-                c0 = sa.tex_atlas_c0[flat]
-                c1 = sa.tex_atlas_c1[flat]
-                c2 = sa.tex_atlas_c2[flat]
-                val = Vec3(_ers(c0, c1, c2, wavelengths.x),
-                           _ers(c0, c1, c2, wavelengths.y),
-                           _ers(c0, c1, c2, wavelengths.z))
-            else:
-                val = Vec3(sa.tex_atlas_r[flat], sa.tex_atlas_g[flat],
-                           sa.tex_atlas_b[flat])
+            filt = param(T_FILTER)
+            wrapm = param(T_WRAP).astype(jnp.int32)
+
+            def wrap_idx(i, n):
+                """Per-tap index wrap (reference bitmap.cpp:156-163) —
+                applied to integer taps so bilinear weights span seams
+                correctly."""
+                rep = jnp.remainder(i, n)
+                t2 = jnp.remainder(i, 2 * n)
+                t2 = jnp.where(t2 < 0, t2 + 2 * n, t2)
+                mir = jnp.where(t2 >= n, 2 * n - 1 - t2, t2)
+                clp = jnp.clip(i, 0, n - 1)
+                return jnp.where(wrapm == 0, rep,
+                                 jnp.where(wrapm == 1, mir, clp))
+
+            def fetch(xi, yi):
+                flat = off + wrap_idx(yi, h) * w + wrap_idx(xi, w)
+                if wavelengths is not None and sa.tex_atlas_c0.shape[0] > 1:
+                    from ..core.cie import eval_reflectance_spectrum as _ers
+                    c0 = sa.tex_atlas_c0[flat]
+                    c1 = sa.tex_atlas_c1[flat]
+                    c2 = sa.tex_atlas_c2[flat]
+                    return Vec3(_ers(c0, c1, c2, wavelengths.x),
+                                _ers(c0, c1, c2, wavelengths.y),
+                                _ers(c0, c1, c2, wavelengths.z))
+                return Vec3(sa.tex_atlas_r[flat], sa.tex_atlas_g[flat],
+                            sa.tex_atlas_b[flat])
+
+            wf = w.astype(u.dtype)
+            hf = h.astype(v.dtype)
+            # nearest tap
+            xn = jnp.floor(u * wf).astype(jnp.int32)
+            yn = jnp.floor(v * hf).astype(jnp.int32)
+            # bilinear taps at texel centers (reference's half-texel shift)
+            xf = u * wf - 0.5
+            yf = v * hf - 0.5
+            x0 = jnp.floor(xf).astype(jnp.int32)
+            y0 = jnp.floor(yf).astype(jnp.int32)
+            fx = xf - jnp.floor(xf)
+            fy = yf - jnp.floor(yf)
+            v00 = fetch(x0, y0)
+            v10 = fetch(x0 + 1, y0)
+            v01 = fetch(x0, y0 + 1)
+            v11 = fetch(x0 + 1, y0 + 1)
+            lin = (v00 * ((1.0 - fx) * (1.0 - fy)) + v10 * (fx * (1.0 - fy))
+                   + v01 * ((1.0 - fx) * fy) + v11 * (fx * fy))
+            val = where3(filt > 0.5, lin, fetch(xn, yn))
         elif tid == TEX_VOLUME and p is not None:
             # world -> volume local [0,1]^3 -> trilinear atlas lookup
             # (reference volume.cpp eval + gridvolume.cpp trilinear; same

@@ -46,7 +46,7 @@ class SceneArrays:
         ["s_" + c for c in _TRI_COLS] + ["s_" + c for c in _TRI_INT_COLS]
         + ["a_" + c for c in _TRI_COLS] + ["a_" + c for c in _TRI_INT_COLS]
         + ["inst_m0c", "inst_m1c", "inst_t0", "inst_t1",
-           "inst_bsdf", "inst_emitter",
+           "inst_bsdf", "inst_emitter", "inst_nsign",
            "bsdf_type", "bsdf_params",      # bsdf_params: (P, B) column-major
            "emitter_type", "emitter_params", "emitter_m",  # (P, E), (12, E)
            "tex_type", "tex_params", "tex_h",
@@ -68,7 +68,7 @@ class SceneArrays:
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
         "polarized", "any_hetero", "any_sggx", "any_sggx_grid",
-        "any_rayleigh",
+        "any_rayleigh", "any_flip",
         "tab_phase_tables", "measured_pol_wls", "ior_spectra",
         "bsdf_ior_host", "max_optical_depth_hint",
     ]
@@ -520,7 +520,7 @@ class Scene:
 
         # --- instances & triangles -----------------------------------------
         inst_m0, inst_m1, inst_t0, inst_t1 = [], [], [], []
-        inst_bsdf, inst_emitter = [], []
+        inst_bsdf, inst_emitter, inst_nsign = [], [], []
         s_cols = {c: [] for c in _TRI_COLS + _TRI_INT_COLS}
         a_cols = {c: [] for c in _TRI_COLS + _TRI_INT_COLS}
         anim_ranges: List[Tuple[int, int, int]] = []
@@ -551,6 +551,8 @@ class Scene:
             inst_bsdf.append(bsdf_index[id(sh.bsdf)])
             inst_emitter.append(
                 self.emitters.index(sh.emitter) if sh.emitter is not None else -1)
+            inst_nsign.append(
+                -1.0 if getattr(sh, "flip_normals", False) else 1.0)
 
             if getattr(sh, "is_analytic_sphere", False):
                 sph_m0.append(m0[:3, :4].reshape(-1))
@@ -775,6 +777,9 @@ class Scene:
             inst_bsdf=jnp.asarray(inst_bsdf if inst_bsdf else [0], jnp.int32),
             inst_emitter=jnp.asarray(
                 inst_emitter if inst_emitter else [-1], jnp.int32),
+            inst_nsign=jnp.asarray(
+                inst_nsign if inst_nsign else [1.0], jnp.float32),
+            any_flip=any(s < 0.0 for s in inst_nsign),
             bsdf_type=jnp.asarray(bsdf_type),
             bsdf_params=jnp.asarray(bsdf_params, jnp.float32),
             emitter_type=jnp.asarray(emitter_type),
@@ -1114,6 +1119,12 @@ def build_si(sa: SceneArrays, ray: Ray, hit, active=None) -> SurfaceInteraction:
     p = ray.o + ray.d * jnp.where(valid, hit.t, 0.0)
     ng = normalize(Vec3(hit.gnx, hit.gny, hit.gnz))
     ns = normalize(Vec3(hit.nsx, hit.nsy, hit.nsz))
+    if getattr(sa, "any_flip", False):
+        # per-instance flip_normals (reference shape.cpp): negate both
+        # normals — the shading frame and sidedness flip with them
+        sgn = gather_small(sa.inst_nsign, jnp.maximum(hit.inst, 0))
+        ng = Vec3(ng.x * sgn, ng.y * sgn, ng.z * sgn)
+        ns = Vec3(ns.x * sgn, ns.y * sgn, ns.z * sgn)
     sh_s, sh_t = coordinate_system(ns)
     wi_world = -ray.d
     wi = Vec3(dot(wi_world, sh_s), dot(wi_world, sh_t), dot(wi_world, ns))

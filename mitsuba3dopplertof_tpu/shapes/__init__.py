@@ -69,6 +69,10 @@ class Shape:
         self.id = props.id
         self.to_world: AnimatedTransform = props.get_animated_transform(
             "to_world", AnimatedTransform())
+        # reference shape.cpp flip_normals: negate geometric + shading
+        # normals (turn the shape inside out); applied per instance in
+        # render/scene.py build_si
+        self.flip_normals = props.get_bool("flip_normals", False)
         self.bsdf = None          # nested/referenced BSDF child
         self.emitter = None       # area emitter attached to this shape
         self.sensor = None        # irradiancemeter bound to this shape
@@ -202,7 +206,6 @@ def make_cylinder(subdiv: int = 64) -> Mesh:
 class RectangleShape(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.get_bool("flip_normals", False)
         self.mesh = make_rectangle()
 
 
@@ -210,7 +213,6 @@ class RectangleShape(Shape):
 class CubeShape(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.get_bool("flip_normals", False)
         self.mesh = make_cube()
 
 
@@ -227,7 +229,6 @@ class SphereShape(Shape):
         from ..core import transform as tf
         center = props.get_vector("center", np.zeros(3))
         radius = props.get_float("radius", 1.0)
-        props.get_bool("flip_normals", False)
         base = self.to_world
         local = tf.translate(center) @ tf.scale([radius] * 3)
         if base.animated:
@@ -243,7 +244,6 @@ class SphereShape(Shape):
 class DiskShape(Shape):
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.get_bool("flip_normals", False)
         self.mesh = make_disk()
 
 

@@ -201,3 +201,39 @@ def test_file_resolver_relative_assets(tmp_path):
         os.chdir(old)
     img = np.asarray(mi.render(sc, spp=1, seed=0))
     assert img[2, 2, 0] > 0      # center pixel hits the triangle
+
+
+def test_flip_normals_rectangle_and_sphere():
+    """flip_normals negates geometric+shading normals (reference
+    shape.cpp): a front-lit one-sided diffuse surface goes dark when
+    flipped, for meshes and the analytic sphere alike."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+
+    def render(shape):
+        d = {"type": "scene",
+             "integrator": {"type": "path", "max_depth": 2},
+             "sensor": {"type": "perspective", "fov": 45,
+                        "to_world": tf.look_at([0, 0, -3], [0, 0, 0],
+                                               [0, 1, 0]),
+                        "film": {"type": "hdrfilm", "width": 16,
+                                 "height": 16, "rfilter": {"type": "box"}},
+                        "sampler": {"type": "independent",
+                                    "sample_count": 16}},
+             "light": {"type": "point", "position": [0, 0, -3],
+                       "intensity": {"type": "rgb", "value": 20.0}},
+             "s": dict(shape, bsdf={"type": "diffuse"})}
+        import mitsuba3dopplertof_tpu as mi
+        return float(np.asarray(mi.render(mi.load_dict(d), spp=16,
+                                          seed=0)).mean())
+
+    rect = {"type": "rectangle",
+            "to_world": tf.rotate([0, 1, 0], 180.0)}  # face the camera
+    lit = render(rect)
+    dark = render(dict(rect, flip_normals=True))
+    assert lit > 0.05 and dark < 0.02 * lit, (lit, dark)
+
+    sph = {"type": "sphere", "radius": 0.8}
+    lit_s = render(sph)
+    dark_s = render(dict(sph, flip_normals=True))
+    assert lit_s > 0.05 and dark_s < 0.02 * lit_s, (lit_s, dark_s)

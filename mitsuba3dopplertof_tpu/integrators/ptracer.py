@@ -40,7 +40,9 @@ class PTracerIntegrator(SamplingIntegrator):
         md = props.get_int("max_depth", -1)
         self.max_depth = 2 ** 31 if md == -1 else md
         self.rr_depth = props.get_int("rr_depth", 5)
-        props.get_bool("hide_emitters", False)
+        # gates the direct emitter->sensor connection (the reference's
+        # sample_visible_emitters call, ptracer.cpp:80-81)
+        self.hide_emitters = props.get_bool("hide_emitters", False)
 
     @property
     def loop_iterations(self):
@@ -188,7 +190,8 @@ class PTracerIntegrator(SamplingIntegrator):
                                active & ~is_pt & (cos_e > 0), False,
                                None, None, None, None)
 
-            if EMITTER_AREA_RECT in sa.emitter_types_present:
+            if (EMITTER_AREA_RECT in sa.emitter_types_present
+                    and not self.hide_emitters and self.max_depth != 0):
                 block = area_direct(block)
 
             bsdf_flags = jnp.asarray(np.asarray(sa.bsdf_flags_host, np.int32))

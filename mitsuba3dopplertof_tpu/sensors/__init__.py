@@ -94,6 +94,8 @@ class SensorParams(NamedTuple):
     near_clip: float
     far_clip: float
     kind: int = 0               # 0 = perspective, 1 = orthographic (static)
+    pp_ox: float = 0.0          # principal point offset, film-size units
+    pp_oy: float = 0.0          # (reference perspective.cpp:191-205)
 
 
 @register_plugin("sensor", "perspective")
@@ -109,8 +111,8 @@ class PerspectiveSensor(Sensor):
         aspect = size[0] / size[1]
         self.x_fov = parse_fov(props, aspect)
         self.aspect = aspect
-        props.get_float("principal_point_offset_x", 0.0)
-        props.get_float("principal_point_offset_y", 0.0)
+        self.pp_offset = (props.get_float("principal_point_offset_x", 0.0),
+                          props.get_float("principal_point_offset_y", 0.0))
 
     def device_params(self) -> SensorParams:
         th = math.tan(math.radians(self.x_fov) * 0.5)
@@ -121,7 +123,9 @@ class PerspectiveSensor(Sensor):
             tan_half_y=float(th / self.aspect),
             near_clip=float(self.near_clip),
             far_clip=float(self.far_clip),
-            kind=0)
+            kind=0,
+            pp_ox=float(self.pp_offset[0]),
+            pp_oy=float(self.pp_offset[1]))
 
 
 def sample_ray(params: SensorParams, time, sx, sy, ap_x, ap_y):
@@ -135,8 +139,8 @@ def sample_ray(params: SensorParams, time, sx, sy, ap_x, ap_y):
     normalized, then rotated to world; the origin advances to the near plane.
     Returns (Ray, weight (scalar 1.0 — pinhole)).
     """
-    dcx = (1.0 - 2.0 * sx) * params.tan_half_x
-    dcy = (1.0 - 2.0 * sy) * params.tan_half_y
+    dcx = (1.0 - 2.0 * (sx + params.pp_ox)) * params.tan_half_x
+    dcy = (1.0 - 2.0 * (sy + params.pp_oy)) * params.tan_half_y
     d_cam = normalize(Vec3(dcx, dcy, jnp.ones_like(sx)))
     m = params.m
     d = Vec3(m[0] * d_cam.x + m[1] * d_cam.y + m[2] * d_cam.z,
@@ -242,8 +246,8 @@ def sample_ray_kind(params, lens, time, sx, sy, ap_x, ap_y):
     if params.kind == 1:      # thinlens (reference thinlens.cpp:sample_ray)
         aperture_radius, focus_distance = lens
         from ..core.warp import disk_concentric_c
-        dcx = (1.0 - 2.0 * sx) * params.tan_half_x
-        dcy = (1.0 - 2.0 * sy) * params.tan_half_y
+        dcx = (1.0 - 2.0 * (sx + params.pp_ox)) * params.tan_half_x
+        dcy = (1.0 - 2.0 * (sy + params.pp_oy)) * params.tan_half_y
         d_cam = normalize(Vec3(dcx, dcy, jnp.ones_like(sx)))
         px, py = disk_concentric_c(ap_x, ap_y)
         px = px * aperture_radius

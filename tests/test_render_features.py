@@ -374,3 +374,35 @@ def test_prb_basic_wraps_pure_bsdf_sampling():
     assert integ.nested.use_nee is False
     integ2 = mi.load_dict({"type": "prb", "max_depth": 3})
     assert integ2.nested.use_nee is True
+
+
+PP_SCENE = '''
+<scene version="3.0.0">
+  <integrator type="path"><integer name="max_depth" value="2"/></integrator>
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <float name="principal_point_offset_x" value="{ppx}"/>
+    <film type="hdrfilm">
+      <integer name="width" value="32"/><integer name="height" value="32"/>
+      <rfilter type="box"/>
+    </film>
+    <sampler type="independent"><integer name="sample_count" value="16"/></sampler>
+  </sensor>
+  <shape type="sphere">
+    <float name="radius" value="0.15"/>
+    <transform name="to_world"><translate z="2"/></transform>
+    <emitter type="area"><rgb name="radiance" value="10"/></emitter>
+  </shape>
+</scene>'''
+
+
+def test_principal_point_offset_shifts_image():
+    """principal_point_offset_x (film-size units, reference
+    perspective.cpp:191-205) translates image content horizontally by
+    offset*width pixels without changing total energy."""
+    base = render(PP_SCENE.format(ppx=0.0))
+    off = render(PP_SCENE.format(ppx=0.25))
+    col0 = int(np.argmax(base.sum(axis=(0, 2))))
+    col1 = int(np.argmax(off.sum(axis=(0, 2))))
+    assert abs(abs(col1 - col0) - 8) <= 1, (col0, col1)
+    assert abs(off.sum() / base.sum() - 1.0) < 0.05

@@ -5,9 +5,12 @@ sensor. Connections land in arbitrary pixels, so this integrator uses a
 real scatter-add into the film (the one place the renderer needs one; the
 camera-path integrators stay scatter-free).
 
-v1 emitter support: point + rectangle-area emitters. Sensor: perspective
-pinhole with the reference's importance W = (1/A)/cos^3(theta)/dist^2
-(reference perspective.cpp sample_direction + importance():384).
+Emitter support: point, spot, directional, rectangle/sphere/mesh area,
+constant and envmap environments (environments emit from the scene
+bounding sphere, reference constant.cpp/envmap.cpp sample_ray). Sensor:
+perspective pinhole with the reference's importance
+W = (1/A)/cos^3(theta)/dist^2 (reference perspective.cpp
+sample_direction + importance():384).
 """
 
 from __future__ import annotations
@@ -24,10 +27,21 @@ from ..core import warp
 from ..render.scene import ray_intersect, ray_test, gather_small
 from ..render.types import Ray, SHADOW_EPSILON
 from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample
-from ..emitters import (EMITTER_POINT, EMITTER_AREA_RECT, E_POS, E_INTENSITY,
-                        E_AREA)
+from ..emitters import (EMITTER_POINT, EMITTER_AREA_RECT, EMITTER_CONSTANT,
+                        EMITTER_AREA_MESH, EMITTER_DIRECTIONAL, EMITTER_SPOT,
+                        EMITTER_ENVMAP, EMITTER_AREA_SPHERE,
+                        E_POS, E_INTENSITY, E_AREA, E_CUTOFF, E_BEAM,
+                        envmap_eval)
 from ..films import develop
 from . import SamplingIntegrator, DEFAULT_MAX_LANES
+
+# emitter types with a finite (non-delta) emitting surface: these have a
+# direct emitter->sensor connection term (the reference's
+# sample_visible_emitters, ptracer.cpp:80-81); delta emitters (point, spot,
+# directional) evaluate to zero through a pinhole and contribute only via
+# bounces, matching Endpoint::eval == 0 in the reference.
+_SURFACE_EMITTERS = (EMITTER_AREA_RECT, EMITTER_AREA_SPHERE,
+                     EMITTER_AREA_MESH, EMITTER_CONSTANT, EMITTER_ENVMAP)
 
 
 @register_plugin("integrator", "ptracer")
@@ -93,10 +107,13 @@ class PTracerIntegrator(SamplingIntegrator):
             n = n_pass
             active = jnp.ones((n,), bool)
 
-            # ---- sample an emitter ray (reference sample_emitter_ray) ----
+            # ---- sample an emitter ray (reference sample_emitter_ray,
+            # ptracer.cpp; masked multi-type dispatch over the emitter
+            # table, the pattern of emitters.sample_direction) ------------
             s_sel, state = sampler.next_1d(state, active)
             pos2, state = sampler.next_2d(state, active)
             dir2, state = sampler.next_2d(state, active)
+            s_tri, state = sampler.next_1d(state, active)
             ne = max(sa.n_emitters, 1)
             idx = jnp.minimum((s_sel * ne).astype(jnp.int32), ne - 1)
 
@@ -106,34 +123,175 @@ class PTracerIntegrator(SamplingIntegrator):
             def erow(j):
                 return gather_small(sa.emitter_m[j], idx)
 
-            etype = gather_small(sa.emitter_type, idx)
-            # point: uniform sphere direction, weight = I * 4pi
-            d_pt = warp.uniform_sphere_c(dir2[0], dir2[1])
-            o_pt = Vec3(epar(E_POS), epar(E_POS + 1), epar(E_POS + 2))
-            w_pt = 4.0 * math.pi
-            # area rect: uniform position, cosine direction, w = L * A * pi
-            lx = 2.0 * pos2[0] - 1.0
-            ly = 2.0 * pos2[1] - 1.0
-            o_ar = Vec3(erow(0) * lx + erow(1) * ly + erow(3),
-                        erow(4) * lx + erow(5) * ly + erow(7),
-                        erow(8) * lx + erow(9) * ly + erow(11))
-            nrm = normalize(Vec3(erow(4) * erow(9) - erow(8) * erow(5),
-                                 erow(8) * erow(1) - erow(0) * erow(9),
-                                 erow(0) * erow(5) - erow(4) * erow(1)))
-            # build frame around the rect normal, cosine-sample
             from ..core.vec import coordinate_system
-            t1, t2 = coordinate_system(nrm)
-            loc = warp.cosine_hemisphere_c(dir2[0], dir2[1])
-            d_ar = t1 * loc.x + t2 * loc.y + nrm * loc.z
-            w_ar = epar(E_AREA) * math.pi
 
-            is_pt = etype == EMITTER_POINT
-            o = where3(is_pt, o_pt, o_ar)
-            d = where3(is_pt, d_pt, d_ar)
+            def frame_dir(nv, lv):
+                t1, t2 = coordinate_system(nv)
+                return t1 * lv.x + t2 * lv.y + nv * lv.z
+
+            etype = gather_small(sa.emitter_type, idx)
             rad = Vec3(epar(E_INTENSITY), epar(E_INTENSITY + 1),
                        epar(E_INTENSITY + 2))
-            throughput = rad * jnp.where(is_pt, w_pt, w_ar) * float(ne)
-            emit_n = where3(is_pt, d, nrm)
+            zero = jnp.zeros((n,), jnp.float32)
+            z3 = Vec3(zero, zero, zero)
+            no = zero > 1.0
+            # cosine-hemisphere local direction shared by all surface types
+            loc = warp.cosine_hemisphere_c(dir2[0], dir2[1])
+            cam_o = Vec3(jnp.full((n,), cam[3]), jnp.full((n,), cam[7]),
+                         jnp.full((n,), cam[11]))
+            R_b = jnp.asarray(sa.bsphere_radius, jnp.float32)
+            C_b = sa.bsphere_center
+            area_b = 4.0 * math.pi * R_b * R_b
+
+            # candidate tuple per type:
+            # (o, d, emit_n, w=L/p(o)/p(d)*cos, direct=L_cam/p(o), surface?)
+            best = None
+            for tid in sa.emitter_types_present:
+                if tid == EMITTER_POINT:
+                    d_c = warp.uniform_sphere_c(dir2[0], dir2[1])
+                    o_c = Vec3(epar(E_POS), epar(E_POS + 1), epar(E_POS + 2))
+                    cand = (o_c, d_c, d_c, rad * (4.0 * math.pi), z3, no)
+                elif tid == EMITTER_SPOT:
+                    # uniform cone within the cutoff; radiant intensity
+                    # follows the falloff curve (reference spot.cpp
+                    # sample_ray): w = I*falloff / (1/(2pi(1-cos_cutoff)))
+                    o_c = Vec3(epar(E_POS), epar(E_POS + 1), epar(E_POS + 2))
+                    axis = Vec3(epar(9), epar(10), epar(11))
+                    cc = epar(E_CUTOFF)
+                    cb = epar(E_BEAM)
+                    cos_t = (1.0 - dir2[1]) + dir2[1] * cc
+                    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+                    phi = 2.0 * math.pi * dir2[0]
+                    t1a, t2a = coordinate_system(axis)
+                    d_c = (t1a * (jnp.cos(phi) * sin_t)
+                           + t2a * (jnp.sin(phi) * sin_t) + axis * cos_t)
+                    fall = jnp.clip((cos_t - cc)
+                                    / jnp.maximum(cb - cc, 1e-6), 0.0, 1.0)
+                    w_c = rad * (fall * 2.0 * math.pi * (1.0 - cc))
+                    cand = (o_c, d_c, d_c, w_c, z3, no)
+                elif tid == EMITTER_DIRECTIONAL:
+                    # disk covering the scene bsphere, pushed back to its
+                    # far side (reference directional.cpp sample_ray);
+                    # w = irradiance * pi * r^2 (pos pdf 1/(pi r^2))
+                    dl = Vec3(epar(E_POS), epar(E_POS + 1), epar(E_POS + 2))
+                    t1a, t2a = coordinate_system(dl)
+                    px, py = warp.disk_concentric_c(pos2[0], pos2[1])
+                    o_c = Vec3(C_b[0] - dl.x * R_b, C_b[1] - dl.y * R_b,
+                               C_b[2] - dl.z * R_b)
+                    o_c = o_c + (t1a * px + t2a * py) * R_b
+                    w_c = rad * (math.pi * R_b * R_b)
+                    cand = (o_c, dl, dl, w_c, z3, no)
+                elif tid == EMITTER_AREA_RECT:
+                    # uniform position (pdf 1/A), cosine direction
+                    lx = 2.0 * pos2[0] - 1.0
+                    ly = 2.0 * pos2[1] - 1.0
+                    o_c = Vec3(erow(0) * lx + erow(1) * ly + erow(3),
+                               erow(4) * lx + erow(5) * ly + erow(7),
+                               erow(8) * lx + erow(9) * ly + erow(11))
+                    nrm = normalize(
+                        Vec3(erow(4) * erow(9) - erow(8) * erow(5),
+                             erow(8) * erow(1) - erow(0) * erow(9),
+                             erow(0) * erow(5) - erow(4) * erow(1)))
+                    A = epar(E_AREA)
+                    cand = (o_c, frame_dir(nrm, loc), nrm,
+                            rad * (A * math.pi), rad * A, ~no)
+                elif tid == EMITTER_AREA_SPHERE:
+                    # uniform surface position on the analytic sphere
+                    c_c = Vec3(epar(E_POS), epar(E_POS + 1), epar(E_POS + 2))
+                    r_s = epar(E_CUTOFF)
+                    nsp = warp.uniform_sphere_c(pos2[0], pos2[1])
+                    o_c = c_c + nsp * r_s
+                    A = 4.0 * math.pi * r_s * r_s
+                    cand = (o_c, frame_dir(nsp, loc), nsp,
+                            rad * (A * math.pi), rad * A, ~no)
+                elif tid == EMITTER_AREA_MESH:
+                    # triangle-CDF area sampling (reference
+                    # Mesh::sample_position); animated emitter meshes are
+                    # sampled at their t=0 keyframe (ptracer paths carry
+                    # time 0)
+                    o_m, n_m, invp = z3, z3, zero
+                    su = jnp.sqrt(jnp.clip(pos2[0], 0.0, 1.0))
+                    b0 = 1.0 - su
+                    b1 = pos2[1] * su
+                    for (ei, start, cnt, cdf_off, anim, ii) in sa.mesh_em_meta:
+                        cdf = sa.em_tri_cdf[cdf_off:cdf_off + cnt]
+                        k = jnp.clip(
+                            jnp.searchsorted(cdf, s_tri, side="right"),
+                            0, cnt - 1).astype(jnp.int32)
+                        tri = start + k
+                        pre = "a" if anim else "s"
+                        v0 = Vec3(sa.tri(pre, "v0x")[tri],
+                                  sa.tri(pre, "v0y")[tri],
+                                  sa.tri(pre, "v0z")[tri])
+                        e1 = Vec3(sa.tri(pre, "e1x")[tri],
+                                  sa.tri(pre, "e1y")[tri],
+                                  sa.tri(pre, "e1z")[tri])
+                        e2 = Vec3(sa.tri(pre, "e2x")[tri],
+                                  sa.tri(pre, "e2y")[tri],
+                                  sa.tri(pre, "e2z")[tri])
+                        pe = v0 + e1 * b0 + e2 * b1
+                        if anim:
+                            from ..core.vec import (cmat_lerp,
+                                                    cmat_apply_point,
+                                                    cmat_apply_vector)
+                            c_t = cmat_lerp(sa.inst_cmat(0, ii),
+                                            sa.inst_cmat(1, ii),
+                                            jnp.zeros((), jnp.float32))
+                            pe = cmat_apply_point(c_t, pe)
+                            e1 = cmat_apply_vector(c_t, e1)
+                            e2 = cmat_apply_vector(c_t, e2)
+                        cr = cross(e1, e2)
+                        cr_len = jnp.sqrt(jnp.maximum(dot(cr, cr), 1e-30))
+                        ne_v = cr * (1.0 / cr_len)
+                        if anim:
+                            prob = cdf[k] - jnp.where(
+                                k > 0, cdf[jnp.maximum(k - 1, 0)], 0.0)
+                            ip = 0.5 * cr_len / jnp.maximum(prob, 1e-20)
+                        else:
+                            ip = epar(E_AREA)
+                        mask = idx == ei
+                        o_m = where3(mask, pe, o_m)
+                        n_m = where3(mask, ne_v, n_m)
+                        invp = jnp.where(mask, ip, invp)
+                    cand = (o_m, frame_dir(n_m, loc), n_m,
+                            rad * (invp * math.pi), rad * invp, ~no)
+                elif tid in (EMITTER_CONSTANT, EMITTER_ENVMAP):
+                    # environment: emit inward from the scene bounding
+                    # sphere (reference constant.cpp:59-76 sample_ray);
+                    # pos pdf 1/(4 pi R^2), cosine direction about the
+                    # inward normal
+                    outn = warp.uniform_sphere_c(pos2[0], pos2[1])
+                    o_c = Vec3(C_b[0] + outn.x * R_b, C_b[1] + outn.y * R_b,
+                               C_b[2] + outn.z * R_b)
+                    n_in = Vec3(-outn.x, -outn.y, -outn.z)
+                    d_c = frame_dir(n_in, loc)
+                    if tid == EMITTER_ENVMAP:
+                        # radiance carried along d = env texel seen looking
+                        # back along the ray; toward the camera = the texel
+                        # the camera sees looking at this proxy point
+                        L_ray = envmap_eval(sa, Vec3(-d_c.x, -d_c.y, -d_c.z))
+                        v_cam = normalize(o_c - cam_o)
+                        L_cam = envmap_eval(sa, v_cam)
+                    else:
+                        L_ray = L_cam = rad
+                    cand = (o_c, d_c, n_in, L_ray * (area_b * math.pi),
+                            L_cam * area_b, ~no)
+                else:
+                    raise NotImplementedError(
+                        f"ptracer: emitter type {tid} not supported")
+                if best is None:
+                    best = cand
+                else:
+                    m = etype == tid
+                    best = (where3(m, cand[0], best[0]),
+                            where3(m, cand[1], best[1]),
+                            where3(m, cand[2], best[2]),
+                            where3(m, cand[3], best[3]),
+                            where3(m, cand[4], best[4]),
+                            jnp.where(m, cand[5], best[5]))
+
+            o, d, emit_n, w_emit, direct_base, has_direct = best
+            throughput = w_emit * float(ne)
 
             time = jnp.zeros((n,), jnp.float32)
             # offset away from the emitting surface
@@ -177,22 +335,21 @@ class PTracerIntegrator(SamplingIntegrator):
                 block = block.at[2, py, px].add(val.z * okf)
                 return block
 
-            # direct emitter->sensor connection for area emitters
-            # contribution = L * cos(theta_emitter) at the surface point
-            def area_direct(block):
-                cam_o = Vec3(jnp.full((n,), cam[3]), jnp.full((n,), cam[7]),
-                             jnp.full((n,), cam[11]))
-                dvec = cam_o - o
-                dd = normalize(dvec)
-                cos_e = dot(nrm, dd)
-                contrib = rad * jnp.maximum(cos_e, 0.0) * epar(E_AREA) * float(ne)
-                return connect(block, o, nrm, contrib,
-                               active & ~is_pt & (cos_e > 0), False,
+            # direct emitter->sensor connection for surface emitters
+            # (reference sample_visible_emitters, ptracer.cpp:80-81):
+            # contribution = L_toward_camera * cos(theta_emitter) / p(pos)
+            def emitter_direct(block):
+                dd = normalize(cam_o - o)
+                cos_e = dot(emit_n, dd)
+                contrib = (direct_base * jnp.maximum(cos_e, 0.0)
+                           * float(ne))
+                return connect(block, o, emit_n, contrib,
+                               active & has_direct & (cos_e > 0), False,
                                None, None, None, None)
 
-            if (EMITTER_AREA_RECT in sa.emitter_types_present
+            if (any(t in sa.emitter_types_present for t in _SURFACE_EMITTERS)
                     and not self.hide_emitters and self.max_depth != 0):
-                block = area_direct(block)
+                block = emitter_direct(block)
 
             bsdf_flags = jnp.asarray(np.asarray(sa.bsdf_flags_host, np.int32))
 

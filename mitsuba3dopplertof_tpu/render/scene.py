@@ -59,7 +59,7 @@ class SceneArrays:
            "sggx_grid", "sggx_w2g",
            "bvh", "anim_blas", "chunk_aabb", "mesh_attr", "measured",
            "measured_pol",
-           "bsphere_radius"]
+           "bsphere_radius", "bsphere_center"]
     )
     META_FIELDS = [
         "n_static_tris", "n_anim_tris", "anim_ranges", "bsdf_types_present",
@@ -817,6 +817,7 @@ class Scene:
             inst_int_medium=jnp.asarray(
                 inst_int_medium if inst_int_medium else [-1], jnp.int32),
             bsphere_radius=jnp.float32(radius),
+            bsphere_center=jnp.asarray(center, jnp.float32),
             n_static_tris=n_static,
             n_anim_tris=n_anim,
             anim_ranges=tuple(anim_ranges),

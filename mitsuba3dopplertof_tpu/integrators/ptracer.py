@@ -96,7 +96,20 @@ class PTracerIntegrator(SamplingIntegrator):
         sa = scene.compile()
 
         sp = sensor.device_params()
+        kind = getattr(sp, "kind", None)
+        if kind not in (0, 1):
+            raise RuntimeError(
+                "ptracer: only perspective and thinlens sensors are "
+                f"supported (got sensor kind {kind!r}); use a camera-path "
+                "integrator for meters/orthographic/batch sensors")
+        # thinlens: one lens sample per light path; the splat maps vertices
+        # to film through the sampled lens point (reference thinlens.cpp
+        # sample_direction) — the (1/A)/cos^3/d^2 importance is unchanged,
+        # evaluated from the lens point (the 1/(pi R^2) aperture pdf
+        # cancels the aperture area in the lens importance)
+        lens = sensor.device_lens_params() if kind == 1 else None
         tan_x, tan_y = sp.tan_half_x, sp.tan_half_y
+        pp_ox, pp_oy = sp.pp_ox, sp.pp_oy
         A_rect = 4.0 * tan_x * tan_y
         cam = sp.m
 
@@ -114,6 +127,15 @@ class PTracerIntegrator(SamplingIntegrator):
             pos2, state = sampler.next_2d(state, active)
             dir2, state = sampler.next_2d(state, active)
             s_tri, state = sampler.next_1d(state, active)
+            if lens is not None:
+                ap_r, focus_d = lens
+                ap2, state = sampler.next_2d(state, active)
+                from ..core.warp import disk_concentric_c
+                lpx, lpy = disk_concentric_c(ap2[0], ap2[1])
+                lpx = lpx * ap_r
+                lpy = lpy * ap_r
+            else:
+                lpx = lpy = jnp.zeros((n,), jnp.float32)
             ne = max(sa.n_emitters, 1)
             idx = jnp.minimum((s_sel * ne).astype(jnp.int32), ne - 1)
 
@@ -137,8 +159,10 @@ class PTracerIntegrator(SamplingIntegrator):
             no = zero > 1.0
             # cosine-hemisphere local direction shared by all surface types
             loc = warp.cosine_hemisphere_c(dir2[0], dir2[1])
-            cam_o = Vec3(jnp.full((n,), cam[3]), jnp.full((n,), cam[7]),
-                         jnp.full((n,), cam[11]))
+            # world-space aperture point (== camera origin for a pinhole)
+            lens_w = Vec3(cam[0] * lpx + cam[1] * lpy + cam[3],
+                          cam[4] * lpx + cam[5] * lpy + cam[7],
+                          cam[8] * lpx + cam[9] * lpy + cam[11])
             R_b = jnp.asarray(sa.bsphere_radius, jnp.float32)
             C_b = sa.bsphere_center
             area_b = 4.0 * math.pi * R_b * R_b
@@ -270,7 +294,7 @@ class PTracerIntegrator(SamplingIntegrator):
                         # back along the ray; toward the camera = the texel
                         # the camera sees looking at this proxy point
                         L_ray = envmap_eval(sa, Vec3(-d_c.x, -d_c.y, -d_c.z))
-                        v_cam = normalize(o_c - cam_o)
+                        v_cam = normalize(o_c - lens_w)
                         L_cam = envmap_eval(sa, v_cam)
                     else:
                         L_ray = L_cam = rad
@@ -300,7 +324,7 @@ class PTracerIntegrator(SamplingIntegrator):
 
             def connect(block, p, n_s, contrib, active_c, is_surface,
                         wi_local, lane_bsdf, tex_refl, tex_mask):
-                """Connect a vertex to the pinhole and splat."""
+                """Connect a vertex to the aperture point and splat."""
                 # camera-space position of the vertex
                 rx = p.x - cam[3]
                 ry = p.y - cam[7]
@@ -309,18 +333,28 @@ class PTracerIntegrator(SamplingIntegrator):
                 cy = cam[1] * rx + cam[5] * ry + cam[9] * rz
                 cz = cam[2] * rx + cam[6] * ry + cam[10] * rz
                 ok = active_c & (cz > 1e-4)
-                sx = 0.5 * (1.0 - cx / jnp.maximum(cz, 1e-8) / tan_x)
-                sy = 0.5 * (1.0 - cy / jnp.maximum(cz, 1e-8) / tan_y)
+                czs = jnp.maximum(cz, 1e-8)
+                if lens is not None:
+                    # film coordinate through the lens: intersect the
+                    # vertex->lens ray with the focus plane, then invert
+                    # the central projection (thinlens.cpp sample_ray)
+                    dcx = lpx / focus_d + (cx - lpx) / czs
+                    dcy = lpy / focus_d + (cy - lpy) / czs
+                else:
+                    dcx = cx / czs
+                    dcy = cy / czs
+                sx = 0.5 * (1.0 - dcx / tan_x) - pp_ox
+                sy = 0.5 * (1.0 - dcy / tan_y) - pp_oy
                 ok = ok & (sx >= 0) & (sx < 1) & (sy >= 0) & (sy < 1)
-                dist2 = cx * cx + cy * cy + cz * cz
+                ex = cx - lpx
+                ey = cy - lpy
+                dist2 = ex * ex + ey * ey + cz * cz
                 dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
                 ct = cz / dist
                 importance = (1.0 / A_rect) / jnp.maximum(ct * ct * ct, 1e-8)
                 wgt = importance / jnp.maximum(dist2, 1e-20)
                 # visibility
-                cam_o = Vec3(jnp.full((n,), cam[3]), jnp.full((n,), cam[7]),
-                             jnp.full((n,), cam[11]))
-                to_cam = (cam_o - p) * (1.0 / dist)
+                to_cam = (lens_w - p) * (1.0 / dist)
                 sh_o = p + n_s * jnp.where(dot(n_s, to_cam) >= 0, 1e-4, -1e-4)
                 shadow = Ray(sh_o, to_cam, time,
                              dist * (1.0 - SHADOW_EPSILON))
@@ -339,7 +373,7 @@ class PTracerIntegrator(SamplingIntegrator):
             # (reference sample_visible_emitters, ptracer.cpp:80-81):
             # contribution = L_toward_camera * cos(theta_emitter) / p(pos)
             def emitter_direct(block):
-                dd = normalize(cam_o - o)
+                dd = normalize(lens_w - o)
                 cos_e = dot(emit_n, dd)
                 contrib = (direct_base * jnp.maximum(cos_e, 0.0)
                            * float(ne))
@@ -360,9 +394,7 @@ class PTracerIntegrator(SamplingIntegrator):
                 lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
 
                 # direction to camera in local frame for the bsdf eval
-                cam_o = Vec3(jnp.full((n,), cam[3]), jnp.full((n,), cam[7]),
-                             jnp.full((n,), cam[11]))
-                to_cam = normalize(cam_o - si.p)
+                to_cam = normalize(lens_w - si.p)
                 wo_cam = si.to_local(to_cam)
 
                 s1, state = sampler.next_1d(state, act)

@@ -121,3 +121,77 @@ def test_hide_emitters_removes_direct_term_only():
         256), spp=256, seed=0))
     assert hid.sum() < vis.sum() * 0.9
     assert hid.sum() > 0  # indirect floor lighting remains
+
+
+def _lens_scene(integ, spp, sensor_extra=None, ppx=0.0):
+    sensor = {"type": "thinlens", "fov": 45,
+              "aperture_radius": 0.25, "focus_distance": 3.0,
+              "to_world": tf.look_at([0, 0, -3], [0, 0, 0], [0, 1, 0]),
+              "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                       "rfilter": {"type": "box"}},
+              "sampler": {"type": "independent", "sample_count": spp}}
+    if sensor_extra:
+        sensor.update(sensor_extra)
+    if ppx:
+        sensor["principal_point_offset_x"] = ppx
+    return mi.load_dict({
+        "type": "scene", "integrator": integ, "sensor": sensor,
+        # bright emitter sphere well OUT of focus (1.5 in front of the
+        # focus plane) -> defocus disk on film
+        "light": {"type": "sphere", "radius": 0.08,
+                  "to_world": tf.translate([0, 0, -1.5]),
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb", "value": 50.0}}}})
+
+
+def test_thinlens_ptracer_defocus_parity():
+    """Light tracing through the thin lens reproduces both the energy and
+    the defocus footprint of the camera-path render (the lens-point film
+    mapping, reference thinlens.cpp sample_direction)."""
+    fw = np.asarray(mi.render(_lens_scene(
+        {"type": "path", "max_depth": 2}, 256), spp=256, seed=0))
+    lt = np.asarray(mi.render(_lens_scene(
+        {"type": "ptracer", "max_depth": 2}, 1024), spp=1024, seed=0))
+    assert abs(lt.sum() / fw.sum() - 1.0) < 0.15, (lt.sum(), fw.sum())
+    # footprint: pixels carrying >1% of the max — blur disks must match
+    f_fw = (fw.sum(-1) > 0.01 * fw.sum(-1).max()).sum()
+    f_lt = (lt.sum(-1) > 0.01 * lt.sum(-1).max()).sum()
+    assert abs(f_lt - f_fw) <= max(6, 0.3 * f_fw), (f_fw, f_lt)
+    # and it must actually be blurred: wider than the in-focus footprint
+    fw_pin = np.asarray(mi.render(_lens_scene(
+        {"type": "path", "max_depth": 2}, 256,
+        sensor_extra={"aperture_radius": 1e-5}), spp=256, seed=0))
+    f_pin = (fw_pin.sum(-1) > 0.01 * fw_pin.sum(-1).max()).sum()
+    assert f_lt > 2 * f_pin, (f_lt, f_pin)
+
+
+def test_ptracer_principal_point_offset():
+    """The splat inverse mapping honors principal_point_offset (both
+    integrators shift identically)."""
+    def shift(integ, spp):
+        base = np.asarray(mi.render(_lens_scene(integ, spp), spp=spp,
+                                    seed=0))
+        off = np.asarray(mi.render(_lens_scene(integ, spp, ppx=0.25),
+                                   spp=spp, seed=0))
+        cols = np.arange(base.shape[1])
+
+        def centroid(img):
+            prof = img.sum(axis=(0, 2))
+            return (prof * cols).sum() / prof.sum()
+        return centroid(off) - centroid(base)
+    s_lt = shift({"type": "ptracer", "max_depth": 2}, 512)
+    s_fw = shift({"type": "path", "max_depth": 2}, 128)
+    assert abs(s_lt - s_fw) < 0.5, (s_lt, s_fw)
+    assert abs(s_lt - (-6.0)) < 0.5, s_lt  # 0.25 * 24 px
+
+
+def test_ptracer_rejects_unsupported_sensor():
+    sc = mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "ptracer", "max_depth": 2},
+        "sensor": {"type": "radiancemeter",
+                   "film": {"type": "hdrfilm", "width": 1, "height": 1},
+                   "sampler": {"type": "independent", "sample_count": 4}},
+        "light": {"type": "constant"}})
+    with pytest.raises(RuntimeError, match="ptracer.*sensor"):
+        mi.render(sc, spp=4, seed=0)

@@ -398,4 +398,23 @@ __all__ = ["LAMBDA_MIN", "LAMBDA_MAX", "LAMBDA_RANGE",
            "cie_xbar", "cie_ybar", "cie_zbar", "d65_spd", "xyz_weights",
            "y_integral", "fit_reflectance_coeffs", "rgb_of_coeffs",
            "eval_reflectance_spectrum", "eval_emission_spectrum", "d65_y_norm",
-           "xyz_to_srgb_np", "srgb_to_xyz_np"]
+           "xyz_to_srgb_np", "srgb_to_xyz_np", "hero_to_srgb"]
+
+
+def hero_to_srgb(spec, wavelengths):
+    """MC estimate of linear sRGB from 3 hero-wavelength radiance samples
+    riding the Vec3 channels: XYZ = (range/3) * sum_i v_i * cmf(lambda_i)
+    (each hero wavelength has pdf 1/range), then XYZ->sRGB. Linear in the
+    samples, so converting before a film splat == converting at develop."""
+    from .vec import Vec3
+    K = LAMBDA_RANGE / 3.0
+    xs = [xyz_weights(l) for l in
+          (wavelengths.x, wavelengths.y, wavelengths.z)]
+    vals = (spec.x, spec.y, spec.z)
+    X = K * sum(v * c[0] for v, c in zip(vals, xs))
+    Y = K * sum(v * c[1] for v, c in zip(vals, xs))
+    Z = K * sum(v * c[2] for v, c in zip(vals, xs))
+    M = _XYZ_TO_SRGB
+    return Vec3(M[0, 0] * X + M[0, 1] * Y + M[0, 2] * Z,
+                M[1, 0] * X + M[1, 1] * Y + M[1, 2] * Z,
+                M[2, 0] * X + M[2, 1] * Y + M[2, 2] * Z)

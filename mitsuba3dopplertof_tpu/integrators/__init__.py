@@ -412,21 +412,8 @@ def _build_sample_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
                                              right=0.0)
                 srf_values.append(K * ch)
         elif spectral:
-            # per-lane MC spectral->XYZ->sRGB (linear, so converting before
-            # the splat == converting at develop): XYZ = (range/3) * sum_i
-            # v_i * cmf(lambda_i)   (pdf of each hero wavelength = 1/range)
-            from ..core import cie as _cie
-            K = _cie.LAMBDA_RANGE / 3.0
-            xs = [_cie.xyz_weights(l) for l in
-                  (wavelengths.x, wavelengths.y, wavelengths.z)]
-            vals = (spec.x, spec.y, spec.z)
-            X = K * sum(v * c[0] for v, c in zip(vals, xs))
-            Y = K * sum(v * c[1] for v, c in zip(vals, xs))
-            Z = K * sum(v * c[2] for v, c in zip(vals, xs))
-            M = _cie._XYZ_TO_SRGB
-            spec = Vec3(M[0, 0] * X + M[0, 1] * Y + M[0, 2] * Z,
-                        M[1, 0] * X + M[1, 1] * Y + M[1, 2] * Z,
-                        M[2, 0] * X + M[2, 1] * Y + M[2, 2] * Z)
+            from ..core.cie import hero_to_srgb
+            spec = hero_to_srgb(spec, wavelengths)
 
         one = jnp.ones((n,), jnp.float32)
         if srf_values is not None:

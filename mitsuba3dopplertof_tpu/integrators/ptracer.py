@@ -62,13 +62,10 @@ class PTracerIntegrator(SamplingIntegrator):
     def loop_iterations(self):
         return min(self.max_depth, 32)
 
+    spectral_mode = "hero"
+
     def render(self, scene, sensor=None, seed: int = 0, spp: int = 0,
                *_ptracer_args_guard, **_ptracer_kw_guard):
-        import mitsuba3dopplertof_tpu as _mi
-        if _mi.variant() in ("tpu_spectral",):
-            raise RuntimeError(
-                "integrator 'ptracer' does not support the tpu_spectral "
-                "variant yet")
         return self._render_impl(scene, sensor=sensor, seed=seed, spp=spp,
                                  *_ptracer_args_guard, **_ptracer_kw_guard)
 
@@ -136,6 +133,19 @@ class PTracerIntegrator(SamplingIntegrator):
                 lpy = lpy * ap_r
             else:
                 lpx = lpy = jnp.zeros((n,), jnp.float32)
+            if sa.spectral:
+                # hero-wavelength sampling (one draw -> 3 rotated
+                # wavelengths; integrator.cpp:497-499)
+                from ..core.cie import LAMBDA_MIN, LAMBDA_RANGE
+                wls, state = sampler.next_1d(state, active)
+
+                def hero(k):
+                    u = wls + k * (1.0 / 3.0)
+                    u = u - jnp.floor(u)
+                    return LAMBDA_MIN + u * LAMBDA_RANGE
+                wavelengths = Vec3(hero(0), hero(1), hero(2))
+            else:
+                wavelengths = None
             ne = max(sa.n_emitters, 1)
             idx = jnp.minimum((s_sel * ne).astype(jnp.int32), ne - 1)
 
@@ -152,8 +162,10 @@ class PTracerIntegrator(SamplingIntegrator):
                 return t1 * lv.x + t2 * lv.y + nv * lv.z
 
             etype = gather_small(sa.emitter_type, idx)
-            rad = Vec3(epar(E_INTENSITY), epar(E_INTENSITY + 1),
-                       epar(E_INTENSITY + 2))
+            # rgb intensity, or the emission SPD at the hero wavelengths
+            # under tpu_spectral (srgb.cpp emission upsampling)
+            from ..emitters import _lane_intensity
+            rad = _lane_intensity(epar, wavelengths)
             zero = jnp.zeros((n,), jnp.float32)
             z3 = Vec3(zero, zero, zero)
             no = zero > 1.0
@@ -361,6 +373,11 @@ class PTracerIntegrator(SamplingIntegrator):
                 occ = ray_test(sa, shadow, ok)
                 ok = ok & ~occ
                 val = contrib * wgt
+                if wavelengths is not None:
+                    # film stores sRGB: per-lane MC spectral->sRGB, linear
+                    # so pre-splat conversion == develop-time conversion
+                    from ..core.cie import hero_to_srgb
+                    val = hero_to_srgb(val, wavelengths)
                 px = jnp.clip((sx * W).astype(jnp.int32), 0, W - 1)
                 py = jnp.clip((sy * H).astype(jnp.int32), 0, H - 1)
                 okf = jnp.where(ok, 1.0, 0.0)
@@ -406,12 +423,16 @@ class PTracerIntegrator(SamplingIntegrator):
                         sa.bsdf_params[P_REFL_TEX],
                         lane_bsdf).astype(jnp.int32)
                     tex_mask = lane_tex >= 0
-                    tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim)
+                    tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v,
+                                            p=si.p, b_u=si.b_u, b_v=si.b_v,
+                                            prim=si.prim,
+                                            wavelengths=wavelengths)
                 else:
                     tex_mask = tex_refl = None
                 bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_cam,
                                           s1, s2[0], s2[1],
-                                          tex_refl, tex_mask)
+                                          tex_refl, tex_mask,
+                                          wavelengths=wavelengths)
 
                 # splat vertex -> camera (bs.val_nee = f * cos(wo_cam))
                 block = connect(block, si.p, si.n, throughput * bs.val_nee,

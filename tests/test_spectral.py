@@ -101,9 +101,21 @@ def test_neutral_and_unsupported(scenes):
     v = np.asarray(mi.load_dict({"type": "velocity", "time": 0.0015})
                    .render(s_sp, seed=0, spp=4))
     assert np.isfinite(v).all()
-    with pytest.raises(RuntimeError, match="tpu_spectral"):
-        mi.load_dict({"type": "ptracer", "max_depth": 4}).render(
-            s_sp, seed=0, spp=4)
+
+
+def test_spectral_ptracer_matches_rgb(scenes):
+    """Light tracing under tpu_spectral (hero wavelengths sampled per
+    light path, emission SPDs, spectral->sRGB at the splat) converges to
+    the rgb ptracer render up to metamerism."""
+    s_rgb, s_sp = scenes
+    integ = {"type": "ptracer", "max_depth": 4}
+    mi.set_variant("tpu_rgb")
+    a = np.asarray(mi.load_dict(integ).render(s_rgb, seed=0, spp=256))
+    mi.set_variant("tpu_spectral")
+    b = np.asarray(mi.load_dict(integ).render(s_sp, seed=0, spp=256))
+    assert np.isfinite(b).all()
+    ratio = b[..., :3].mean() / a[..., :3].mean()
+    assert abs(ratio - 1.0) < 0.08, ratio
 
 
 def test_spectral_volpath_beer_lambert():

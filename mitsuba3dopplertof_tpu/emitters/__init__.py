@@ -401,6 +401,15 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
         elif tid == EMITTER_ENVMAP:
             ds, spec = envmap_sample_direction(sa, ref_p, s_x, s_y)
             ds = ds._replace(emitter=index)
+        elif tid == EMITTER_DIRECTIONALAREA:
+            # delta-direction area emitter: NEE cannot sample it
+            # (reference directionalarea.cpp — sample_direction degenerate;
+            # transport it with ptracer)
+            z = jnp.zeros((n,), dtype)
+            z3v = Vec3(z, z, z)
+            ds = DirectionSample(z3v, z3v, z3v, z, z, jnp.ones((n,), bool),
+                                 index)
+            spec = z3v
         elif tid == EMITTER_CONSTANT:
             from ..core import warp as _warp
             dirn = _warp.uniform_sphere_c(s_x, s_y)
@@ -571,6 +580,11 @@ def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter,
 
     front = dot(si_n, towards) > 0.0
     ok = (lane_emitter >= 0) & front
+    if EMITTER_DIRECTIONALAREA in sa.emitter_types_present:
+        # delta-direction emission: a regular ray hit sees zero radiance
+        # (reference directionalarea.cpp eval)
+        lane_type = gather_small(sa.emitter_type, idx)
+        ok = ok & (lane_type != EMITTER_DIRECTIONALAREA)
     w = jnp.where(ok, 1.0, 0.0)
     return _lane_intensity(param, wavelengths) * w
 

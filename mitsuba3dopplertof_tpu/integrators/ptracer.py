@@ -30,6 +30,7 @@ from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample
 from ..emitters import (EMITTER_POINT, EMITTER_AREA_RECT, EMITTER_CONSTANT,
                         EMITTER_AREA_MESH, EMITTER_DIRECTIONAL, EMITTER_SPOT,
                         EMITTER_ENVMAP, EMITTER_AREA_SPHERE,
+                        EMITTER_PROJECTOR, EMITTER_DIRECTIONALAREA,
                         E_POS, E_INTENSITY, E_AREA, E_CUTOFF, E_BEAM,
                         envmap_eval)
 from ..films import develop
@@ -291,6 +292,48 @@ class PTracerIntegrator(SamplingIntegrator):
                         invp = jnp.where(mask, ip, invp)
                     cand = (o_m, frame_dir(n_m, loc), n_m,
                             rad * (invp * math.pi), rad * invp, ~no)
+                elif tid == EMITTER_PROJECTOR:
+                    # delta position; direction uniform over the image
+                    # plane at z=1 in projector space (pdf_A = 1/(4 th^2));
+                    # pdf_w = pdf_A * r^3 (dw = dA cos/r^2, cos = 1/r), so
+                    # w = I(u,v) * A_p / r^3 (reference projector.cpp
+                    # sample_ray; square frustum as in the NEE eval)
+                    o_c = Vec3(epar(E_POS), epar(E_POS + 1), epar(E_POS + 2))
+                    th = epar(E_CUTOFF)
+                    lx = (1.0 - 2.0 * dir2[0]) * th
+                    ly = (1.0 - 2.0 * dir2[1]) * th
+                    r2 = 1.0 + lx * lx + ly * ly
+                    inv_r = jax.lax.rsqrt(r2)
+                    d_c = Vec3(
+                        (erow(0) * lx + erow(1) * ly + erow(2)) * inv_r,
+                        (erow(4) * lx + erow(5) * ly + erow(6)) * inv_r,
+                        (erow(8) * lx + erow(9) * ly + erow(10)) * inv_r)
+                    base = rad
+                    if int(sa.n_textures) > 0:
+                        from ..textures import eval_texture
+                        texid = epar(E_BEAM).astype(jnp.int32)
+                        tx = eval_texture(sa, jnp.maximum(texid, 0),
+                                          dir2[0], dir2[1],
+                                          wavelengths=wavelengths)
+                        base = where3(texid >= 0, tx, base)
+                    A_p = 4.0 * th * th
+                    w_c = base * (A_p * inv_r * inv_r * inv_r)
+                    cand = (o_c, d_c, d_c, w_c, z3, no)
+                elif tid == EMITTER_DIRECTIONALAREA:
+                    # collimated area source: uniform rect position, exact
+                    # normal direction (delta), w = L * A (reference
+                    # directionalarea.cpp sample_ray; rect shapes)
+                    lx = 2.0 * pos2[0] - 1.0
+                    ly = 2.0 * pos2[1] - 1.0
+                    o_c = Vec3(erow(0) * lx + erow(1) * ly + erow(3),
+                               erow(4) * lx + erow(5) * ly + erow(7),
+                               erow(8) * lx + erow(9) * ly + erow(11))
+                    nrm = normalize(
+                        Vec3(erow(4) * erow(9) - erow(8) * erow(5),
+                             erow(8) * erow(1) - erow(0) * erow(9),
+                             erow(0) * erow(5) - erow(4) * erow(1)))
+                    w_c = rad * epar(E_AREA)
+                    cand = (o_c, nrm, nrm, w_c, z3, no)
                 elif tid in (EMITTER_CONSTANT, EMITTER_ENVMAP):
                     # environment: emit inward from the scene bounding
                     # sphere (reference constant.cpp:59-76 sample_ray);

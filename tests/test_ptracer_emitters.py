@@ -195,3 +195,34 @@ def test_ptracer_rejects_unsupported_sensor():
         "light": {"type": "constant"}})
     with pytest.raises(RuntimeError, match="ptracer.*sensor"):
         mi.render(sc, spp=4, seed=0)
+
+
+def test_projector_emitter():
+    _parity({"light": {"type": "projector",
+                       "to_world": tf.look_at([0, 3, 0], [0, 0, 0],
+                                              [0, 0, 1]),
+                       "fov": 40.0,
+                       "irradiance": {"type": "rgb", "value": 25.0}}})
+
+
+def test_directionalarea_collimated_beam():
+    """directionalarea is ptracer-only transport (reference
+    directionalarea.cpp): the collimated beam deposits irradiance == L on
+    the floor (exit radiance L*rho/pi), while a camera-path render sees
+    nothing (eval == 0, NEE skips the delta direction)."""
+    em = {"light": {"type": "rectangle",
+                    "to_world": tf.translate([0, 2, 0])
+                    @ tf.rotate([1, 0, 0], 90) @ tf.scale([0.5, 0.5, 1]),
+                    "emitter": {"type": "directionalarea",
+                                "radiance": {"type": "rgb", "value": 5.0}}}}
+    lt = np.asarray(mi.render(_scene(
+        em, {"type": "ptracer", "max_depth": 3}, 768), spp=768, seed=0))
+    assert np.isfinite(lt).all()
+    # brightest floor pixels (inside the beam) ~ L * rho / pi
+    expect = 5.0 * 0.7 / np.pi
+    bright = lt.sum(-1) / 3.0
+    top = np.sort(bright.ravel())[-4:]
+    assert abs(top.mean() / expect - 1.0) < 0.25, (top, expect)
+    fw = np.asarray(mi.render(_scene(
+        em, {"type": "path", "max_depth": 3}, 64), spp=64, seed=0))
+    assert fw.sum() == 0.0

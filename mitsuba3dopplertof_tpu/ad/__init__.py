@@ -4,6 +4,7 @@ low-level gradient entry points."""
 
 from ..render.ad import render_grad, value_and_render_grad, DIFF_FIELDS
 from . import integrators
+from .optimizers import Optimizer, SGD, Adam
 
 __all__ = ["render_grad", "value_and_render_grad", "DIFF_FIELDS",
-           "integrators"]
+           "integrators", "Optimizer", "SGD", "Adam"]

@@ -83,6 +83,7 @@ from .core.transform import (Transform4f, ScalarTransform4f,
                              AnimatedTransform)
 from .core import mueller                   # mi.mueller.* (reference parity)
 from .core import microfacet
+from .core import math as math              # mi.math.rlgamma etc.
 from .core.fresnel import (fresnel_dielectric, fresnel_conductor,
                            reflect, refract)
 from .core.mueller import fresnel_polarized
@@ -153,6 +154,6 @@ __all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant"
            "render_grad", "value_and_render_grad",
            "util", "cornell_box",
            "Transform4f", "ScalarTransform4f", "AnimatedTransform",
-           "mueller", "microfacet", "fresnel_dielectric",
+           "mueller", "microfacet", "math", "fresnel_dielectric",
            "fresnel_conductor", "fresnel_polarized", "reflect", "refract",
            "__version__"]

@@ -102,3 +102,11 @@ __all__ = [
     "dot", "cross", "norm", "normalize", "safe_rcp", "safe_sqrt", "sqr",
     "fmadd", "lerp", "mis_weight_power", "coordinate_system", "Frame",
 ]
+
+
+def rlgamma(a, x):
+    """Regularized lower incomplete gamma function P(a, x)
+    (reference src/python/python/math.py rlgamma — the chi2 test's
+    p-value kernel). Scalar python floats, no scipy."""
+    from ..utils.chi2 import _gammainc_upper_reg
+    return 1.0 - _gammainc_upper_reg(float(a), float(x))

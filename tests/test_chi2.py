@@ -172,3 +172,19 @@ def test_hg_phase_chi2():
     t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_count=200_000,
                       res=15)
     assert t.run(), t.messages
+
+
+def test_math_rlgamma():
+    """mi.math.rlgamma (reference src/python/python/math.py): P(1,x) =
+    1 - exp(-x); P(a,0) = 0; chi2 p-value consistency with the suite's
+    own survival function."""
+    import math
+    import mitsuba3dopplertof_tpu as mi
+    from mitsuba3dopplertof_tpu.utils.chi2 import _chi2_sf
+    for x in (0.05, 1.0, 4.5):
+        assert abs(mi.math.rlgamma(1.0, x) - (1.0 - math.exp(-x))) < 1e-10
+    assert mi.math.rlgamma(2.0, 0.0) == 0.0
+    # sf(x; k) == 1 - P(k/2, x/2)
+    for k, x in ((3, 2.0), (10, 11.5)):
+        assert abs((1.0 - mi.math.rlgamma(0.5 * k, 0.5 * x))
+                   - _chi2_sf(x, k)) < 1e-12

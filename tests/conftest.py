@@ -15,3 +15,6 @@ os.environ.setdefault(
 if not os.environ.get("MI_TPU_TESTS"):
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+# expose the package's reference-parity test fixtures (mi.test.util)
+from mitsuba3dopplertof_tpu.test.util import tmpfile  # noqa: F401,E402

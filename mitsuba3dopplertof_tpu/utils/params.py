@@ -43,15 +43,45 @@ def traverse(scene) -> SceneParameters:
         entries[key] = value
         setters[key] = setter
 
+    # editable BSDF parameters, recursing through adapter BSDFs
+    # (twosided/mask/blend/normalmap — reference traverse exposes the
+    # nested plugin's params under the child's path, util.py:288)
+    color_attrs = ("reflectance", "specular_reflectance",
+                   "specular_transmittance", "transmittance",
+                   "diffuse_reflectance", "sigma_a", "eta", "k")
+    scalar_attrs = ("alpha", "alpha_u", "alpha_v", "weight", "int_ior",
+                    "ext_ior", "theta")
+
+    def walk_bsdf(prefix, b, seen):
+        if b is None or id(b) in seen:
+            return
+        seen.add(id(b))
+        for attr in color_attrs:
+            v = getattr(b, attr, None)
+            if v is None or np.ndim(v) != 1 or np.size(v) != 3:
+                continue
+
+            def csetter(val, b=b, attr=attr):
+                setattr(b, attr, np.asarray(val, np.float64).reshape(3))
+            add(f"{prefix}.{attr}.value", np.asarray(v, np.float64),
+                csetter)
+        for attr in scalar_attrs:
+            v = getattr(b, attr, None)
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                continue
+
+            def ssetter(val, b=b, attr=attr):
+                setattr(b, attr, float(np.asarray(val).reshape(())))
+            add(f"{prefix}.{attr}", float(v), ssetter)
+        for nattr in ("nested", "nested_bsdf"):
+            nb = getattr(b, nattr, None)
+            if nb is not None and not isinstance(nb, (list, tuple)):
+                nid = getattr(nb, "id", None) or "nested"
+                walk_bsdf(f"{prefix}.{nid}", nb, seen)
+
     for i, sh in enumerate(scene.shapes):
         sid = sh.id or f"shape_{i}"
-        b = sh.bsdf
-        if b is not None and hasattr(b, "reflectance"):
-            key = f"{sid}.bsdf.reflectance.value"
-
-            def setter(v, b=b):
-                b.reflectance = np.asarray(v, np.float64).reshape(3)
-            add(key, np.asarray(b.reflectance), setter)
+        walk_bsdf(f"{sid}.bsdf", sh.bsdf, set())
         at = sh.to_world
 
         def tsetter(v, sh=sh):

@@ -62,3 +62,31 @@ def test_render_reuses_compiled_program():
     mi.render(scene, spp=16, seed=0)
     counts4 = _trace_counts(integ)
     assert len(counts4) == 2 * len(counts1), counts4
+
+
+def test_traverse_exposes_nested_bsdf_params():
+    """traverse recurses adapter BSDFs and round-trips edits through the
+    compiled tables (reference util.py traverse semantics)."""
+    scene = mi.load_string(XML)
+    params = mi.traverse(scene)
+    keys = [k for k in params if "reflectance" in k]
+    assert keys, list(params)
+    base = np.asarray(mi.render(scene, spp=16, seed=0))
+    params[keys[0]] = np.asarray([0.1, 0.1, 0.1])
+    params.update()
+    dark = np.asarray(mi.render(scene, spp=16, seed=0))
+    assert dark.sum() < 0.3 * base.sum(), (base.sum(), dark.sum())
+
+
+def test_traverse_scalar_roughness():
+    scene = mi.load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective"},
+        "s": {"type": "rectangle",
+              "bsdf": {"type": "roughconductor", "alpha": 0.1}}})
+    params = mi.traverse(scene)
+    key = [k for k in params if k.endswith(".alpha_u")][0]
+    assert params[key] == 0.1
+    params[key] = 0.4
+    params.update()
+    assert scene.shapes[0].bsdf.alpha_u == 0.4

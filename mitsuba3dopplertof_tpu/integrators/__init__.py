@@ -48,6 +48,10 @@ from ..sensors import sample_ray_kind as sensor_sample_ray_kind
 # analogous limit is the 2^32 wavefront cap, integrator.cpp:227-245)
 DEFAULT_MAX_LANES = 1 << 20
 
+# render/ad.py flips this while tracing gradients: reverse-mode AD needs
+# the statically-bounded fori_loop bounce loop (while_loop has no VJP)
+_STATIC_BOUNCE_LOOP = False
+
 
 def mis_weight(pdf_a, pdf_b):
     """Power heuristic with the reference's non-finite guard
@@ -719,10 +723,26 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
 
     # device loop: one compiled bounce body (the XLA analog of the
     # reference's recorded dr::Loop megakernel, dopplertofpath.cpp:121-128
-    # with set_max_iterations) — compile time stays O(1) in max_depth
+    # with set_max_iterations) — compile time stays O(1) in max_depth.
+    # Primal uncorrelated renders exit as soon as every lane terminated
+    # (dr::Loop's implicit behavior): with RR the mean depth is far below
+    # max_depth, so deep-path scenes stop paying for empty bounces. The
+    # static fori_loop stays for (a) correlated/doppler transport, whose
+    # antithetic pair replay requires lockstep draw positions, and (b)
+    # reverse-mode AD, where while_loop has no VJP (_STATIC_BOUNCE_LOOP,
+    # set by render/ad.py while tracing gradients).
     carry = (state, ray, throughput, result, path_length, eta, depth,
              valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta, active)
-    carry = jax.lax.fori_loop(0, integrator.loop_iterations, bounce, carry)
+    L = integrator.loop_iterations
+    early = (not use_correlate and not _STATIC_BOUNCE_LOOP
+             and not os.environ.get("MI_NO_EARLY_EXIT"))
+    if early:
+        carry = jax.lax.while_loop(
+            lambda c: (c[0] < L) & jnp.any(c[1][-1]),
+            lambda c: (c[0] + 1, bounce(c[0], c[1])),
+            (jnp.int32(0), carry))[1]
+    else:
+        carry = jax.lax.fori_loop(0, L, bounce, carry)
     (state, ray, throughput, result, path_length, eta, depth, valid_ray,
      prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
 

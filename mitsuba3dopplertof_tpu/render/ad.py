@@ -79,8 +79,12 @@ def _render_image_fn(integrator, scene, sensor, spp, seed, max_lanes):
         # the Pallas kernels define no VJP, and geometry gradients
         # (GEOM_DIFF_FIELDS) only flow through the XLA path
         from . import scene as _scene_mod
+        from .. import integrators as _integ_mod
         old_pallas = _scene_mod.USE_PALLAS
+        old_static = _integ_mod._STATIC_BOUNCE_LOOP
         _scene_mod.USE_PALLAS = False
+        # while_loop (the primal early-exit bounce loop) has no VJP
+        _integ_mod._STATIC_BOUNCE_LOOP = True
         try:
             sa_local = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(sa),
@@ -95,6 +99,7 @@ def _render_image_fn(integrator, scene, sensor, spp, seed, max_lanes):
             return develop(block, film.has_alpha)
         finally:
             _scene_mod.USE_PALLAS = old_pallas
+            _integ_mod._STATIC_BOUNCE_LOOP = old_static
 
     return f, sa
 

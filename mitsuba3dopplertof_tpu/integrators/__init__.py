@@ -53,6 +53,23 @@ DEFAULT_MAX_LANES = 1 << 20
 _STATIC_BOUNCE_LOOP = False
 
 
+def bounce_loop(bounce, carry, iterations, allow_early_exit=True):
+    """Run the per-bounce body up to ``iterations`` times; when allowed,
+    exit as soon as every lane has terminated (dr::Loop's implicit
+    behavior). ``carry[-1]`` must be the active mask. Early exit is
+    disabled for correlated/doppler transport (callers pass
+    allow_early_exit=False: antithetic pair replay requires lockstep draw
+    positions), under reverse-mode AD (_STATIC_BOUNCE_LOOP — while_loop
+    has no VJP), and with MI_NO_EARLY_EXIT=1."""
+    if (allow_early_exit and not _STATIC_BOUNCE_LOOP
+            and not os.environ.get("MI_NO_EARLY_EXIT")):
+        return jax.lax.while_loop(
+            lambda c: (c[0] < iterations) & jnp.any(c[1][-1]),
+            lambda c: (c[0] + 1, bounce(c[0], c[1])),
+            (jnp.int32(0), carry))[1]
+    return jax.lax.fori_loop(0, iterations, bounce, carry)
+
+
 def mis_weight(pdf_a, pdf_b):
     """Power heuristic with the reference's non-finite guard
     (reference dopplertofpath.cpp:296-301)."""
@@ -733,16 +750,8 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
     # set by render/ad.py while tracing gradients).
     carry = (state, ray, throughput, result, path_length, eta, depth,
              valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta, active)
-    L = integrator.loop_iterations
-    early = (not use_correlate and not _STATIC_BOUNCE_LOOP
-             and not os.environ.get("MI_NO_EARLY_EXIT"))
-    if early:
-        carry = jax.lax.while_loop(
-            lambda c: (c[0] < L) & jnp.any(c[1][-1]),
-            lambda c: (c[0] + 1, bounce(c[0], c[1])),
-            (jnp.int32(0), carry))[1]
-    else:
-        carry = jax.lax.fori_loop(0, L, bounce, carry)
+    carry = bounce_loop(bounce, carry, integrator.loop_iterations,
+                        allow_early_exit=not use_correlate)
     (state, ray, throughput, result, path_length, eta, depth, valid_ray,
      prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
 

@@ -452,7 +452,9 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
     carry = (state, ray, throughput, tuple(T_mm), S_res, path_length, eta,
              depth, valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta,
              active)
-    carry = jax.lax.fori_loop(0, integrator.loop_iterations, bounce, carry)
+    from . import bounce_loop
+    carry = bounce_loop(bounce, carry, integrator.loop_iterations,
+                        allow_early_exit=not use_correlate)
     (state, ray, throughput, T_flat, S_res, path_length, eta, depth,
      valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
 

@@ -500,8 +500,8 @@ class PTracerIntegrator(SamplingIntegrator):
                 return block, state, ray, throughput, active
 
             carry = (block, state, ray, throughput, active)
-            carry = jax.lax.fori_loop(0, integrator.loop_iterations, bounce,
-                                      carry)
+            from . import bounce_loop
+            carry = bounce_loop(bounce, carry, integrator.loop_iterations)
             return carry[0], carry[1]
 
         block = jnp.zeros((4, H, W), jnp.float32)

@@ -640,7 +640,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
 
     carry = (state, ray, throughput, result, eta, depth, valid_ray, medium,
              prev_p, prev_pdf, prev_delta, active)
-    carry = jax.lax.fori_loop(0, integrator.loop_iterations, bounce, carry)
+    from . import bounce_loop
+    carry = bounce_loop(bounce, carry, integrator.loop_iterations)
     (state, ray, throughput, result, eta, depth, valid_ray, medium,
      prev_p, prev_pdf, prev_delta, active) = carry
 

@@ -22,7 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                  # jax >= 0.8 moved it to the top level
+    from jax import shard_map
+except ImportError:                   # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..films import block_create, block_splat_wavefront, develop
 

@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 try:                                  # jax >= 0.8 moved it to the top level
-    from jax import shard_map
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map_new(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
 except ImportError:                   # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 

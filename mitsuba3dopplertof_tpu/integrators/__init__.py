@@ -56,11 +56,16 @@ _STATIC_BOUNCE_LOOP = False
 def bounce_loop(bounce, carry, iterations, allow_early_exit=True):
     """Run the per-bounce body up to ``iterations`` times; when allowed,
     exit as soon as every lane has terminated (dr::Loop's implicit
-    behavior). ``carry[-1]`` must be the active mask. Early exit is
-    disabled for correlated/doppler transport (callers pass
-    allow_early_exit=False: antithetic pair replay requires lockstep draw
-    positions), under reverse-mode AD (_STATIC_BOUNCE_LOOP — while_loop
-    has no VJP), and with MI_NO_EARLY_EXIT=1."""
+    behavior). ``carry[-1]`` must be the active mask.
+
+    Draw-for-draw identical to the full fori_loop: PCG32 draws advance
+    only where active (core/rng.py pcg32_next_u32), so an all-dead
+    iteration is a state no-op, and nothing draws after the loop within a
+    pass (advance() re-derives per-pass streams and resets
+    dimension_index) — this is what keeps the correlated/doppler
+    antithetic pair replay bitwise intact (tests/test_doppler_variance).
+    Disabled under reverse-mode AD (_STATIC_BOUNCE_LOOP — while_loop has
+    no VJP) and with MI_NO_EARLY_EXIT=1."""
     if (allow_early_exit and not _STATIC_BOUNCE_LOOP
             and not os.environ.get("MI_NO_EARLY_EXIT")):
         return jax.lax.while_loop(
@@ -750,8 +755,7 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
     # set by render/ad.py while tracing gradients).
     carry = (state, ray, throughput, result, path_length, eta, depth,
              valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta, active)
-    carry = bounce_loop(bounce, carry, integrator.loop_iterations,
-                        allow_early_exit=not use_correlate)
+    carry = bounce_loop(bounce, carry, integrator.loop_iterations)
     (state, ray, throughput, result, path_length, eta, depth, valid_ray,
      prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
 

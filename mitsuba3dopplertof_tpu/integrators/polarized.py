@@ -453,8 +453,7 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
              depth, valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta,
              active)
     from . import bounce_loop
-    carry = bounce_loop(bounce, carry, integrator.loop_iterations,
-                        allow_early_exit=not use_correlate)
+    carry = bounce_loop(bounce, carry, integrator.loop_iterations)
     (state, ray, throughput, T_flat, S_res, path_length, eta, depth,
      valid_ray, prev_p, prev_bsdf_pdf, prev_bsdf_delta, active) = carry
 

@@ -248,27 +248,27 @@ def _delta_track(sa, sampler, state, ray, medium, t_surf, sigma_bar, alive):
     sb = jnp.maximum(sigma_bar, 1e-8)
 
     def body(_, c):
-        t, done, scat, state = c
-        u1, state = sampler.next_1d(state, alive)
+        t, done, scat, state, live = c
+        u1, state = sampler.next_1d(state, live)
         t_new = t - jnp.log(jnp.maximum(1.0 - u1, 1e-20)) / sb
         esc = t_new >= t_surf
         p = Vec3(ray.o.x + ray.d.x * t_new, ray.o.y + ray.d.y * t_new,
                  ray.o.z + ray.d.z * t_new)
         dens = _grid_density(sa, medium, p)
-        u2, state = sampler.next_1d(state, alive)
+        u2, state = sampler.next_1d(state, live)
         real = u2 < (dens / sb)
-        step = alive & ~done
-        done_now = step & (esc | real)
-        scat = jnp.where(step & ~esc & real, True, scat)
-        t = jnp.where(step, jnp.where(esc, t_surf, t_new), t)
+        done_now = live & (esc | real)
+        scat = jnp.where(live & ~esc & real, True, scat)
+        t = jnp.where(live, jnp.where(esc, t_surf, t_new), t)
         done = done | done_now
-        return t, done, scat, state
+        return t, done, scat, state, live & ~done
 
+    from . import bounce_loop
     t0 = jnp.zeros((n,), jnp.float32)
     done0 = ~alive
     scat0 = jnp.zeros((n,), bool)
-    t, done, scat, state = jax.lax.fori_loop(
-        0, _step_budgets(sa)[0], body, (t0, done0, scat0, state))
+    t, done, scat, state, _ = bounce_loop(
+        body, (t0, done0, scat0, state, alive), _step_budgets(sa)[0])
     return jnp.where(scat, t, t_surf), scat & alive, state
 
 
@@ -279,21 +279,22 @@ def _ratio_track(sa, sampler, state, origin, dirn, dist, medium, sigma_bar,
     sb = jnp.maximum(sigma_bar, 1e-8)
 
     def body(_, c):
-        t, tr, state = c
-        u, state = sampler.next_1d(state, alive)
+        t, tr, state, live = c
+        u, state = sampler.next_1d(state, live)
         t_new = t - jnp.log(jnp.maximum(1.0 - u, 1e-20)) / sb
         inside = t_new < dist
         p = Vec3(origin.x + dirn.x * t_new, origin.y + dirn.y * t_new,
                  origin.z + dirn.z * t_new)
         dens = _grid_density(sa, medium, p)
-        tr = jnp.where(alive & inside,
+        tr = jnp.where(live & inside,
                        tr * jnp.maximum(1.0 - dens / sb, 0.0), tr)
-        return t_new, tr, state
+        return (jnp.where(live, t_new, t), tr, state, live & inside)
 
+    from . import bounce_loop
     t0 = jnp.zeros(dist.shape, jnp.float32)
     tr0 = jnp.ones(dist.shape, jnp.float32)
-    _, tr, state = jax.lax.fori_loop(0, _step_budgets(sa)[1], body,
-                                     (t0, tr0, state))
+    _, tr, state, _ = bounce_loop(body, (t0, tr0, state, alive),
+                                  _step_budgets(sa)[1])
     return tr, state
 
 

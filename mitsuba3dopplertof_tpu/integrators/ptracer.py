@@ -11,6 +11,12 @@ bounding sphere, reference constant.cpp/envmap.cpp sample_ray). Sensor:
 perspective pinhole with the reference's importance
 W = (1/A)/cos^3(theta)/dist^2 (reference perspective.cpp
 sample_direction + importance():384).
+
+Under tpu_rgb_polarized the transport is scalar (S0-only): exact for
+depolarizing (diffuse) chains, approximate through polarizing specular
+chains — the reference transports full Mueller throughput there
+(tests/test_polarized.py::test_ptracer_polarized_s0_diffuse pins the
+exact case).
 """
 
 from __future__ import annotations

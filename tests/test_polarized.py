@@ -180,3 +180,38 @@ def test_roughconductor_polarizes():
     frac = S1 / np.maximum(S0, 1e-9)
     assert frac[2] > frac[1] > frac[0] > 0.0, frac     # b > g > r > 0
     assert frac[2] > 0.05
+
+
+def test_ptracer_polarized_s0_diffuse():
+    """Light tracing under tpu_rgb_polarized: scalar transport equals the
+    polarized path tracer's S0 through depolarizing (diffuse) chains
+    (exact there; polarizing specular chains are documented approximate,
+    integrators/ptracer.py docstring)."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    mi.set_variant("tpu_rgb_polarized")
+    try:
+        d = {"type": "scene",
+             "sensor": {"type": "perspective", "fov": 60,
+                        "to_world": tf.look_at([0, 1.5, -3], [0, 0, 0],
+                                               [0, 1, 0]),
+                        "film": {"type": "hdrfilm", "width": 12,
+                                 "height": 12, "rfilter": {"type": "box"}},
+                        "sampler": {"type": "independent",
+                                    "sample_count": 64}},
+             "floor": {"type": "rectangle",
+                       "to_world": tf.rotate([1, 0, 0], -90)
+                       @ tf.scale([3, 3, 1]),
+                       "bsdf": {"type": "diffuse"}},
+             "light": {"type": "sphere", "radius": 0.3,
+                       "to_world": tf.translate([0, 2, 0]),
+                       "emitter": {"type": "area",
+                                   "radiance": {"type": "rgb",
+                                                "value": 10.0}}}}
+        d["integrator"] = {"type": "ptracer", "max_depth": 3}
+        lt = np.asarray(mi.render(mi.load_dict(d), spp=64, seed=0))
+        d["integrator"] = {"type": "path", "max_depth": 3}
+        fw = np.asarray(mi.render(mi.load_dict(d), spp=64, seed=0))
+        assert abs(lt.sum() / fw.sum() - 1.0) < 0.1, (lt.sum(), fw.sum())
+    finally:
+        mi.set_variant("tpu_rgb")

@@ -101,11 +101,11 @@ class PTracerIntegrator(SamplingIntegrator):
 
         sp = sensor.device_params()
         kind = getattr(sp, "kind", None)
-        if kind not in (0, 1):
+        if kind not in (0, 1, 2):
             raise RuntimeError(
-                "ptracer: only perspective and thinlens sensors are "
-                f"supported (got sensor kind {kind!r}); use a camera-path "
-                "integrator for meters/orthographic/batch sensors")
+                "ptracer: only perspective, thinlens and orthographic/"
+                f"distant sensors are supported (got sensor kind {kind!r});"
+                " use a camera-path integrator for meters/batch sensors")
         # thinlens: one lens sample per light path; the splat maps vertices
         # to film through the sampled lens point (reference thinlens.cpp
         # sample_direction) — the (1/A)/cos^3/d^2 importance is unchanged,
@@ -116,6 +116,16 @@ class PTracerIntegrator(SamplingIntegrator):
         pp_ox, pp_oy = sp.pp_ox, sp.pp_oy
         A_rect = 4.0 * tan_x * tan_y
         cam = sp.m
+        if kind == 2:
+            # orthographic/distant: the to_world columns carry the film
+            # extent; connections travel along the fixed view axis and the
+            # importance is 1/(film world area) with no cos/dist falloff
+            # (reference orthographic.cpp sample_direction)
+            s0sq = cam[0] ** 2 + cam[4] ** 2 + cam[8] ** 2
+            s1sq = cam[1] ** 2 + cam[5] ** 2 + cam[9] ** 2
+            s2 = math.sqrt(cam[2] ** 2 + cam[6] ** 2 + cam[10] ** 2)
+            view = (cam[2] / s2, cam[6] / s2, cam[10] / s2)
+            A_ortho = 4.0 * math.sqrt(s0sq * s1sq)
 
         integrator = self
 
@@ -355,7 +365,13 @@ class PTracerIntegrator(SamplingIntegrator):
                         # back along the ray; toward the camera = the texel
                         # the camera sees looking at this proxy point
                         L_ray = envmap_eval(sa, Vec3(-d_c.x, -d_c.y, -d_c.z))
-                        v_cam = normalize(o_c - lens_w)
+                        if kind == 2:
+                            # all ortho pixels look along the view axis
+                            v_cam = Vec3(jnp.full((n,), view[0]),
+                                         jnp.full((n,), view[1]),
+                                         jnp.full((n,), view[2]))
+                        else:
+                            v_cam = normalize(o_c - lens_w)
                         L_cam = envmap_eval(sa, v_cam)
                     else:
                         L_ray = L_cam = rad
@@ -395,6 +411,34 @@ class PTracerIntegrator(SamplingIntegrator):
                 cz = cam[2] * rx + cam[6] * ry + cam[10] * rz
                 ok = active_c & (cz > 1e-4)
                 czs = jnp.maximum(cz, 1e-8)
+                if kind == 2:
+                    # parallel projection: lateral position IS the film
+                    # coordinate; importance 1/A_world, no cos/dist terms
+                    sx = 0.5 * (1.0 - cx / s0sq)
+                    sy = 0.5 * (1.0 - cy / s1sq)
+                    ok = ok & (sx >= 0) & (sx < 1) & (sy >= 0) & (sy < 1)
+                    dist = jnp.maximum(cz / s2, 1e-6)
+                    wgt = jnp.full((n,), 1.0 / A_ortho, jnp.float32)
+                    to_cam = Vec3(jnp.full((n,), -view[0]),
+                                  jnp.full((n,), -view[1]),
+                                  jnp.full((n,), -view[2]))
+                    sh_o = p + n_s * jnp.where(dot(n_s, to_cam) >= 0,
+                                               1e-4, -1e-4)
+                    shadow = Ray(sh_o, to_cam, time,
+                                 dist * (1.0 - SHADOW_EPSILON))
+                    occ = ray_test(sa, shadow, ok)
+                    ok = ok & ~occ
+                    val = contrib * wgt
+                    if wavelengths is not None:
+                        from ..core.cie import hero_to_srgb
+                        val = hero_to_srgb(val, wavelengths)
+                    px = jnp.clip((sx * W).astype(jnp.int32), 0, W - 1)
+                    py = jnp.clip((sy * H).astype(jnp.int32), 0, H - 1)
+                    okf = jnp.where(ok, 1.0, 0.0)
+                    block = block.at[0, py, px].add(val.x * okf)
+                    block = block.at[1, py, px].add(val.y * okf)
+                    block = block.at[2, py, px].add(val.z * okf)
+                    return block
                 if lens is not None:
                     # film coordinate through the lens: intersect the
                     # vertex->lens ray with the focus plane, then invert
@@ -439,7 +483,12 @@ class PTracerIntegrator(SamplingIntegrator):
             # (reference sample_visible_emitters, ptracer.cpp:80-81):
             # contribution = L_toward_camera * cos(theta_emitter) / p(pos)
             def emitter_direct(block):
-                dd = normalize(lens_w - o)
+                if kind == 2:
+                    dd = Vec3(jnp.full((n,), -view[0]),
+                              jnp.full((n,), -view[1]),
+                              jnp.full((n,), -view[2]))
+                else:
+                    dd = normalize(lens_w - o)
                 cos_e = dot(emit_n, dd)
                 contrib = (direct_base * jnp.maximum(cos_e, 0.0)
                            * float(ne))
@@ -460,7 +509,12 @@ class PTracerIntegrator(SamplingIntegrator):
                 lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
 
                 # direction to camera in local frame for the bsdf eval
-                to_cam = normalize(lens_w - si.p)
+                if kind == 2:
+                    to_cam = Vec3(jnp.full((n,), -view[0]),
+                                  jnp.full((n,), -view[1]),
+                                  jnp.full((n,), -view[2]))
+                else:
+                    to_cam = normalize(lens_w - si.p)
                 wo_cam = si.to_local(to_cam)
 
                 s1, state = sampler.next_1d(state, act)

@@ -93,7 +93,8 @@ class SensorParams(NamedTuple):
     tan_half_y: float
     near_clip: float
     far_clip: float
-    kind: int = 0               # 0 = perspective, 1 = orthographic (static)
+    kind: int = 0               # 0 perspective, 1 thinlens, 2 ortho/distant,
+                                # 3 radiancemeter, 4/5 irradiancemeter
     pp_ox: float = 0.0          # principal point offset, film-size units
     pp_oy: float = 0.0          # (reference perspective.cpp:191-205)
 

@@ -226,3 +226,40 @@ def test_directionalarea_collimated_beam():
     fw = np.asarray(mi.render(_scene(
         em, {"type": "path", "max_depth": 3}, 64), spp=64, seed=0))
     assert fw.sum() == 0.0
+
+
+def test_orthographic_ptracer_parity():
+    """Light tracing through an orthographic sensor matches the camera
+    path (fixed-direction connections, 1/A_world importance — reference
+    orthographic.cpp sample_direction)."""
+    def scene(integ, spp):
+        return mi.load_dict({
+            "type": "scene", "integrator": integ,
+            "sensor": {"type": "orthographic",
+                       "to_world": tf.look_at([0, 1.5, -3], [0, 1.5, 0],
+                                              [0, 1, 0]) @ tf.scale([2, 2, 1]),
+                       "film": {"type": "hdrfilm", "width": 16,
+                                "height": 16, "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": spp}},
+            "wall": {"type": "rectangle",
+                     "to_world": tf.translate([0, 1.5, 2])
+                     @ tf.scale([3, 3, 1]),
+                     "bsdf": {"type": "twosided",
+                              "nested": {"type": "diffuse",
+                                         "reflectance": {"type": "rgb",
+                                                         "value": 0.6}}}},
+            "light": {"type": "point",
+                      "to_world": tf.translate([0, 1.5, -1]),
+                      "intensity": {"type": "rgb", "value": 6.0}}})
+    fw = np.asarray(mi.render(scene({"type": "path", "max_depth": 2}, 64),
+                              spp=64, seed=0))
+    lt = np.asarray(mi.render(scene({"type": "ptracer", "max_depth": 2},
+                                    1024), spp=1024, seed=0))
+    assert fw.sum() > 0 and np.isfinite(lt).all()
+    assert abs(lt.sum() / fw.sum() - 1.0) < 0.12, (lt.sum(), fw.sum())
+    # the wall's radial falloff must land in the same place: compare 4x4
+    # block means (per-pixel splat noise at this spp is ~7%)
+    bf = fw.sum(-1).reshape(4, 4, 4, 4).mean((1, 3))
+    bl = lt.sum(-1).reshape(4, 4, 4, 4).mean((1, 3))
+    assert np.abs(bl / bf - 1.0).max() < 0.1, (bf, bl)

@@ -115,6 +115,29 @@ def volpath_scene(mi, tf, spp, res=256):
     })
 
 
+def deep_path_scene(mi, tf, spp, res=256):
+    """Enclosed diffuse box, max_depth 48 with RR: the early-exit bounce
+    loop's showcase (mean path depth << bound)."""
+    return mi.load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 48, "rr_depth": 5},
+        "box": {"type": "cube", "to_world": tf.scale([3.0] * 3),
+                "bsdf": {"type": "twosided",
+                         "nested": {"type": "diffuse",
+                                    "reflectance": {"type": "rgb",
+                                                    "value": 0.6}}}},
+        "light": {"type": "sphere", "radius": 0.4,
+                  "to_world": tf.translate([0, 2.2, 0]),
+                  "emitter": {"type": "area",
+                              "radiance": {"type": "rgb", "value": 12.0}}},
+        "sensor": {"type": "perspective", "fov": 60,
+                   "to_world": tf.look_at([0, 0, -2.6], [0, 0, 0],
+                                          [0, 1, 0]),
+                   "film": {"type": "hdrfilm", "width": res, "height": res},
+                   "sampler": {"type": "independent", "sample_count": spp}},
+    })
+
+
 def measure(mi, scene, spp, repeats=None):
     """Median of >=5 timed repeats (+ min-max spread as a fraction of the
     median) so cross-round deltas are attributable — single-shot numbers
@@ -170,6 +193,10 @@ def main():
     sc = volpath_scene(mi, tf, spp)
     msps, dt, sp = measure(mi, sc, spp)
     record("volpath homogeneous 256x256", 12, msps, dt, sp)
+
+    sc = deep_path_scene(mi, tf, spp)
+    msps, dt, sp = measure(mi, sc, spp)
+    record("deep path max_depth=48 RR 256x256", 12, msps, dt, sp)
 
     for variant in ("tpu_spectral", "tpu_rgb_polarized"):
         mi.set_variant(variant)

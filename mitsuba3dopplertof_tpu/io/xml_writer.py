@@ -60,7 +60,14 @@ def _obj_xml(key: str, d: Dict[str, Any], indent: int) -> str:
         else "")
     lines = [f'{pad}<{cat} type="{t}"{attrs}>']
     for k, v in d.items():
-        if k in ("type", "id") or k.startswith("_"):
+        if k in ("type", "id"):
+            continue
+        if k.startswith("_"):
+            # "_arg_N" carries anonymous nested plugins (the XML parser's
+            # unnamed-child convention, io/xml.py); other _keys are
+            # loader-internal metadata
+            if k.startswith("_arg_") and isinstance(v, dict):
+                lines.append(_obj_xml("", v, indent + 1))
             continue
         if isinstance(v, dict) and v.get("type") not in (None, "rgb"):
             lines.append(_obj_xml(k, v, indent + 1))
@@ -74,10 +81,12 @@ def dict_to_xml(scene_dict: Dict[str, Any], filename: str = None) -> str:
     """Serialize a load_dict-style nested dict to scene XML."""
     lines = ['<scene version="3.0.0">']
     for key, v in scene_dict.items():
-        if key in ("type",) or key.startswith("_"):
+        # underscore keys are the parser's anonymous children
+        # (_integrator_0, _sensor_1, _arg_N); serialize them unnamed.
+        # Non-dict underscore values (_base_dir) are loader metadata.
+        if key == "type" or not (isinstance(v, dict) and "type" in v):
             continue
-        if isinstance(v, dict) and "type" in v:
-            lines.append(_obj_xml(key, v, 1))
+        lines.append(_obj_xml("" if key.startswith("_") else key, v, 1))
     lines.append("</scene>")
     out = "\n".join(lines)
     if filename:

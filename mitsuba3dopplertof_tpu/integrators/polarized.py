@@ -176,6 +176,57 @@ def _element_bounce_mueller(si, theta, delta, kind: int):
                                              mu.stokes_basis(forward))
 
 
+def light_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
+                         polarizing_present, out_local=None):
+    """Mueller factor of an interaction in PHOTON order — light arrives
+    along -si.wi and leaves along ``out_local`` (default: the sampled
+    bs.wo) — world-frame implicit bases, renormalized so M[0][0] equals
+    the scalar weight ``wgt``. The adjoint mirror of the camera-path
+    factors above: the same physical matrices with the in/out roles
+    swapped (used by the polarized light tracer, ptracer.py). measured
+    pBRDF tables are evaluated at the swapped direction pair (their
+    non-reciprocal adjoint correction is not modeled)."""
+    wo = bs.wo if out_local is None else out_local
+    z = jnp.zeros_like(wo.z)
+    M = mu.depolarizer(wgt)
+    null_like = lane_type == BSDF_NULL
+    M = mu.mm_where(null_like, mu.mm_scale(mu.mm_identity(z), wgt), M)
+    neg_wi = Vec3(-si.wi.x, -si.wi.y, -si.wi.z)
+    for tid in polarizing_present:
+        if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
+                   BSDF_THINDIELECTRIC):
+            if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR):
+                e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_ETA + 1],
+                                         lane_bsdf),
+                            gather_small(sa.bsdf_params[P_ETA + 2],
+                                         lane_bsdf))
+                e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_K + 1], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_K + 2], lane_bsdf))
+            else:
+                er = gather_small(sa.bsdf_params[P_ETA], lane_bsdf)
+                e_re = Vec3(er, er, er)
+                e_im = Vec3(z, z, z)
+            M_t = _specular_bounce_mueller(
+                si._replace(wi=wo), bs._replace(wo=si.wi), e_re, e_im,
+                rough=(tid == BSDF_ROUGHCONDUCTOR))
+            M_t = _to_world_mueller(si, M_t, neg_wi, wo)
+        elif tid == BSDF_MEASURED_POL:
+            M_t = _measured_pol_mueller(sa, lane_bsdf, si._replace(wi=wo),
+                                        si.wi)
+            M_t = _to_world_mueller(si, M_t, neg_wi, wo)
+        else:
+            theta = gather_small(sa.bsdf_params[P_POL_THETA], lane_bsdf)
+            delta = gather_small(sa.bsdf_params[P_POL_DELTA], lane_bsdf)
+            M_t = _element_bounce_mueller(si._replace(wi=neg_wi), theta,
+                                          delta, int(tid))
+            M_t = _to_world_mueller(si, M_t, neg_wi, neg_wi)
+        M_t = _renormalize(M_t, wgt)
+        M = mu.mm_where(lane_type == tid, M_t, M)
+    return M
+
+
 def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
                          ray: Ray, active, modulation_weight=None,
                          use_correlate=False):

@@ -12,11 +12,13 @@ perspective pinhole with the reference's importance
 W = (1/A)/cos^3(theta)/dist^2 (reference perspective.cpp
 sample_direction + importance():384).
 
-Under tpu_rgb_polarized the transport is scalar (S0-only): exact for
-depolarizing (diffuse) chains, approximate through polarizing specular
-chains — the reference transports full Mueller throughput there
-(tests/test_polarized.py::test_ptracer_polarized_s0_diffuse pins the
-exact case).
+Under tpu_rgb_polarized the light path carries a full Stokes vector with
+exact photon-order Mueller factors at polarizing interactions
+(conductors, dielectrics, polarizer/retarder elements, measured pBRDFs
+— polarized.light_bounce_mueller), matching the reference's polarized
+adjoint transport; Malus's-law and camera-path agreement tests in
+tests/test_polarized.py::test_ptracer_mueller_malus_law. The film
+records S0 (basis-rotation invariant, so no final sensor rotation).
 """
 
 from __future__ import annotations
@@ -502,8 +504,25 @@ class PTracerIntegrator(SamplingIntegrator):
 
             bsdf_flags = jnp.asarray(np.asarray(sa.bsdf_flags_host, np.int32))
 
+            # tpu_rgb_polarized: carry the light path's Stokes vector
+            # (emitters are unpolarized, so the full Mueller throughput
+            # collapses to its first column) and apply exact photon-order
+            # Mueller factors at polarizing interactions — the light-
+            # tracing mirror of _path_loop_polarized (reference ptracer
+            # in polarized variants). Zero extra cost in scalar variants.
+            polarized = bool(getattr(sa, "polarized", False))
+            if polarized:
+                from ..core import mueller as mu
+                from .polarized import (light_bounce_mueller,
+                                        _POLARIZING_TYPES)
+                polarizing_present = [t for t in sa.bsdf_types_present
+                                      if t in _POLARIZING_TYPES]
+                S0 = (throughput, z3, z3, z3)
+            else:
+                S0 = None
+
             def bounce(_, carry):
-                block, state, ray, throughput, active = carry
+                block, state, ray, throughput, S, active = carry
                 si = ray_intersect(sa, ray, active)
                 act = active & si.valid
                 lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
@@ -538,7 +557,20 @@ class PTracerIntegrator(SamplingIntegrator):
                                           wavelengths=wavelengths)
 
                 # splat vertex -> camera (bs.val_nee = f * cos(wo_cam))
-                block = connect(block, si.p, si.n, throughput * bs.val_nee,
+                if polarized:
+                    # contribution = row 0 of the connection Mueller
+                    # applied to the path Stokes (S0 at the film is
+                    # basis-rotation invariant, so no sensor rotation)
+                    lane_type = gather_small(sa.bsdf_type, lane_bsdf)
+                    M_c = light_bounce_mueller(sa, si, bs, lane_bsdf,
+                                               lane_type, bs.val_nee,
+                                               polarizing_present,
+                                               out_local=wo_cam)
+                    conn_val = (M_c[0] * S[0] + M_c[1] * S[1]
+                                + M_c[2] * S[2] + M_c[3] * S[3])
+                else:
+                    conn_val = throughput * bs.val_nee
+                block = connect(block, si.p, si.n, conn_val,
                                 act, True, si.wi, lane_bsdf, tex_refl,
                                 tex_mask)
 
@@ -546,20 +578,29 @@ class PTracerIntegrator(SamplingIntegrator):
                 wo_world = si.to_world(bs.wo)
                 new_ray = si.spawn_ray(wo_world)
                 throughput = where3(act, throughput * bs.weight, throughput)
+                if polarized:
+                    wgt_b = where3(act, bs.weight, Vec3.ones((n,)))
+                    M_b = light_bounce_mueller(sa, si, bs, lane_bsdf,
+                                               lane_type, wgt_b,
+                                               polarizing_present)
+                    S_new = mu.mm_apply_stokes(M_b, S)
+                    S = tuple(where3(act, S_new[i], S[i]) for i in range(4))
                 # russian roulette
                 tm = vmax(throughput)
                 rr, state = sampler.next_1d(state, act)
                 rr_p = jnp.minimum(tm, 0.95)
                 cont = rr < rr_p
-                throughput = throughput * jnp.where(
-                    act, 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
+                rr_scale = jnp.where(act, 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
+                throughput = throughput * rr_scale
+                if polarized:
+                    S = tuple(s * rr_scale for s in S)
                 active = act & cont & (tm > 0.0)
                 ray = Ray(where3(active, new_ray.o, ray.o),
                           where3(active, wo_world, ray.d),
                           ray.time, new_ray.maxt)
-                return block, state, ray, throughput, active
+                return block, state, ray, throughput, S, active
 
-            carry = (block, state, ray, throughput, active)
+            carry = (block, state, ray, throughput, S0, active)
             from . import bounce_loop
             carry = bounce_loop(bounce, carry, integrator.loop_iterations)
             return carry[0], carry[1]

@@ -215,3 +215,69 @@ def test_ptracer_polarized_s0_diffuse():
         assert abs(lt.sum() / fw.sum() - 1.0) < 0.1, (lt.sum(), fw.sum())
     finally:
         mi.set_variant("tpu_rgb")
+
+
+def _malus_scene(integ, thetas, spp):
+    """Area emitter -> polarizer plates (one per theta) -> diffuse floor,
+    camera on the floor. Light tracing transports Stokes through the
+    plates; the camera path reaches the emitter only by BSDF sampling
+    (plates block NEE shadow rays)."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    d = {"type": "scene", "integrator": integ,
+         "sensor": {"type": "perspective", "fov": 50,
+                    "to_world": tf.look_at([0, 1.2, -2.5], [0, 0, 0],
+                                           [0, 1, 0]),
+                    "film": {"type": "hdrfilm", "width": 10, "height": 10,
+                             "rfilter": {"type": "box"}},
+                    "sampler": {"type": "independent",
+                                "sample_count": spp}},
+         "floor": {"type": "rectangle",
+                   "to_world": tf.rotate([1, 0, 0], -90)
+                   @ tf.scale([1.5, 1.5, 1]),
+                   "bsdf": {"type": "diffuse",
+                            "reflectance": {"type": "rgb", "value": 0.8}}},
+         "light": {"type": "rectangle",
+                   "to_world": tf.translate([0, 3.0, 0])
+                   @ tf.rotate([1, 0, 0], 90) @ tf.scale([1.5, 1.5, 1]),
+                   "emitter": {"type": "area",
+                               "radiance": {"type": "rgb", "value": 12.0}}}}
+    for i, th in enumerate(thetas):
+        d[f"plate{i}"] = {
+            "type": "rectangle",
+            "to_world": tf.translate([0, 1.4 + 0.3 * i, 0])
+            @ tf.rotate([1, 0, 0], 90) @ tf.scale([2.0, 2.0, 1]),
+            "bsdf": {"type": "polarizer", "theta": float(th)}}
+    return mi.load_dict(d)
+
+
+def test_ptracer_mueller_malus_law():
+    """Two stacked linear polarizers: transmitted power follows Malus's
+    law (cos^2 of the relative angle) — the scalar S0 approximation would
+    be angle-independent. Light tracing must match both the analytic
+    ratio and the polarized camera path."""
+    import numpy as np
+    mi.set_variant("tpu_rgb_polarized")
+    try:
+        def lt(thetas, spp=1024):
+            return np.asarray(mi.render(_malus_scene(
+                {"type": "ptracer", "max_depth": 6}, thetas, spp),
+                spp=spp, seed=0)).sum()
+
+        base = lt([0.0])                      # one plate: angle-free
+        par = lt([0.0, 0.0])                  # parallel pair
+        deg60 = lt([0.0, 60.0])               # cos^2 60 = 0.25
+        crossed = lt([0.0, 90.0])
+        assert abs(par / base - 1.0) < 0.15, (base, par)
+        assert abs(deg60 / par - 0.25) < 0.08, deg60 / par
+        assert crossed < 0.05 * par, (crossed, par)
+
+        # cross-check against the camera path (pure BSDF sampling reaches
+        # the emitter through the delta plates; NEE is blocked -> MIS
+        # keeps it unbiased)
+        fw = np.asarray(mi.render(_malus_scene(
+            {"type": "path", "max_depth": 6}, [0.0, 60.0], 512),
+            spp=512, seed=0)).sum()
+        assert abs(deg60 / fw - 1.0) < 0.2, (deg60, fw)
+    finally:
+        mi.set_variant("tpu_rgb")

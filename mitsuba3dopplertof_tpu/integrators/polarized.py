@@ -531,6 +531,15 @@ class StokesIntegrator(_Integrator):
         nested = [o for _, o in props.objects()
                   if hasattr(o, "sample_stokes")]
         if len(nested) != 1:
+            from . import Integrator as _I
+            others = [type(o).__name__ for _, o in props.objects()
+                      if isinstance(o, _I)]
+            if others:
+                raise RuntimeError(
+                    f"stokes: nested integrator {others[0]} does not "
+                    "support Stokes output (polarized transport is "
+                    "implemented for path / dopplertofpath / direct-style "
+                    "integrators and ptracer; volpath is surface-scalar)")
             raise RuntimeError("stokes: specify exactly one nested "
                                "path-style integrator")
         self.nested = nested[0]

@@ -521,7 +521,7 @@ class PTracerIntegrator(SamplingIntegrator):
             else:
                 S0 = None
 
-            def bounce(_, carry):
+            def bounce(depth_i, carry):
                 block, state, ray, throughput, S, active = carry
                 si = ray_intersect(sa, ray, active)
                 act = active & si.valid
@@ -585,10 +585,12 @@ class PTracerIntegrator(SamplingIntegrator):
                                                polarizing_present)
                     S_new = mu.mm_apply_stokes(M_b, S)
                     S = tuple(where3(act, S_new[i], S[i]) for i in range(4))
-                # russian roulette
+                # russian roulette after rr_depth bounces (ptracer.cpp
+                # rr_depth semantics; before that, paths always continue)
                 tm = vmax(throughput)
                 rr, state = sampler.next_1d(state, act)
-                rr_p = jnp.minimum(tm, 0.95)
+                rr_on = depth_i >= integrator.rr_depth
+                rr_p = jnp.where(rr_on, jnp.minimum(tm, 0.95), 1.0)
                 cont = rr < rr_p
                 rr_scale = jnp.where(act, 1.0 / jnp.maximum(rr_p, 1e-8), 1.0)
                 throughput = throughput * rr_scale

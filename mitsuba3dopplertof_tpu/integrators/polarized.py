@@ -176,6 +176,92 @@ def _element_bounce_mueller(si, theta, delta, kind: int):
                                              mu.stokes_basis(forward))
 
 
+def camera_nee_stokes_add(sa, si, bs, wo_nee, lane_bsdf, lane_type, T_mm,
+                          v_nee):
+    """Stokes contribution of an NEE connection in camera order: exact
+    Mueller for rough-conductor and measured-pBRDF lanes (their polarized
+    eval exists for arbitrary direction pairs), ideal-depolarizing
+    otherwise — diffuse connections depolarize exactly; delta lobes have
+    v_nee = 0 (shared by _path_loop_polarized and the polarized volpath)."""
+    S_add = tuple(Vec3(T_mm[4 * i].x * v_nee.x,
+                       T_mm[4 * i].y * v_nee.y,
+                       T_mm[4 * i].z * v_nee.z)
+                  for i in range(4))
+    if BSDF_ROUGHCONDUCTOR in sa.bsdf_types_present:
+        e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
+                    gather_small(sa.bsdf_params[P_ETA + 1], lane_bsdf),
+                    gather_small(sa.bsdf_params[P_ETA + 2], lane_bsdf))
+        e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
+                    gather_small(sa.bsdf_params[P_K + 1], lane_bsdf),
+                    gather_small(sa.bsdf_params[P_K + 2], lane_bsdf))
+        bs_nee = bs._replace(wo=wo_nee)
+        M_nee = _specular_bounce_mueller(si, bs_nee, e_re, e_im, rough=True)
+        M_nee = _to_world_mueller(si, M_nee, -wo_nee, si.wi)
+        M_nee = _renormalize(M_nee, v_nee)
+        TM = mu.mm_mul(T_mm, M_nee)
+        is_rc = lane_type == BSDF_ROUGHCONDUCTOR
+        S_add = tuple(where3(is_rc,
+                             Vec3(TM[4 * i].x, TM[4 * i].y, TM[4 * i].z),
+                             S_add[i])
+                      for i in range(4))
+    if BSDF_MEASURED_POL in sa.bsdf_types_present:
+        M_nee = _measured_pol_mueller(sa, lane_bsdf, si, wo_nee)
+        M_nee = _to_world_mueller(si, M_nee, -wo_nee, si.wi)
+        M_nee = _renormalize(M_nee, v_nee)
+        TM = mu.mm_mul(T_mm, M_nee)
+        is_mp = lane_type == BSDF_MEASURED_POL
+        S_add = tuple(where3(is_mp,
+                             Vec3(TM[4 * i].x, TM[4 * i].y, TM[4 * i].z),
+                             S_add[i])
+                      for i in range(4))
+    return S_add
+
+
+def camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
+                          polarizing_present):
+    """Mueller factor of a sampled bounce in CAMERA order — radiance
+    arrives along -bs.wo and leaves along si.wi — world-frame implicit
+    bases, renormalized so M[0][0] equals the scalar weight ``wgt``
+    (shared by _path_loop_polarized and the polarized volpath)."""
+    z = jnp.zeros_like(wgt.x)
+    zero3 = Vec3(z, z, z)
+    M = mu.depolarizer(wgt)
+    null_like = lane_type == BSDF_NULL
+    M = mu.mm_where(null_like, mu.mm_scale(mu.mm_identity(z), wgt), M)
+    for tid in polarizing_present:
+        if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
+                   BSDF_THINDIELECTRIC):
+            if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR):
+                e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_ETA + 1],
+                                         lane_bsdf),
+                            gather_small(sa.bsdf_params[P_ETA + 2],
+                                         lane_bsdf))
+                e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_K + 1], lane_bsdf),
+                            gather_small(sa.bsdf_params[P_K + 2], lane_bsdf))
+            else:
+                er = gather_small(sa.bsdf_params[P_ETA], lane_bsdf)
+                e_re = Vec3(er, er, er)
+                e_im = zero3
+            M_t = _specular_bounce_mueller(
+                si, bs, e_re, e_im, rough=(tid == BSDF_ROUGHCONDUCTOR))
+            M_t = _to_world_mueller(si, M_t, -bs.wo, si.wi)
+            M_t = _renormalize(M_t, wgt)
+        elif tid == BSDF_MEASURED_POL:
+            M_t = _measured_pol_mueller(sa, lane_bsdf, si, bs.wo)
+            M_t = _to_world_mueller(si, M_t, -bs.wo, si.wi)
+            M_t = _renormalize(M_t, wgt)
+        else:
+            theta = gather_small(sa.bsdf_params[P_POL_THETA], lane_bsdf)
+            delta = gather_small(sa.bsdf_params[P_POL_DELTA], lane_bsdf)
+            M_t = _element_bounce_mueller(si, theta, delta, int(tid))
+            M_t = _to_world_mueller(si, M_t, si.wi, si.wi)
+            M_t = _renormalize(M_t, wgt)
+        M = mu.mm_where(lane_type == tid, M_t, M)
+    return M
+
+
 def light_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
                          polarizing_present, out_local=None):
     """Mueller factor of an interaction in PHOTON order — light arrives
@@ -384,85 +470,14 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
             lw = weight_fn(ray.time, path_length + ds.dist)
             scale = jnp.where(nee_ok, mis_em * lw, 0.0)
             v_nee = bs.val_nee * em_weight * scale
-            # depolarized default; rough-conductor and measured-pBRDF
-            # lanes get their exact NEE Mueller instead
-            S_add = tuple(Vec3(T_mm[4 * i].x * v_nee.x,
-                               T_mm[4 * i].y * v_nee.y,
-                               T_mm[4 * i].z * v_nee.z)
-                          for i in range(4))
-            if BSDF_ROUGHCONDUCTOR in sa.bsdf_types_present:
-                e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_ETA + 1],
-                                         lane_bsdf),
-                            gather_small(sa.bsdf_params[P_ETA + 2],
-                                         lane_bsdf))
-                e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_K + 1],
-                                         lane_bsdf),
-                            gather_small(sa.bsdf_params[P_K + 2],
-                                         lane_bsdf))
-                bs_nee = bs._replace(wo=wo_nee)
-                M_nee = _specular_bounce_mueller(si, bs_nee, e_re, e_im,
-                                                 rough=True)
-                M_nee = _to_world_mueller(si, M_nee, -wo_nee, si.wi)
-                M_nee = _renormalize(M_nee, v_nee)
-                TM = mu.mm_mul(T_mm, M_nee)
-                is_rc = lane_type == BSDF_ROUGHCONDUCTOR
-                S_add = tuple(where3(is_rc,
-                                     Vec3(TM[4 * i].x, TM[4 * i].y,
-                                          TM[4 * i].z), S_add[i])
-                              for i in range(4))
-            if BSDF_MEASURED_POL in sa.bsdf_types_present:
-                M_nee = _measured_pol_mueller(sa, lane_bsdf, si, wo_nee)
-                M_nee = _to_world_mueller(si, M_nee, -wo_nee, si.wi)
-                M_nee = _renormalize(M_nee, v_nee)
-                TM = mu.mm_mul(T_mm, M_nee)
-                is_mp = lane_type == BSDF_MEASURED_POL
-                S_add = tuple(where3(is_mp,
-                                     Vec3(TM[4 * i].x, TM[4 * i].y,
-                                          TM[4 * i].z), S_add[i])
-                              for i in range(4))
+            S_add = camera_nee_stokes_add(sa, si, bs, wo_nee, lane_bsdf,
+                                          lane_type, T_mm, v_nee)
             S_res = tuple(S_res[i] + S_add[i] for i in range(4))
 
         # ---------------- Mueller bounce factor --------------------------
         wgt = where3(active_next, bs.weight, Vec3.ones((n,)))
-        M_bounce = mu.depolarizer(wgt)
-        null_like = lane_type == BSDF_NULL
-        M_bounce = mu.mm_where(null_like,
-                               mu.mm_scale(mu.mm_identity(z), wgt), M_bounce)
-        for tid in polarizing_present:
-            if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
-                       BSDF_THINDIELECTRIC):
-                if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR):
-                    e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
-                                gather_small(sa.bsdf_params[P_ETA + 1],
-                                             lane_bsdf),
-                                gather_small(sa.bsdf_params[P_ETA + 2],
-                                             lane_bsdf))
-                    e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
-                                gather_small(sa.bsdf_params[P_K + 1],
-                                             lane_bsdf),
-                                gather_small(sa.bsdf_params[P_K + 2],
-                                             lane_bsdf))
-                else:
-                    er = gather_small(sa.bsdf_params[P_ETA], lane_bsdf)
-                    e_re = Vec3(er, er, er)
-                    e_im = zero3
-                M_t = _specular_bounce_mueller(
-                    si, bs, e_re, e_im, rough=(tid == BSDF_ROUGHCONDUCTOR))
-                M_t = _to_world_mueller(si, M_t, -bs.wo, si.wi)
-                M_t = _renormalize(M_t, wgt)
-            elif tid == BSDF_MEASURED_POL:
-                M_t = _measured_pol_mueller(sa, lane_bsdf, si, bs.wo)
-                M_t = _to_world_mueller(si, M_t, -bs.wo, si.wi)
-                M_t = _renormalize(M_t, wgt)
-            else:
-                theta = gather_small(sa.bsdf_params[P_POL_THETA], lane_bsdf)
-                delta = gather_small(sa.bsdf_params[P_POL_DELTA], lane_bsdf)
-                M_t = _element_bounce_mueller(si, theta, delta, int(tid))
-                M_t = _to_world_mueller(si, M_t, si.wi, si.wi)
-                M_t = _renormalize(M_t, wgt)
-            M_bounce = mu.mm_where(lane_type == tid, M_t, M_bounce)
+        M_bounce = camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type,
+                                         wgt, polarizing_present)
 
         T_new = mu.mm_mul(T_mm, M_bounce)
         T_mm = mu.mm_where(active_next, T_new, T_mm)
@@ -537,9 +552,8 @@ class StokesIntegrator(_Integrator):
             if others:
                 raise RuntimeError(
                     f"stokes: nested integrator {others[0]} does not "
-                    "support Stokes output (polarized transport is "
-                    "implemented for path / dopplertofpath / direct-style "
-                    "integrators and ptracer; volpath is surface-scalar)")
+                    "support Stokes output (implemented for path / "
+                    "dopplertofpath / volpath)")
             raise RuntimeError("stokes: specify exactly one nested "
                                "path-style integrator")
         self.nested = nested[0]

@@ -308,6 +308,13 @@ class VolPathIntegrator(MonteCarloIntegrator):
         return _volpath_loop(self, sa, sampler, state, ray, active,
                              wavelengths=wavelengths)
 
+    def sample_stokes(self, sa, sampler, state, ray, active):
+        """Polarized volumetric transport (tpu_rgb_polarized): Mueller
+        surface factors, non-depolarizing transmittance, depolarizing
+        phase scattering — see _volpath_loop(stokes=True)."""
+        return _volpath_loop(self, sa, sampler, state, ray, active,
+                             stokes=True)
+
 
 @register_plugin("integrator", "volpathmis")
 class VolPathMISIntegrator(VolPathIntegrator):
@@ -316,12 +323,28 @@ class VolPathMISIntegrator(VolPathIntegrator):
 
 
 def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
-                  wavelengths=None):
+                  wavelengths=None, stokes=False):
+    """``stokes=True`` (tpu_rgb_polarized): additionally carries the
+    Mueller throughput and returns the accumulated Stokes 4-tuple —
+    surface bounces apply the exact camera-order Mueller factors
+    (polarized.camera_bounce_mueller), medium transmittance scales all
+    components (attenuation does not depolarize), and phase scattering
+    acts as an ideal depolarizer (v1: the exact Rayleigh scattering
+    Mueller is not modeled; S0 is unaffected either way)."""
     n = ray.o.x.shape[0]
     f32 = jnp.float32
 
     throughput = Vec3.ones((n,))
     result = Vec3.zeros((n,))
+    if stokes:
+        from ..core import mueller as mu
+        from .polarized import camera_bounce_mueller, _POLARIZING_TYPES
+        polarizing_present = [t for t in sa.bsdf_types_present
+                              if t in _POLARIZING_TYPES]
+        T_mm0 = tuple(mu.mm_identity(jnp.zeros((n,), f32)))
+        S_res0 = tuple(Vec3.zeros((n,)) for _ in range(4))
+    else:
+        T_mm0 = S_res0 = None
     eta = jnp.ones((n,), f32)
     depth = jnp.zeros((n,), jnp.uint32)
     has_env = sa.has_environment and not integrator.hide_emitters
@@ -341,7 +364,7 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
 
     def bounce(_, carry):
         (state, ray, throughput, result, eta, depth, valid_ray, medium,
-         prev_p, prev_pdf, prev_delta, active) = carry
+         prev_p, prev_pdf, prev_delta, T_mm, S_res, active) = carry
         si = ray_intersect(sa, ray, active)
 
         # ---------------- medium distance sampling --------------------
@@ -410,6 +433,9 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             w_het = where3(scat_het, alb, Vec3.ones((n,)))
             w_med = where3(is_het, w_het, w_med)
         throughput = throughput * w_med
+        if stokes:
+            # attenuation does not depolarize: scale every component
+            T_mm = mu.mm_scale(T_mm, w_med)
 
         # ---------------- emission on surface hits / env --------------
         surf_evt = active & ~hit_med & si.valid
@@ -459,6 +485,14 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             mis_b = mis_weight(prev_pdf, em_pdf)
             scale = jnp.where(emit_mask, mis_b, 0.0)
             result = result + throughput * em_val * scale
+            if stokes:
+                # emitters are unpolarized: read the Mueller throughput's
+                # first column
+                v_em = em_val * scale
+                S_res = tuple(S_res[i] + Vec3(T_mm[4 * i].x * v_em.x,
+                                              T_mm[4 * i].y * v_em.y,
+                                              T_mm[4 * i].z * v_em.z)
+                              for i in range(4))
 
         active_next = ((depth + 1) < jnp.uint32(
             min(integrator.max_depth, 2 ** 31 - 1))) & active & (
@@ -586,6 +620,20 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_fwd))
             scale = jnp.where(nee_ok, mis_em, 0.0)
             result = result + throughput * val * em_weight * scale
+            if stokes:
+                # exact NEE Mueller for rough-conductor/measured surfaces,
+                # depolarizing for diffuse connections and phase events
+                # (medium lanes are masked to the depolarizing default by
+                # hit_med: their lane_type comes from an invalid si)
+                from .polarized import camera_nee_stokes_add
+                v_nee = val * em_weight * scale
+                lt_nee = jnp.where(
+                    hit_med, jnp.int32(-1),
+                    gather_small(sa.bsdf_type, lane_bsdf))
+                S_add = camera_nee_stokes_add(sa, si, bs, wo_nee,
+                                              lane_bsdf, lt_nee, T_mm,
+                                              v_nee)
+                S_res = tuple(S_res[i] + S_add[i] for i in range(4))
 
         # next ray
         wo_world_surf = si.to_world(bs.wo)
@@ -595,6 +643,18 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
 
         throughput = where3(active_next & ~hit_med, throughput * bs.weight,
                             throughput)
+        if stokes:
+            lane_type = gather_small(sa.bsdf_type, lane_bsdf)
+            ones3 = Vec3.ones((n,))
+            wgt_surf = where3(active_next & ~hit_med, bs.weight, ones3)
+            M_b = camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type,
+                                        wgt_surf, polarizing_present)
+            # phase scattering: ideal depolarizer (direction weight 1 —
+            # the pdf cancels the eval; sigma_s/albedo rode w_med above)
+            M_b = mu.mm_where(hit_med & active_next,
+                              mu.depolarizer(ones3), M_b)
+            T_new = mu.mm_mul(T_mm, M_b)
+            T_mm = mu.mm_where(active_next, T_new, T_mm)
         eta = eta * jnp.where(active_next & ~hit_med, bs.eta, 1.0)
         valid_ray = valid_ray | (active & (hit_med | si.valid))
 
@@ -629,23 +689,32 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
         rr_active = depth >= jnp.uint32(integrator.rr_depth)
         rr_draw, state = sampler.next_1d(state, active)
         rr_continue = rr_draw < rr_prob
-        throughput = throughput * jnp.where(
-            rr_active, 1.0 / jnp.maximum(rr_prob, 1e-8), 1.0)
+        rr_scale = jnp.where(rr_active, 1.0 / jnp.maximum(rr_prob, 1e-8),
+                             1.0)
+        throughput = throughput * rr_scale
+        if stokes:
+            T_mm = mu.mm_scale(T_mm, rr_scale)
         active = active_next & (~rr_active | rr_continue) & (tmax != 0.0)
 
         ray = Ray(where3(active_next, o_next, ray.o),
                   where3(active_next, d_next, ray.d),
                   ray.time, jnp.full((n,), jnp.inf, f32))
         return (state, ray, throughput, result, eta, depth, valid_ray,
-                medium, prev_p, prev_pdf, prev_delta, active)
+                medium, prev_p, prev_pdf, prev_delta,
+                tuple(T_mm) if stokes else None,
+                S_res, active)
 
     carry = (state, ray, throughput, result, eta, depth, valid_ray, medium,
-             prev_p, prev_pdf, prev_delta, active)
+             prev_p, prev_pdf, prev_delta, T_mm0, S_res0, active)
     from . import bounce_loop
     carry = bounce_loop(bounce, carry, integrator.loop_iterations)
     (state, ray, throughput, result, eta, depth, valid_ray, medium,
-     prev_p, prev_pdf, prev_delta, active) = carry
+     prev_p, prev_pdf, prev_delta, _T_mm, S_res, active) = carry
 
+    if stokes:
+        zero3 = Vec3.zeros((n,))
+        S_out = tuple(where3(valid_ray, s, zero3) for s in S_res)
+        return S_out, valid_ray, state
     spec = where3(valid_ray, result, Vec3.zeros((n,)))
     return spec, valid_ray, state
 

@@ -281,3 +281,105 @@ def test_ptracer_mueller_malus_law():
         assert abs(deg60 / fw - 1.0) < 0.2, (deg60, fw)
     finally:
         mi.set_variant("tpu_rgb")
+
+
+def test_volpath_stokes_s0_matches_scalar():
+    """stokes{volpath}: on a depolarizing scene (diffuse + medium) the S0
+    channel equals the scalar volpath render (M00 chains reproduce the
+    scalar weights exactly)."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    mi.set_variant("tpu_rgb_polarized")
+    try:
+        def scene(integ):
+            return mi.load_dict({
+                "type": "scene", "integrator": integ,
+                "sensor": {"type": "perspective", "fov": 45,
+                           "to_world": tf.look_at([0, 0.5, -4], [0, 0, 0],
+                                                  [0, 1, 0]),
+                           "film": {"type": "hdrfilm", "width": 8,
+                                    "height": 8, "rfilter": {"type": "box"}},
+                           "sampler": {"type": "independent",
+                                       "sample_count": 32}},
+                "medium_box": {"type": "cube", "to_world": tf.scale([1.2] * 3),
+                               "bsdf": {"type": "null"},
+                               "interior": {"type": "homogeneous",
+                                            "sigma_t": {"type": "rgb",
+                                                        "value": 1.0},
+                                            "albedo": {"type": "rgb",
+                                                       "value": 0.7}}},
+                "floor": {"type": "rectangle",
+                          "to_world": tf.translate([0, -1.5, 0])
+                          @ tf.rotate([1, 0, 0], -90) @ tf.scale([6, 6, 1]),
+                          "bsdf": {"type": "diffuse"}},
+                "light": {"type": "point", "position": [0, 4, -4],
+                          "intensity": {"type": "rgb", "value": 40.0}}})
+        scalar = np.asarray(mi.render(scene({"type": "volpath",
+                                             "max_depth": 6}), spp=32,
+                                      seed=0))
+        st = np.asarray(mi.render(scene(
+            {"type": "stokes", "nested": {"type": "volpath",
+                                          "max_depth": 6}}), spp=32, seed=0))
+        assert st.shape[-1] >= 15            # rgb + 12 stokes AOVs
+        assert np.allclose(st[..., :3], scalar[..., :3], atol=2e-5), \
+            np.abs(st[..., :3] - scalar[..., :3]).max()
+        # fully depolarizing scene: S1..S3 vanish
+        assert np.abs(st[..., 6:]).max() < 1e-5
+    finally:
+        mi.set_variant("tpu_rgb")
+
+
+def test_volpath_stokes_medium_preserves_dop():
+    """Polarization survives attenuation: a conductor floor seen through a
+    non-scattering absorbing medium keeps its degree of polarization
+    (S1/S0 invariant as sigma_t scales both)."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    mi.set_variant("tpu_rgb_polarized")
+    try:
+        def scene(sig):
+            return mi.load_dict({
+                "type": "scene",
+                "integrator": {"type": "stokes",
+                               "nested": {"type": "volpath",
+                                          "max_depth": 4}},
+                "sensor": {"type": "perspective", "fov": 45,
+                           "to_world": tf.look_at([0, 1.8, -3], [0, 0, 0],
+                                                  [0, 1, 0]),
+                           "film": {"type": "hdrfilm", "width": 8,
+                                    "height": 8, "rfilter": {"type": "box"}},
+                           "sampler": {"type": "independent",
+                                       "sample_count": 64}},
+                "medium_box": {"type": "cube",
+                               "to_world": tf.scale([2.5, 2.5, 2.5]),
+                               "bsdf": {"type": "null"},
+                               "interior": {"type": "homogeneous",
+                                            "sigma_t": {"type": "rgb",
+                                                        "value": sig},
+                                            "albedo": {"type": "rgb",
+                                                       "value": 0.0}}},
+                "floor": {"type": "rectangle",
+                          "to_world": tf.rotate([1, 0, 0], -90)
+                          @ tf.scale([3, 3, 1]),
+                          "bsdf": {"type": "roughconductor",
+                                   "alpha": 0.15,
+                                   "eta": {"type": "rgb",
+                                           "value": [0.2, 0.9, 1.4]},
+                                   "k": {"type": "rgb",
+                                         "value": [3.9, 2.5, 2.1]}}},
+                "light": {"type": "point", "position": [2.5, 4, -3],
+                          "intensity": {"type": "rgb", "value": 60.0}}})
+        def dop(img):
+            s0 = img[..., 3:6].sum(-1)
+            s1 = img[..., 6:9].sum(-1)
+            s2 = img[..., 9:12].sum(-1)
+            m = s0 > 0.3 * s0.max()
+            lp = np.sqrt(s1 ** 2 + s2 ** 2)
+            return (lp[m] / s0[m]).mean(), s0.sum()
+        d0, e0 = dop(np.asarray(mi.render(scene(0.0), spp=64, seed=0)))
+        d1, e1 = dop(np.asarray(mi.render(scene(0.4), spp=64, seed=0)))
+        assert e1 < 0.8 * e0                      # attenuation happened
+        assert d0 > 0.01                          # polarizing reflection
+        assert abs(d1 - d0) < 0.25 * d0 + 0.005, (d0, d1)
+    finally:
+        mi.set_variant("tpu_rgb")

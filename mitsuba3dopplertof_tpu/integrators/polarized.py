@@ -176,6 +176,37 @@ def _element_bounce_mueller(si, theta, delta, kind: int):
                                              mu.stokes_basis(forward))
 
 
+def rayleigh_scatter_mueller(d_in: Vec3, d_out: Vec3):
+    """Rayleigh scattering Mueller matrix (reference rayleigh.cpp
+    polarized phase; Chandrasekhar): built in the scattering-plane frame
+    (x-axes perpendicular to the plane on both sides), rotated to the
+    world implicit Stokes bases, normalized so M[0][0] == 1 (the
+    direction weight — exact inverse-CDF sampling cancels the scalar
+    phase). 90-degree scattering of unpolarized light is fully linearly
+    polarized perpendicular to the scattering plane."""
+    c = dot(d_in, d_out)
+    npl = cross(d_in, d_out)
+    fb_in = mu.stokes_basis(d_in)
+    fb_out = mu.stokes_basis(d_out)
+    e_in = _safe_axis(npl, fb_in)
+    e_out = _safe_axis(npl, fb_out)
+    a = 1.0 + c * c
+    inv_a = 1.0 / jnp.maximum(a, 1e-12)
+    b = (1.0 - c * c) * inv_a
+    d2 = 2.0 * c * inv_a
+    z = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+
+    def v(x):
+        return Vec3(x, x, x)
+    M = (v(one), v(b),  v(z),  v(z),
+         v(b),  v(one), v(z),  v(z),
+         v(z),  v(z),  v(d2), v(z),
+         v(z),  v(z),  v(z),  v(d2))
+    return mu.rotate_mueller_basis(M, d_in, e_in, fb_in,
+                                   d_out, e_out, fb_out)
+
+
 def camera_nee_stokes_add(sa, si, bs, wo_nee, lane_bsdf, lane_type, T_mm,
                           v_nee):
     """Stokes contribution of an NEE connection in camera order: exact

@@ -328,9 +328,10 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
     Mueller throughput and returns the accumulated Stokes 4-tuple —
     surface bounces apply the exact camera-order Mueller factors
     (polarized.camera_bounce_mueller), medium transmittance scales all
-    components (attenuation does not depolarize), and phase scattering
-    acts as an ideal depolarizer (v1: the exact Rayleigh scattering
-    Mueller is not modeled; S0 is unaffected either way)."""
+    components (attenuation does not depolarize), Rayleigh scattering
+    applies the exact scattering Mueller (both sampled bounces and NEE),
+    and the remaining phase functions act as ideal depolarizers (S0 is
+    unaffected either way)."""
     n = ray.o.x.shape[0]
     f32 = jnp.float32
 
@@ -633,6 +634,19 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
                 S_add = camera_nee_stokes_add(sa, si, bs, wo_nee,
                                               lane_bsdf, lt_nee, T_mm,
                                               v_nee)
+                if getattr(sa, "any_rayleigh", False):
+                    # exact Rayleigh NEE Mueller at medium events
+                    from .polarized import (rayleigh_scatter_mueller,
+                                            _renormalize)
+                    is_ray_n = hit_med & (
+                        jnp.abs(med(M_PHASE, medium) - 2.0) < 0.5)
+                    M_rn = rayleigh_scatter_mueller(ray.d, ds.d)
+                    M_rn = _renormalize(M_rn, v_nee)
+                    TMr = mu.mm_mul(T_mm, M_rn)
+                    S_add = tuple(where3(is_ray_n,
+                                         Vec3(TMr[4 * i].x, TMr[4 * i].y,
+                                              TMr[4 * i].z), S_add[i])
+                                  for i in range(4))
                 S_res = tuple(S_res[i] + S_add[i] for i in range(4))
 
         # next ray
@@ -649,10 +663,17 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             wgt_surf = where3(active_next & ~hit_med, bs.weight, ones3)
             M_b = camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type,
                                         wgt_surf, polarizing_present)
-            # phase scattering: ideal depolarizer (direction weight 1 —
-            # the pdf cancels the eval; sigma_s/albedo rode w_med above)
-            M_b = mu.mm_where(hit_med & active_next,
-                              mu.depolarizer(ones3), M_b)
+            # phase scattering: ideal depolarizer for HG/SGGX/tabulated
+            # (direction weight 1 — the pdf cancels the eval; sigma_s/
+            # albedo rode w_med above); Rayleigh lanes get the exact
+            # scattering Mueller (rayleigh.cpp polarized phase)
+            M_p = mu.depolarizer(ones3)
+            if getattr(sa, "any_rayleigh", False):
+                from .polarized import rayleigh_scatter_mueller
+                is_ray_p = jnp.abs(med(M_PHASE, medium) - 2.0) < 0.5
+                M_ray = rayleigh_scatter_mueller(ray.d, wo_phase)
+                M_p = mu.mm_where(is_ray_p, M_ray, M_p)
+            M_b = mu.mm_where(hit_med & active_next, M_p, M_b)
             T_new = mu.mm_mul(T_mm, M_b)
             T_mm = mu.mm_where(active_next, T_new, T_mm)
         eta = eta * jnp.where(active_next & ~hit_med, bs.eta, 1.0)

@@ -383,3 +383,83 @@ def test_volpath_stokes_medium_preserves_dop():
         assert abs(d1 - d0) < 0.25 * d0 + 0.005, (d0, d1)
     finally:
         mi.set_variant("tpu_rgb")
+
+
+def test_rayleigh_scatter_mueller_analytic():
+    """90-degree Rayleigh scattering of unpolarized light is fully
+    linearly polarized perpendicular to the scattering plane; forward
+    scattering leaves the state untouched (Chandrasekhar)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba3dopplertof_tpu.integrators.polarized import (
+        rayleigh_scatter_mueller)
+    from mitsuba3dopplertof_tpu.core.vec import Vec3
+    from mitsuba3dopplertof_tpu.core import mueller as mu
+
+    def v(x, y, z):
+        return Vec3(jnp.full((1,), float(x)), jnp.full((1,), float(y)),
+                    jnp.full((1,), float(z)))
+    # 90 degrees: in +z, out +x
+    M = rayleigh_scatter_mueller(v(0, 0, 1), v(1, 0, 0))
+    S = mu.mm_apply_stokes(M, (v(1, 1, 1), v(0, 0, 0), v(0, 0, 0),
+                               v(0, 0, 0)))
+    s0, s1, s2, s3 = (float(np.asarray(s.x)[0]) for s in S)
+    assert abs(s0 - 1.0) < 1e-6                 # M00 normalized
+    dop = np.sqrt(s1 * s1 + s2 * s2 + s3 * s3) / s0
+    assert abs(dop - 1.0) < 1e-6, dop           # fully polarized
+    # forward scattering: identity on the Stokes state
+    M0 = rayleigh_scatter_mueller(v(0, 0, 1), v(0, 0, 1))
+    Sf = mu.mm_apply_stokes(M0, (v(1, 1, 1), v(0.3, 0.3, 0.3),
+                                 v(0.2, 0.2, 0.2), v(0.1, 0.1, 0.1)))
+    vals = [float(np.asarray(s.x)[0]) for s in Sf]
+    assert np.allclose(vals, [1.0, 0.3, 0.2, 0.1], atol=1e-5), vals
+
+
+def test_rayleigh_medium_polarizes_side_scatter():
+    """Single-scatter glow of a Rayleigh medium lit from the side is
+    strongly polarized; the same geometry with an HG medium (ideal
+    depolarizer) is not."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+    mi.set_variant("tpu_rgb_polarized")
+    try:
+        def scene(phase):
+            return mi.load_dict({
+                "type": "scene",
+                "integrator": {"type": "stokes",
+                               "nested": {"type": "volpath",
+                                          "max_depth": 3}},
+                # camera looks along -z at the medium; light shines
+                # along -x: 90-degree single scattering into the camera
+                "sensor": {"type": "perspective", "fov": 40,
+                           "to_world": tf.look_at([0, 0, -4], [0, 0, 0],
+                                                  [0, 1, 0]),
+                           "film": {"type": "hdrfilm", "width": 8,
+                                    "height": 8, "rfilter": {"type": "box"}},
+                           "sampler": {"type": "independent",
+                                       "sample_count": 128}},
+                "medium_box": {"type": "cube",
+                               "to_world": tf.scale([1.0, 1.0, 1.0]),
+                               "bsdf": {"type": "null"},
+                               "interior": {"type": "homogeneous",
+                                            "sigma_t": {"type": "rgb",
+                                                        "value": 0.4},
+                                            "albedo": {"type": "rgb",
+                                                       "value": 0.9},
+                                            "phase": {"type": phase}}},
+                "light": {"type": "directional", "direction": [1, 0, 0],
+                          "irradiance": {"type": "rgb", "value": 10.0}}})
+        def dop(img):
+            s0 = img[..., 3:6].sum(-1)
+            s1 = img[..., 6:9].sum(-1)
+            s2 = img[..., 9:12].sum(-1)
+            m = s0 > 0.3 * s0.max()
+            return (np.sqrt(s1 ** 2 + s2 ** 2)[m] / s0[m]).mean()
+        d_ray = dop(np.asarray(mi.render(scene("rayleigh"), spp=128,
+                                         seed=0)))
+        d_hg = dop(np.asarray(mi.render(scene("isotropic"), spp=128,
+                                        seed=0)))
+        assert d_ray > 0.5, d_ray                # ~90-deg: near-full DOP
+        assert d_hg < 0.05, d_hg                 # depolarizer
+    finally:
+        mi.set_variant("tpu_rgb")

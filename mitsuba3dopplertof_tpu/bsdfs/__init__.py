@@ -45,6 +45,7 @@ P_ETA = 4             # ior / eta (dielectric); rgb eta (conductor 4:7)
 P_K = 7               # rgb k (conductor 7:10)
 P_ALPHA = 10          # roughness alpha
 P_SPEC_TRANS = 11     # rgb transmittance 11:14 (dielectric)
+P_MF_DIST = 12        # roughconductor: 1.0 = beckmann, 0.0 = ggx
 P_REFL_TEX = 14       # texture id driving the reflectance (-1 = constant)
 
 # lobe flags (static per row, mirrors reference BSDFFlags)
@@ -478,7 +479,11 @@ class RoughConductor(Conductor):
 
     def __init__(self, props: Properties):
         super().__init__(props)
-        props.get_string("distribution", "ggx")
+        dist = props.get_string("distribution", "ggx")
+        if dist not in ("ggx", "beckmann"):
+            raise RuntimeError(
+                f"roughconductor: unknown distribution '{dist}'")
+        self.distribution = dist
         alpha = props.get_float("alpha", 0.1)
         self.alpha_u = props.get_float("alpha_u", alpha)
         self.alpha_v = props.get_float("alpha_v", alpha)
@@ -487,6 +492,7 @@ class RoughConductor(Conductor):
         p = super().params_row()
         p[P_ALPHA] = self.alpha_u
         p[P_ALPHA + 1] = self.alpha_v
+        p[P_MF_DIST] = 1.0 if self.distribution == "beckmann" else 0.0
         return p
 
 
@@ -590,9 +596,13 @@ def _conductor_eval_pdf_sample(param, wi: Vec3, wo_nee: Vec3, s1, s2x, s2y):
 
 
 def _roughconductor_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
-    """GGX VNDF conductor (reference roughconductor.cpp)."""
+    """Microfacet conductor (reference roughconductor.cpp): GGX with VNDF
+    sampling (the reference default), or Beckmann with classic D*cos
+    sampling on lanes whose row sets P_MF_DIST (the reference's
+    sample_visible=false mode — same estimator, different variance)."""
     ax = param(P_ALPHA)
     ay = param(P_ALPHA + 1)
+    is_beck = param(P_MF_DIST) > 0.5
     refl = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
 
     def F_of(cos_im):
@@ -609,35 +619,39 @@ def _roughconductor_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
     both = ok & (cos_o > 0.0)
     from ..core.vec import normalize as _norm
     h = _norm(wi + wo_nee)
-    D = mf.ggx_D(h, ax, ay)
-    G = mf.ggx_G(wi, wo_nee, h, ax, ay)
+    D = jnp.where(is_beck, mf.beckmann_D(h, ax, ay), mf.ggx_D(h, ax, ay))
+    G = jnp.where(is_beck, mf.beckmann_G(wi, wo_nee, h, ax, ay),
+                  mf.ggx_G(wi, wo_nee, h, ax, ay))
     val_scalar = jnp.where(both, D * G / jnp.maximum(4.0 * cos_i, 1e-12), 0.0)
     F = F_of(dot(wi, h))
-    val_nee = F * refl * val_scalar      # already includes cos_o via G/D form?
+    val_nee = F * refl * val_scalar
     # NOTE: microfacet brdf * cos_o = D F G / (4 cos_i): the cos_o cancels.
-    pdf_nee = jnp.where(
-        both, mf.ggx_pdf_visible(wi, h, ax, ay)
-        / jnp.maximum(4.0 * jnp.abs(dot(wo_nee, h)), 1e-12) * 4.0
-        * jnp.abs(dot(wo_nee, h)) / jnp.maximum(4.0 * jnp.abs(dot(wo_nee, h)), 1e-12),
-        0.0)
+    pdf_m_nee = jnp.where(is_beck, mf.beckmann_pdf(h, ax, ay),
+                          mf.ggx_pdf_visible(wi, h, ax, ay))
     pdf_nee = jnp.where(
         both,
-        mf.ggx_pdf_visible(wi, h, ax, ay) /
-        jnp.maximum(4.0 * jnp.abs(dot(wo_nee, h)), 1e-12),
+        pdf_m_nee / jnp.maximum(4.0 * jnp.abs(dot(wo_nee, h)), 1e-12),
         0.0)
 
     # --- sample
-    m, pdf_m = mf.ggx_sample_vndf(wi, ax, ay, s2x, s2y)
+    m_g, pdf_g = mf.ggx_sample_vndf(wi, ax, ay, s2x, s2y)
+    m_b, pdf_b = mf.beckmann_sample(ax, ay, s2x, s2y)
+    m = where3(is_beck, m_b, m_g)
+    pdf_m = jnp.where(is_beck, pdf_b, pdf_g)
     wo = Vec3(2.0 * dot(wi, m) * m.x - wi.x,
               2.0 * dot(wi, m) * m.y - wi.y,
               2.0 * dot(wi, m) * m.z - wi.z)
     valid = ok & (wo.z > 0.0) & (pdf_m > 0.0)
     pdf = jnp.where(valid, pdf_m / jnp.maximum(4.0 * jnp.abs(dot(wo, m)), 1e-12), 0.0)
-    # weight = f*cos/pdf = F * G2/G1 (VNDF identity)
+    # weight = f*cos/pdf: VNDF identity F*G2/G1 for GGX; Walter's
+    # F*G*|wi.m|/(cos_i*m.z) for classic Beckmann sampling
     g2 = mf.ggx_G(wi, wo, m, ax, ay)
     g1 = mf.ggx_smith_g1(wi, m, ax, ay)
+    w_ggx = g2 / jnp.maximum(g1, 1e-12)
+    w_beck = (mf.beckmann_G(wi, wo, m, ax, ay) * jnp.abs(dot(wi, m))
+              / jnp.maximum(cos_i * m.z, 1e-12))
+    wscale = jnp.where(valid, jnp.where(is_beck, w_beck, w_ggx), 0.0)
     Fs = F_of(dot(wi, m))
-    wscale = jnp.where(valid, g2 / jnp.maximum(g1, 1e-12), 0.0)
     weight = Fs * refl * wscale
     z = jnp.zeros_like(cos_i)
     false_ = z > 1.0

@@ -79,5 +79,45 @@ def ggx_G(wi: Vec3, wo: Vec3, m: Vec3, alpha_u, alpha_v):
             * ggx_smith_g1(wo, m, alpha_u, alpha_v))
 
 
-__all__ = ["ggx_D", "beckmann_D", "ggx_smith_g1", "ggx_sample_vndf",
+__all__ = ["ggx_D", "beckmann_D", "beckmann_smith_g1",
+           "beckmann_sample", "beckmann_pdf", "beckmann_G",
+           "ggx_smith_g1", "ggx_sample_vndf",
            "ggx_pdf_visible", "ggx_G"]
+
+
+def beckmann_smith_g1(v: Vec3, m: Vec3, alpha_u, alpha_v):
+    """Smith masking for Beckmann (reference microfacet.h smith_g1,
+    Walter et al. 2007 rational approximation), anisotropic via the
+    projected roughness."""
+    xy_alpha2 = (alpha_u * v.x) ** 2 + (alpha_v * v.y) ** 2
+    tan2 = xy_alpha2 / jnp.maximum(v.z * v.z, 1e-20)
+    a = 1.0 / jnp.sqrt(jnp.maximum(tan2, 1e-20))
+    g = jnp.where(a >= 1.6, 1.0,
+                  (3.535 * a + 2.181 * a * a)
+                  / jnp.maximum(1.0 + 2.276 * a + 2.577 * a * a, 1e-12))
+    g = jnp.where(xy_alpha2 == 0.0, 1.0, g)
+    g = jnp.where(dot(v, m) * v.z <= 0.0, 0.0, g)
+    return g
+
+
+def beckmann_sample(alpha_u, alpha_v, s1, s2):
+    """Classic full-D(m)·cos sampling of the anisotropic Beckmann
+    distribution (reference sample_visible=false mode; Walter et al.
+    slope-space form). Returns (m, pdf)."""
+    r = jnp.sqrt(jnp.maximum(-jnp.log(jnp.maximum(1.0 - s1, 1e-20)), 0.0))
+    phi = TWO_PI * s2
+    sx = r * jnp.cos(phi) * alpha_u
+    sy = r * jnp.sin(phi) * alpha_v
+    inv = 1.0 / jnp.sqrt(sx * sx + sy * sy + 1.0)
+    m = Vec3(-sx * inv, -sy * inv, inv)
+    return m, beckmann_pdf(m, alpha_u, alpha_v)
+
+
+def beckmann_pdf(m: Vec3, alpha_u, alpha_v):
+    """pdf of beckmann_sample: D(m) * cos_theta_m."""
+    return beckmann_D(m, alpha_u, alpha_v) * jnp.maximum(m.z, 0.0)
+
+
+def beckmann_G(wi: Vec3, wo: Vec3, m: Vec3, alpha_u, alpha_v):
+    return (beckmann_smith_g1(wi, m, alpha_u, alpha_v)
+            * beckmann_smith_g1(wo, m, alpha_u, alpha_v))

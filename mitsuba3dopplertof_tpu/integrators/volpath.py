@@ -95,6 +95,13 @@ def _grid_density(sa, medium, p: Vec3):
     c0 = c00 * (1 - ty) + c10 * ty
     c1 = c01 * (1 - ty) + c11 * ty
     dens = c0 * (1 - tz) + c1 * tz
+    # nearest lookup (gridvolume.cpp filter_type="nearest")
+    from ..media import M_FILTER
+    nearest = mp(M_FILTER) > 0.5
+    xn = jnp.clip((lx * nxf).astype(jnp.int32), 0, nx - 1)
+    yn = jnp.clip((ly * nyf).astype(jnp.int32), 0, ny - 1)
+    zn = jnp.clip((lz * nzf).astype(jnp.int32), 0, nz - 1)
+    dens = jnp.where(nearest, at(xn, yn, zn), dens)
     scale = gather_small(sa.med_params[M_SIGMA_T], idx)   # gray sigma_t base
     return jnp.where(inside, dens * scale, 0.0)
 

@@ -26,7 +26,7 @@ PHASE_RAYLEIGH = 2
 PHASE_SGGX = 3
 PHASE_TAB = 4
 
-N_MED_PARAMS = 25
+N_MED_PARAMS = 26
 M_SIGMA_T = 0    # rgb extinction (heterogeneous: gray majorant-free base)
 M_ALBEDO = 3     # rgb single-scattering albedo
 M_G = 6          # HG asymmetry
@@ -44,6 +44,7 @@ M_SGGX_OFF = 21  # spatially-varying SGGX: row offset into the (V, 6)
 M_SGGX_NX = 22   # S-grid atlas (sa.sggx_grid) + its resolution; NX == 0
 M_SGGX_NY = 23   # means "constant S" (M_SGGX entries). World->grid
 M_SGGX_NZ = 24   # transform rides sa.sggx_w2g (12, n_media).
+M_FILTER = 25    # grid interpolation: 0 = trilinear, 1 = nearest
 
 
 def _get_rgb(props, key, default):
@@ -253,6 +254,8 @@ class HeterogeneousMedium(HomogeneousMedium):
             p[M_MAXD] = self.scale * self.grid.max()
             g = self.grid.scalar_grid()
             p[M_NX], p[M_NY], p[M_NZ] = g.shape[2], g.shape[1], g.shape[0]
+            p[M_FILTER] = (1.0 if getattr(self.grid, "filter_type", "")
+                           == "nearest" else 0.0)
         return p
 
 
@@ -456,6 +459,6 @@ __all__ = ["Medium", "HomogeneousMedium", "HeterogeneousMedium",
            "sggx_sample", "sggx_eval", "sggx_sample_vndf", "sggx_ndf_pdf",
            "sggx_projected_area", "M_PHASE", "M_SGGX", "PHASE_SGGX",
            "N_MED_PARAMS", "M_SIGMA_T", "M_ALBEDO", "M_G", "M_MAXD",
-           "M_GRID_OFF", "M_NX", "M_NY", "M_NZ",
+           "M_GRID_OFF", "M_NX", "M_NY", "M_NZ", "M_FILTER",
            "M_SGGX_OFF", "M_SGGX_NX", "M_SGGX_NY", "M_SGGX_NZ",
            "PHASE_ISOTROPIC", "PHASE_HG", "PHASE_RAYLEIGH"]

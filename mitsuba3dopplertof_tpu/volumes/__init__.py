@@ -47,7 +47,11 @@ class GridVolume(Volume):
         filename = resolve_filename(props.get_string("filename"))
         self.to_world = np.asarray(
             props.get_transform("to_world", np.eye(4)), np.float64)
-        props.get_string("filter_type", "trilinear")
+        self.filter_type = props.get_string("filter_type", "trilinear")
+        if self.filter_type not in ("trilinear", "nearest"):
+            raise RuntimeError(
+                f"gridvolume: unknown filter_type '{self.filter_type}'")
+        # raw: scalar density grids carry no color transfer either way
         props.get_bool("raw", False)
         self.data = self._load_vol(filename)
 

@@ -95,3 +95,63 @@ def test_heterogeneous_furnace(vols):
     val = float(np.asarray(sc.integrator.render(sc, seed=0,
                                                 spp=2048)).ravel()[0])
     assert abs(val - 1.0) < 0.02, val
+
+
+def test_nearest_filter_quantizes_density(vols):
+    """filter_type="nearest" (gridvolume.cpp): a step grid half 0 / half
+    max is seen exactly under nearest filtering — the camera ray through
+    the zero half is unattenuated, the other half sees the full optical
+    depth. Trilinear would blur the boundary; a ray fully inside the zero
+    half is identical either way."""
+    import struct as _struct
+    d = os.path.dirname(vols[0])
+    step = os.path.join(d, "step.vol")
+    g = np.zeros((8, 8, 8), np.float32)
+    g[:, :, 4:] = 2.0                  # +x half dense (x fastest axis)
+    _write_vol(step, g)
+
+    def trans(filt, x):
+        sc = mi.load_dict({
+            "type": "scene",
+            "box": {"type": "cube", "bsdf": {"type": "null"},
+                    "interior": {
+                        "type": "heterogeneous",
+                        "sigma_t": {"type": "gridvolume", "filename": step,
+                                    "filter_type": filt,
+                                    "to_world": (tf.translate([-1, -1, -1])
+                                                 @ tf.scale([2, 2, 2]))},
+                        "albedo": 0.0, "scale": 1.0}},
+            "sensor": {"type": "radiancemeter",
+                       "to_world": tf.look_at([x, 0, -4], [x, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 1, "height": 1},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 2048}},
+            "integrator": {"type": "volpath", "max_depth": 64},
+            "light": {"type": "rectangle",
+                      "to_world": (tf.translate([0, 0, 4.0])
+                                   @ tf.rotate([1, 0, 0], 180)
+                                   @ tf.scale([4, 4, 1])),
+                      "emitter": {"type": "area",
+                                  "radiance": {"type": "rgb", "value": 1.0}}}})
+        return float(np.asarray(sc.integrator.render(
+            sc, seed=0, spp=2048)).ravel()[0])
+
+    # deep inside the zero half: fully transparent under nearest
+    t0 = trans("nearest", -0.75)
+    assert abs(t0 - 1.0) < 0.02, t0
+    # deep inside the dense half: exp(-2*2) over the 2-unit chord
+    t1 = trans("nearest", 0.75)
+    assert abs(t1 - np.exp(-4.0)) < 0.05, t1
+    # trilinear at the same x blurs with the neighbor texel: different
+    # at the step boundary (world x=0 -> grid x=4.0 texels): trilinear
+    # blends to half density, nearest snaps to the dense texel
+    t1_tri = trans("trilinear", 0.0)
+    t1_near = trans("nearest", 0.0)
+    assert t1_tri > t1_near + 0.02, (t1_tri, t1_near)
+
+
+def test_gridvolume_bad_filter_raises(vols):
+    with pytest.raises(RuntimeError, match="filter_type"):
+        mi.load_dict({"type": "gridvolume", "filename": vols[0],
+                      "filter_type": "cubic"})

@@ -180,7 +180,8 @@ class AOVIntegrator(SamplingIntegrator):
     """
 
     _SIZES = {"depth": 1, "position": 3, "uv": 2, "geo_normal": 3,
-              "sh_normal": 3, "prim_index": 1, "shape_index": 1}
+              "sh_normal": 3, "prim_index": 1, "shape_index": 1,
+              "albedo": 3}
 
     def __init__(self, props: Properties):
         super().__init__(props)
@@ -189,6 +190,10 @@ class AOVIntegrator(SamplingIntegrator):
         for part in [p for p in spec.split(",") if p.strip()]:
             name, _, ty = part.partition(":")
             ty = ty.strip() or name.strip()
+            if ty in ("duv_dx", "duv_dy"):
+                raise RuntimeError(
+                    "aov: screen-space UV partials need ray differentials, "
+                    "which this wavefront design does not carry")
             if ty not in self._SIZES:
                 raise RuntimeError(f"aov: unknown type '{ty}'")
             self.outputs.append((name.strip(), ty))
@@ -231,6 +236,28 @@ class AOVIntegrator(SamplingIntegrator):
                 aovs.append(si.prim.astype(jnp.float32))
             elif ty == "shape_index":
                 aovs.append(si.inst.astype(jnp.float32))
+            elif ty == "albedo":
+                # diffuse/specular reflectance at the first hit incl.
+                # textures (aov.cpp albedo: eval_diffuse_reflectance)
+                from ..bsdfs import P_REFL, P_REFL_TEX
+                lane_bsdf = gather_small(sa.inst_bsdf,
+                                         jnp.maximum(si.inst, 0))
+                alb = Vec3(
+                    gather_small(sa.bsdf_params[P_REFL], lane_bsdf),
+                    gather_small(sa.bsdf_params[P_REFL + 1], lane_bsdf),
+                    gather_small(sa.bsdf_params[P_REFL + 2], lane_bsdf))
+                if sa.n_textures > 0:
+                    from ..textures import eval_texture
+                    lane_tex = gather_small(
+                        sa.bsdf_params[P_REFL_TEX],
+                        lane_bsdf).astype(jnp.int32)
+                    tx = eval_texture(sa, jnp.maximum(lane_tex, 0),
+                                      si.uv_u, si.uv_v, p=si.p,
+                                      b_u=si.b_u, b_v=si.b_v, prim=si.prim,
+                                      wavelengths=wavelengths)
+                    alb = where3(lane_tex >= 0, tx, alb)
+                vm = jnp.where(si.valid, 1.0, 0.0)
+                aovs.extend([alb.x * vm, alb.y * vm, alb.z * vm])
         if self.child is not None:
             kw = ({"wavelengths": wavelengths} if wavelengths is not None
                   else {})

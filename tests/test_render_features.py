@@ -406,3 +406,36 @@ def test_principal_point_offset_shifts_image():
     col1 = int(np.argmax(off.sum(axis=(0, 2))))
     assert abs(abs(col1 - col0) - 8) <= 1, (col0, col1)
     assert abs(off.sum() / base.sum() - 1.0) < 0.05
+
+
+def test_aov_albedo_channel():
+    """aov 'albedo' returns the first-hit diffuse reflectance (reference
+    aov.cpp eval_diffuse_reflectance), zero on misses."""
+    xml = '''
+    <scene version="3.0.0">
+      <integrator type="aov"><string name="aovs" value="alb:albedo"/>
+        <integrator type="path"><integer name="max_depth" value="2"/></integrator>
+      </integrator>
+      <sensor type="perspective"><float name="fov" value="45"/>
+        <film type="hdrfilm"><integer name="width" value="8"/>
+          <integer name="height" value="8"/><rfilter type="box"/></film>
+        <sampler type="independent"><integer name="sample_count" value="4"/></sampler>
+      </sensor>
+      <shape type="rectangle">
+        <transform name="to_world"><translate z="2"/></transform>
+        <bsdf type="twosided"><bsdf type="diffuse">
+          <rgb name="reflectance" value="0.8,0.6,0.4"/></bsdf></bsdf>
+      </shape>
+      <emitter type="point">
+        <transform name="to_world"><translate z="1"/></transform>
+        <rgb name="intensity" value="5"/>
+      </emitter>
+    </scene>'''
+    img = render(xml, spp=4)
+    # channels: rgb(3) [+ alpha/weight handled by develop] + albedo 3
+    alb = img[..., -3:]
+    center = alb[4, 4]
+    assert np.allclose(center, [0.8, 0.6, 0.4], atol=1e-3), center
+    import mitsuba3dopplertof_tpu as mi
+    with pytest.raises(RuntimeError, match="differential"):
+        mi.load_dict({"type": "aov", "aovs": "d:duv_dx"})

@@ -190,7 +190,9 @@ def _reparam_path_sample(integ, sa, sampler, state, ray, active,
         if sa.n_emitters > 0 or has_env:
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
-                                                 lane_emitter)
+                                                 lane_emitter,
+                                                 uv_u=si.uv_u,
+                                                 uv_v=si.uv_v)
             else:
                 em_val = Vec3.zeros((n,))
             if has_env:

@@ -36,6 +36,8 @@ E_INTENSITY = 3    # point: rgb intensity / area: rgb radiance / constant: rgb
 E_AREA = 6         # area: total world-space surface area
 E_CUTOFF = 7       # spot: cos cutoff / sphere: world radius
 E_BEAM = 8         # spot: cos beam width
+E_RAD_TEX = 8      # area (rect/mesh): radiance texture id (-1 = constant)
+                   # — slot shared with E_BEAM (spot-only)
 
 
 def _get_rgb(props, key, default):
@@ -90,17 +92,27 @@ class PointEmitter(Emitter):
 
 @register_plugin("emitter", "area")
 class AreaEmitter(Emitter):
-    """reference src/emitters/area.cpp — radiance over the host shape."""
+    """reference src/emitters/area.cpp — radiance over the host shape;
+    a nested texture makes the radiance spatially varying (evaluated at
+    the surface uv on hits and at NEE sample points; analytic-sphere
+    emitters keep the texture mean)."""
     type_id = EMITTER_AREA_RECT
     delta = False
 
     def __init__(self, props: Properties):
         super().__init__(props)
+        from ..textures import Texture
+        self.irradiance_tex = None       # compile assigns tex_index
+        self.tex_index = -1
+        for key, v in props.objects():
+            if isinstance(v, Texture):
+                self.irradiance_tex = v
         self.radiance = _get_rgb(props, "radiance", [1.0, 1.0, 1.0])
 
     def params_row(self):
         p = np.zeros(N_EMITTER_PARAMS)
         p[E_INTENSITY:E_INTENSITY + 3] = self.radiance
+        p[E_RAD_TEX] = float(self.tex_index)
         return p
 
 
@@ -203,7 +215,17 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
             pdf = jnp.where(cos_theta > 1e-6,
                             dist2 / (jnp.abs(cos_theta) * area), 0.0)
             w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
-            spec = inten * w
+            inten_r = inten
+            if int(sa.n_textures) > 0:
+                # textured radiance at the sampled rect point (uv follows
+                # the rectangle mesh's [0,1]^2 parameterization)
+                texid = param(E_RAD_TEX).astype(jnp.int32)
+                from ..textures import eval_texture
+                tx = eval_texture(sa, jnp.maximum(texid, 0),
+                                  0.5 * (lx + 1.0), 0.5 * (ly + 1.0),
+                                  wavelengths=wavelengths)
+                inten_r = where3(texid >= 0, tx, inten)
+            spec = inten_r * w
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         elif tid == EMITTER_DIRECTIONAL:
@@ -337,6 +359,8 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
             p = Vec3(z, z, z)
             nrm = Vec3(z, z, z)
             pdf = z
+            em_uv_u = z
+            em_uv_v = z
             # sqrt warp for uniform barycentrics (re-uses s_x low bits + s_y)
             su = jnp.sqrt(jnp.clip((s_x * 4096.0) % 1.0, 0.0, 1.0))
             b0 = 1.0 - su
@@ -390,12 +414,29 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
                 p = where3(mask, pe, p)
                 nrm = where3(mask, ne, nrm)
                 pdf = jnp.where(mask, pe_pdf, pdf)
+                if int(sa.n_textures) > 0:
+                    uvw = 1.0 - b0 - b1
+                    ue = (sa.tri(pre, "uv0u")[tri] * uvw
+                          + sa.tri(pre, "uv1u")[tri] * b0
+                          + sa.tri(pre, "uv2u")[tri] * b1)
+                    ve = (sa.tri(pre, "uv0v")[tri] * uvw
+                          + sa.tri(pre, "uv1v")[tri] * b0
+                          + sa.tri(pre, "uv2v")[tri] * b1)
+                    em_uv_u = jnp.where(mask, ue, em_uv_u)
+                    em_uv_v = jnp.where(mask, ve, em_uv_v)
             d = p - ref_p
             dist2 = jnp.maximum(dot(d, d), 1e-20)
             dist = jnp.sqrt(dist2)
             dirn = d * (1.0 / dist)
             w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
-            spec = inten * w
+            inten_m = inten
+            if int(sa.n_textures) > 0:
+                texid = param(E_RAD_TEX).astype(jnp.int32)
+                from ..textures import eval_texture
+                tx = eval_texture(sa, jnp.maximum(texid, 0), em_uv_u,
+                                  em_uv_v, wavelengths=wavelengths)
+                inten_m = where3(texid >= 0, tx, inten)
+            spec = inten_m * w
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         elif tid == EMITTER_ENVMAP:
@@ -568,10 +609,13 @@ def pdf_direction(sa, ds: DirectionSample, prim=None, time=None):
 
 
 def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter,
-                     wavelengths=None):
+                     wavelengths=None, uv_u=None, uv_v=None):
     """Radiance of an emitter hit by a ray (reference area.cpp eval:82-90):
     area emitters emit radiance from the front side only. ``towards`` is the
-    direction from the surface toward the viewer (-ray.d)."""
+    direction from the surface toward the viewer (-ray.d). ``uv_u/uv_v``
+    (optional): hit uv — textured area emitters (rect/mesh) evaluate their
+    radiance texture there; analytic-sphere emitters keep the texture mean
+    (their NEE sampler does too, keeping both MIS strategies consistent)."""
     from ..render.scene import gather_small
     idx = jnp.maximum(lane_emitter, 0)
 
@@ -585,8 +629,19 @@ def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter,
         # (reference directionalarea.cpp eval)
         lane_type = gather_small(sa.emitter_type, idx)
         ok = ok & (lane_type != EMITTER_DIRECTIONALAREA)
+    inten = _lane_intensity(param, wavelengths)
+    if uv_u is not None and int(sa.n_textures) > 0:
+        lane_type = gather_small(sa.emitter_type, idx)
+        texid = param(E_RAD_TEX).astype(jnp.int32)
+        use_tex = ((texid >= 0)
+                   & ((lane_type == EMITTER_AREA_RECT)
+                      | (lane_type == EMITTER_AREA_MESH)))
+        from ..textures import eval_texture
+        tx = eval_texture(sa, jnp.maximum(texid, 0), uv_u, uv_v,
+                          wavelengths=wavelengths)
+        inten = where3(use_tex, tx, inten)
     w = jnp.where(ok, 1.0, 0.0)
-    return _lane_intensity(param, wavelengths) * w
+    return inten * w
 
 
 __all__ = [

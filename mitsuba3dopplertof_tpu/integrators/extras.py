@@ -64,7 +64,9 @@ class DirectIntegrator(SamplingIntegrator):
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
                                                  lane_emitter,
-                                                 wavelengths=wavelengths)
+                                                 wavelengths=wavelengths,
+                                                 uv_u=si.uv_u,
+                                                 uv_v=si.uv_v)
             else:
                 em_val = Vec3.zeros((n,))
             emit_mask = active & (lane_emitter >= 0)
@@ -134,7 +136,9 @@ class DirectIntegrator(SamplingIntegrator):
             if sa.n_emitters > 0:
                 em_val2 = em_mod.eval_emitter_hit(sa, si2.sh_n, -ray2.d,
                                                   lane_em2,
-                                                  wavelengths=wavelengths)
+                                                  wavelengths=wavelengths,
+                                                  uv_u=si2.uv_u,
+                                                  uv_v=si2.uv_v)
             else:
                 em_val2 = Vec3.zeros((n,))
             hit_em = act_b & (lane_em2 >= 0)

@@ -416,7 +416,9 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
         if any_emission:
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
-                                                 lane_emitter)
+                                                 lane_emitter,
+                                                 uv_u=si.uv_u,
+                                                 uv_v=si.uv_v)
             else:
                 em_val = Vec3.zeros((n,))
             if has_env:

@@ -248,8 +248,19 @@ class PTracerIntegrator(SamplingIntegrator):
                              erow(8) * erow(1) - erow(0) * erow(9),
                              erow(0) * erow(5) - erow(4) * erow(1)))
                     A = epar(E_AREA)
+                    rad_loc = rad
+                    if int(sa.n_textures) > 0:
+                        # textured radiance at the sampled rect point
+                        from ..emitters import E_RAD_TEX
+                        from ..textures import eval_texture
+                        texid = epar(E_RAD_TEX).astype(jnp.int32)
+                        tx = eval_texture(sa, jnp.maximum(texid, 0),
+                                          0.5 * (lx + 1.0),
+                                          0.5 * (ly + 1.0),
+                                          wavelengths=wavelengths)
+                        rad_loc = where3(texid >= 0, tx, rad)
                     cand = (o_c, frame_dir(nrm, loc), nrm,
-                            rad * (A * math.pi), rad * A, ~no)
+                            rad_loc * (A * math.pi), rad_loc * A, ~no)
                 elif tid == EMITTER_AREA_SPHERE:
                     # uniform surface position on the analytic sphere
                     c_c = Vec3(epar(E_POS), epar(E_POS + 1), epar(E_POS + 2))
@@ -265,6 +276,8 @@ class PTracerIntegrator(SamplingIntegrator):
                     # sampled at their t=0 keyframe (ptracer paths carry
                     # time 0)
                     o_m, n_m, invp = z3, z3, zero
+                    uv_mu = zero
+                    uv_mv = zero
                     su = jnp.sqrt(jnp.clip(pos2[0], 0.0, 1.0))
                     b0 = 1.0 - su
                     b1 = pos2[1] * su
@@ -308,8 +321,27 @@ class PTracerIntegrator(SamplingIntegrator):
                         o_m = where3(mask, pe, o_m)
                         n_m = where3(mask, ne_v, n_m)
                         invp = jnp.where(mask, ip, invp)
+                        if int(sa.n_textures) > 0:
+                            uvw = 1.0 - b0 - b1
+                            ue = (sa.tri(pre, "uv0u")[tri] * uvw
+                                  + sa.tri(pre, "uv1u")[tri] * b0
+                                  + sa.tri(pre, "uv2u")[tri] * b1)
+                            ve = (sa.tri(pre, "uv0v")[tri] * uvw
+                                  + sa.tri(pre, "uv1v")[tri] * b0
+                                  + sa.tri(pre, "uv2v")[tri] * b1)
+                            uv_mu = jnp.where(mask, ue, uv_mu)
+                            uv_mv = jnp.where(mask, ve, uv_mv)
+                    rad_loc = rad
+                    if int(sa.n_textures) > 0:
+                        from ..emitters import E_RAD_TEX
+                        from ..textures import eval_texture
+                        texid = epar(E_RAD_TEX).astype(jnp.int32)
+                        tx = eval_texture(sa, jnp.maximum(texid, 0),
+                                          uv_mu, uv_mv,
+                                          wavelengths=wavelengths)
+                        rad_loc = where3(texid >= 0, tx, rad)
                     cand = (o_m, frame_dir(n_m, loc), n_m,
-                            rad * (invp * math.pi), rad * invp, ~no)
+                            rad_loc * (invp * math.pi), rad_loc * invp, ~no)
                 elif tid == EMITTER_PROJECTOR:
                     # delta position; direction uniform over the image
                     # plane at z=1 in projector space (pdf_A = 1/(4 th^2));

@@ -455,7 +455,9 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
                                                  lane_emitter,
-                                                 wavelengths=wavelengths)
+                                                 wavelengths=wavelengths,
+                                                 uv_u=si.uv_u,
+                                                 uv_v=si.uv_v)
             else:
                 em_val = Vec3.zeros((n,))
             miss_env = (~si.valid) & active & ~hit_med

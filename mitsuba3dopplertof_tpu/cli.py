@@ -107,7 +107,9 @@ def main(argv=None):
           file=sys.stderr)
 
     out = args.output or os.path.splitext(args.scene)[0] + ".exr"
-    write_exr_rgb(out, img[..., :3])
+    fmt = getattr(scene.sensors[args.sensor].film, "component_format",
+                  "float16")
+    write_exr_rgb(out, img[..., :3], half=(fmt != "float32"))
     print(f"[write] {out}", file=sys.stderr)
     if args.png:
         from mitsuba3dopplertof_tpu.utils.image import to_ldr_image

@@ -34,7 +34,12 @@ class Film:
         self.height = props.get_int("height", 576)
         self.pixel_format = props.get_string("pixel_format", "rgb")
         self.file_format = props.get_string("file_format", "openexr")
-        props.get_string("component_format", "float16")
+        # consumed by EXR writers: float16 -> HALF, float32 -> FLOAT
+        self.component_format = props.get_string("component_format",
+                                                 "float16")
+        if self.component_format not in ("float16", "float32"):
+            raise RuntimeError(
+                f"film: unknown component_format '{self.component_format}'")
         self.crop_offset = (props.get_int("crop_offset_x", 0),
                             props.get_int("crop_offset_y", 0))
         self.crop_size = (props.get_int("crop_width", self.width),

@@ -510,6 +510,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
 
         # interaction point (medium or surface)
         p_evt = where3(hit_med, ray.o + ray.d * t_fin, si.p)
+        from ..media import M_SAMPLE_EM as _M_SE
+        med_se_evt = med(_M_SE, medium) > 0.5
 
         # ---------------- NEE from medium or surface ------------------
         nee, state = sampler.next_2d(state, active)
@@ -519,8 +521,13 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
                                                     wavelengths=wavelengths)
             lane_bsdf = gather_small(sa.inst_bsdf, jnp.maximum(si.inst, 0))
             smooth = (gather_small(bsdf_flags, lane_bsdf) & FLAG_SMOOTH) != 0
+            # media with sample_emitters=false skip NEE from their events
+            # (medium.h sample_emitters); their phase-scattered vertices
+            # then claim full MIS weight on emitter hits below
+            from ..media import M_SAMPLE_EM
+            med_se = med(M_SAMPLE_EM, medium) > 0.5
             active_em = active_next & (ds.pdf != 0.0) & (
-                hit_med | (si.valid & smooth))
+                (hit_med & med_se) | (~hit_med & si.valid & smooth))
             # occlusion from the event point
             from ..render.types import SHADOW_EPSILON
             sh_o = where3(hit_med, p_evt, si._offset_p(ds.p - si.p))
@@ -709,7 +716,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
         prev_pdf = jnp.where(active_next & ~null_evt,
                              jnp.where(hit_med, pdf_phase, bs.pdf), prev_pdf)
         prev_delta = jnp.where(active_next & ~null_evt,
-                               jnp.where(hit_med, False, bs.sampled_delta),
+                               jnp.where(hit_med, ~med_se_evt,
+                                         bs.sampled_delta),
                                prev_delta)
         depth = depth + jnp.where(real_evt & active, 1, 0).astype(jnp.uint32)
 

@@ -26,7 +26,7 @@ PHASE_RAYLEIGH = 2
 PHASE_SGGX = 3
 PHASE_TAB = 4
 
-N_MED_PARAMS = 26
+N_MED_PARAMS = 27
 M_SIGMA_T = 0    # rgb extinction (heterogeneous: gray majorant-free base)
 M_ALBEDO = 3     # rgb single-scattering albedo
 M_G = 6          # HG asymmetry
@@ -45,6 +45,7 @@ M_SGGX_NX = 22   # S-grid atlas (sa.sggx_grid) + its resolution; NX == 0
 M_SGGX_NY = 23   # means "constant S" (M_SGGX entries). World->grid
 M_SGGX_NZ = 24   # transform rides sa.sggx_w2g (12, n_media).
 M_FILTER = 25    # grid interpolation: 0 = trilinear, 1 = nearest
+M_SAMPLE_EM = 26 # 1 = NEE from medium events (medium.h sample_emitters)
 
 
 def _get_rgb(props, key, default):
@@ -202,7 +203,7 @@ class HomogeneousMedium(Medium):
             sigma_a = _get_rgb(props, "sigma_a", [0.5, 0.5, 0.5]) * self.scale
             self.sigma_t = sigma_s + sigma_a
             self.albedo = sigma_s / np.maximum(self.sigma_t, 1e-9)
-        props.get_bool("sample_emitters", True)
+        self.sample_emitters = props.get_bool("sample_emitters", True)
 
     def params_row(self):
         p = np.zeros(N_MED_PARAMS)
@@ -210,6 +211,7 @@ class HomogeneousMedium(Medium):
         p[M_ALBEDO:M_ALBEDO + 3] = self.albedo
         p[M_G] = getattr(self.phase, "g", 0.0)
         p[M_SCALE] = self.scale
+        p[M_SAMPLE_EM] = 1.0 if self.sample_emitters else 0.0
         # M_PHASE kernel codes: 0 = HG/isotropic (M_G), 1 = SGGX,
         # 2 = Rayleigh, 3 = tabulated (table via sa.tab_phase_tables)
         tid = getattr(self.phase, "type_id", 0)
@@ -459,6 +461,6 @@ __all__ = ["Medium", "HomogeneousMedium", "HeterogeneousMedium",
            "sggx_sample", "sggx_eval", "sggx_sample_vndf", "sggx_ndf_pdf",
            "sggx_projected_area", "M_PHASE", "M_SGGX", "PHASE_SGGX",
            "N_MED_PARAMS", "M_SIGMA_T", "M_ALBEDO", "M_G", "M_MAXD",
-           "M_GRID_OFF", "M_NX", "M_NY", "M_NZ", "M_FILTER",
+           "M_GRID_OFF", "M_NX", "M_NY", "M_NZ", "M_FILTER", "M_SAMPLE_EM",
            "M_SGGX_OFF", "M_SGGX_NX", "M_SGGX_NY", "M_SGGX_NZ",
            "PHASE_ISOTROPIC", "PHASE_HG", "PHASE_RAYLEIGH"]

@@ -196,3 +196,38 @@ def test_thick_medium_unbiased():
     lhs = (v1 ** 2).mean()
     rhs = (v2 * v0).mean()
     assert abs(lhs - rhs) / rhs < 0.15, (lhs, rhs)
+
+
+def test_sample_emitters_false_unbiased():
+    """sample_emitters=false (medium.h): medium events skip NEE and rely
+    on phase sampling + emitter hits with full MIS weight — the mean must
+    match the NEE-enabled estimator."""
+    from mitsuba3dopplertof_tpu.core import transform as tf
+
+    def render(se, spp, seed=0):
+        sc = mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "volpath", "max_depth": 6},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": tf.look_at([0, 0.3, -3.5], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": spp}},
+            "medium_box": {"type": "cube", "to_world": tf.scale([1.0] * 3),
+                           "bsdf": {"type": "null"},
+                           "interior": {"type": "homogeneous",
+                                        "sigma_t": {"type": "rgb",
+                                                    "value": 0.8},
+                                        "albedo": {"type": "rgb",
+                                                   "value": 0.9},
+                                        "sample_emitters": se}},
+            "light": {"type": "constant",
+                      "radiance": {"type": "rgb", "value": 1.0}}})
+        return np.asarray(mi.render(sc, spp=spp, seed=seed))
+
+    with_nee = render(True, 256)
+    without = (render(False, 512, 0) + render(False, 512, 1)) / 2
+    r = without.sum() / with_nee.sum()
+    assert abs(r - 1.0) < 0.06, (with_nee.sum(), without.sum(), r)

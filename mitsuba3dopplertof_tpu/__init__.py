@@ -88,6 +88,7 @@ from .core.fresnel import (fresnel_dielectric, fresnel_conductor,
                            reflect, refract)
 from .core.mueller import fresnel_polarized
 from .core.struct import Struct, StructConverter, FieldFlags
+from .bitmap_compat import Bitmap          # mi.Bitmap tutorial-compat
 from .utils.denoiser import Denoiser
 from .core.logger import (set_log_level, log_level, log, trace_to,
                           profile_phase, ProgressReporter,
@@ -154,6 +155,6 @@ __all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant"
            "render_grad", "value_and_render_grad",
            "util", "cornell_box",
            "Transform4f", "ScalarTransform4f", "AnimatedTransform",
-           "mueller", "microfacet", "math", "fresnel_dielectric",
+           "Bitmap", "mueller", "microfacet", "math", "fresnel_dielectric",
            "fresnel_conductor", "fresnel_polarized", "reflect", "refract",
            "__version__"]

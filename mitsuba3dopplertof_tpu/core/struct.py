@@ -87,6 +87,19 @@ class Struct:
     """An ordered field layout (reference struct.h:141+). Fields pack
     sequentially; ``append`` returns self for chaining."""
 
+    class Type:
+        """Component-format aliases used by Bitmap.convert
+        (reference Struct::Type)."""
+        UInt8 = __import__("numpy").uint8
+        Int8 = __import__("numpy").int8
+        UInt16 = __import__("numpy").uint16
+        Int16 = __import__("numpy").int16
+        UInt32 = __import__("numpy").uint32
+        Int32 = __import__("numpy").int32
+        Float16 = __import__("numpy").float16
+        Float32 = __import__("numpy").float32
+        Float64 = __import__("numpy").float64
+
     def __init__(self, pack: bool = True, byte_order: str = "little"):
         if byte_order not in ("little", "big", "host"):
             raise ValueError(f"invalid byte order '{byte_order}'")

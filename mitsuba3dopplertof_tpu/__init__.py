@@ -78,7 +78,9 @@ from .core.stream import (Stream, FileStream, MemoryStream, ZStream,
 from .utils.polvis import polvis
 from .utils import plots
 from . import util                          # mi.util.write_bitmap etc.
-from .util import cornell_box
+from .util import (cornell_box, Thread, TensorXf, Point2f,
+                   Point3f, Vector3f, Color3f, ScalarPoint2f,
+                   ScalarPoint3f, ScalarVector3f, ScalarColor3f)
 from .core.transform import (Transform4f, ScalarTransform4f,
                              AnimatedTransform)
 from .core import mueller                   # mi.mueller.* (reference parity)
@@ -153,7 +155,9 @@ __all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant"
            "Properties", "registered_plugins", "variants", "set_variant",
            "xml_to_dict", "dict_to_xml", "traverse", "SceneParameters",
            "render_grad", "value_and_render_grad",
-           "util", "cornell_box",
+           "util", "cornell_box", "Thread", "TensorXf", "Point3f",
+           "Vector3f", "Color3f", "ScalarPoint3f", "ScalarVector3f",
+           "ScalarColor3f", "Point2f", "ScalarPoint2f",
            "Transform4f", "ScalarTransform4f", "AnimatedTransform",
            "Bitmap", "mueller", "microfacet", "math", "fresnel_dielectric",
            "fresnel_conductor", "fresnel_polarized", "reflect", "refract",

@@ -123,3 +123,53 @@ def cornell_box() -> dict:
 
 
 __all__ = ["convert_to_bitmap", "write_bitmap", "cornell_box"]
+
+
+# ---------------------------------------------------------------------------
+# Thin type/threading compat aliases (reference python bindings surface) so
+# tutorial snippets port unchanged. Points/vectors/colors are numpy arrays;
+# TensorXf is a jax array.
+# ---------------------------------------------------------------------------
+
+def _vecN(n):
+    def make(*args):
+        if len(args) == 1:
+            a = np.asarray(args[0], np.float32)
+            if a.ndim == 0:
+                return np.full(n, float(a), np.float32)
+            return a.reshape(-1)[:n].astype(np.float32)
+        return np.asarray(args, np.float32)[:n]
+    return make
+
+
+ScalarPoint2f = Point2f = _vecN(2)
+ScalarPoint3f = Point3f = _vecN(3)
+ScalarVector3f = Vector3f = _vecN(3)
+ScalarColor3f = Color3f = _vecN(3)
+
+
+def TensorXf(data, shape=None):
+    import jax.numpy as jnp
+    a = jnp.asarray(data, jnp.float32)
+    return a.reshape(shape) if shape is not None else a
+
+
+class Thread:
+    """reference Thread::thread() compat: exposes the file resolver the
+    way tutorial code reaches it (mi.Thread.thread().file_resolver())."""
+
+    _instance = None
+
+    @classmethod
+    def thread(cls):
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+    def file_resolver(self):
+        from .core.fresolver import file_resolver
+        return file_resolver()
+
+    def set_file_resolver(self, fres):
+        from .core import fresolver as _m
+        _m._resolver = fres

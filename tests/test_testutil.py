@@ -40,3 +40,16 @@ def test_tmpfile_fixture(tmpfile):
 
 def test_check_vectorization():
     check_vectorization(lambda a, b: jnp.sin(a) * b + a * a, arg_dims=[1, 1])
+
+
+def test_binding_type_aliases():
+    """Tutorial-compat aliases: Point/Vector/Color constructors, TensorXf,
+    Thread.thread().file_resolver()."""
+    import numpy as np
+    import mitsuba3dopplertof_tpu as mi
+    assert np.allclose(mi.ScalarPoint3f(1, 2, 3), [1, 2, 3])
+    assert np.allclose(mi.Vector3f([4, 5, 6]), [4, 5, 6])
+    assert np.allclose(mi.Color3f(0.25), [0.25] * 3)
+    assert mi.TensorXf(np.zeros(6), shape=(2, 3)).shape == (2, 3)
+    fr = mi.Thread.thread().file_resolver()
+    assert fr is mi.file_resolver()

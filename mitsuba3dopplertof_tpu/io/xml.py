@@ -189,6 +189,14 @@ def xml_to_dict(path_or_string: str, params: Optional[Dict[str, str]] = None,
             result[key] = obj
         elif tag == "alias":
             result[child.attrib["as"]] = {"type": "ref", "id": child.attrib["id"]}
+        elif tag == "path":
+            # <path value="..."/> appends a file-resolver search path
+            # (reference xml.cpp Tag::Resource), relative to the scene dir
+            from ..core.fresolver import file_resolver
+            p = _subst(child.attrib["value"], params)
+            if not os.path.isabs(p):
+                p = os.path.join(base_dir, p)
+            file_resolver().append(p)
         else:
             raise RuntimeError(f"Unexpected top-level tag <{tag}>")
     result["_base_dir"] = base_dir

@@ -53,3 +53,26 @@ def test_binding_type_aliases():
     assert mi.TensorXf(np.zeros(6), shape=(2, 3)).shape == (2, 3)
     fr = mi.Thread.thread().file_resolver()
     assert fr is mi.file_resolver()
+
+
+def test_xml_path_tag_extends_resolver(tmp_path):
+    """<path value=.../> adds a search path (reference xml.cpp
+    Tag::Resource): meshes resolve from the added directory."""
+    import numpy as np
+    import mitsuba3dopplertof_tpu as mi
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    (assets / "tri.obj").write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    scene_xml = tmp_path / "scene.xml"
+    scene_xml.write_text('''
+    <scene version="3.0.0">
+      <path value="assets"/>
+      <sensor type="perspective">
+        <film type="hdrfilm"><integer name="width" value="4"/>
+          <integer name="height" value="4"/></film>
+      </sensor>
+      <shape type="obj"><string name="filename" value="tri.obj"/></shape>
+    </scene>''')
+    sc = mi.load_file(str(scene_xml))
+    assert len(sc.shapes) == 1

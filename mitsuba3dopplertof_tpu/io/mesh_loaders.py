@@ -9,6 +9,7 @@ compiler, never the device).
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
 from typing import Optional
@@ -16,8 +17,99 @@ from typing import Optional
 import numpy as np
 
 
-def load_obj(filename: str):
+_OBJ_SHIM = None
+_OBJ_SHIM_TRIED = False
+
+
+def _obj_shim():
+    """ctypes handle to the native OBJ parser (ops/native/obj_shim.cpp),
+    built on demand; None -> pure-Python fallback."""
+    global _OBJ_SHIM, _OBJ_SHIM_TRIED
+    if _OBJ_SHIM_TRIED:
+        return _OBJ_SHIM
+    _OBJ_SHIM_TRIED = True
+    import ctypes
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(here, "ops", "native", "libobj_shim.so")
+    src = os.path.join(here, "ops", "native", "obj_shim.cpp")
+    if not os.path.exists(so) and os.path.exists(src):
+        try:
+            subprocess.run(["g++", "-O2", "-shared", "-fPIC",
+                            "-std=c++17", src, "-o", so],
+                           check=True, capture_output=True)
+        except Exception:
+            return None
+    if not os.path.exists(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.obj_count.restype = ctypes.c_int
+        lib.obj_parse.restype = ctypes.c_int
+        _OBJ_SHIM = lib
+    except Exception:
+        _OBJ_SHIM = None
+    return _OBJ_SHIM
+
+
+def _load_obj_native(lib, filename):
+    import ctypes
+    counts = np.zeros(4, np.int64)
+    path = filename.encode()
+    if lib.obj_count(path, counts.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64))):
+        return None
+    nv, nn, nt, ntri = (int(x) for x in counts)
+    if nv == 0 or ntri == 0:
+        return None
+    verts = np.empty((max(nv, 1), 3), np.float32)
+    norms = np.empty((max(nn, 1), 3), np.float32)
+    uvs = np.empty((max(nt, 1), 2), np.float32)
+    fv = np.empty((ntri, 3), np.int64)
+    ft = np.empty((ntri, 3), np.int64)
+    fn = np.empty((ntri, 3), np.int64)
+
+    def fp(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    if lib.obj_parse(path, fp(verts), fp(norms), fp(uvs),
+                     ip(fv), ip(ft), ip(fn)):
+        return None
+    return (verts.astype(np.float64),
+            norms[:nn].astype(np.float64),
+            uvs[:nt].astype(np.float64), fv, ft, fn)
+
+
+def _finish_obj(verts, norms, uvs, fv, ft, fn):
+    """Shared OBJ post-processing: 1-based/negative index normalization +
+    wedge re-indexing so each vertex carries its own normal/uv."""
     from ..shapes import Mesh
+    fv = np.where(fv > 0, fv - 1, verts.shape[0] + fv)
+    if norms.size and np.any(fn != 0):
+        # faces lacking a normal/uv index (mixed meshes) clamp to entry 0
+        fn = np.clip(np.where(fn > 0, fn - 1, norms.shape[0] + fn),
+                     0, norms.shape[0] - 1)
+        has_uv = uvs.size > 0 and np.any(ft != 0)
+        if has_uv:
+            ft = np.clip(np.where(ft > 0, ft - 1, uvs.shape[0] + ft),
+                         0, uvs.shape[0] - 1)
+        flat_v = verts[fv.reshape(-1)]
+        flat_n = norms[fn.reshape(-1)]
+        flat_uv = uvs[ft.reshape(-1)] if has_uv else None
+        faces = np.arange(flat_v.shape[0], dtype=np.int64).reshape(-1, 3)
+        return Mesh(flat_v, faces, flat_n, flat_uv)
+    return Mesh(verts, fv, None, None)
+
+
+def load_obj(filename: str):
+    if not filename.endswith(".gz"):
+        lib = _obj_shim()
+        if lib is not None:
+            arrays = _load_obj_native(lib, filename)
+            if arrays is not None:
+                return _finish_obj(*arrays)
     verts, norms, uvs = [], [], []
     fv, fn, ft = [], [], []
     opener = gzip.open if filename.endswith(".gz") else open
@@ -43,27 +135,13 @@ def load_obj(filename: str):
                     ft.append([idx[0][1], idx[k][1], idx[k + 1][1]])
                     fn.append([idx[0][2], idx[k][2], idx[k + 1][2]])
 
-    verts = np.asarray(verts, dtype=np.float64)
-    fv = np.asarray(fv, dtype=np.int64)
-    fv = np.where(fv > 0, fv - 1, verts.shape[0] + fv)
-
-    # Re-index so each vertex carries its own normal/uv (split by wedge).
-    normals = uvs_out = None
-    if norms and any(any(n != 0 for n in tri) for tri in fn):
-        norms_np = np.asarray(norms, dtype=np.float64)
-        fn = np.asarray(fn, dtype=np.int64)
-        fn = np.where(fn > 0, fn - 1, norms_np.shape[0] + fn)
-        ft = np.asarray(ft, dtype=np.int64)
-        has_uv = bool(uvs) and np.any(ft != 0)
-        if has_uv:
-            uvs_np = np.asarray(uvs, dtype=np.float64)
-            ft = np.where(ft > 0, ft - 1, uvs_np.shape[0] + ft)
-        flat_v = verts[fv.reshape(-1)]
-        flat_n = norms_np[fn.reshape(-1)]
-        flat_uv = uvs_np[ft.reshape(-1)] if has_uv else None
-        faces = np.arange(flat_v.shape[0], dtype=np.int64).reshape(-1, 3)
-        return Mesh(flat_v, faces, flat_n, flat_uv)
-    return Mesh(verts, fv, normals, uvs_out)
+    return _finish_obj(
+        np.asarray(verts, dtype=np.float64),
+        np.asarray(norms, dtype=np.float64).reshape(-1, 3),
+        np.asarray(uvs, dtype=np.float64).reshape(-1, 2),
+        np.asarray(fv, dtype=np.int64).reshape(-1, 3),
+        np.asarray(ft, dtype=np.int64).reshape(-1, 3),
+        np.asarray(fn, dtype=np.int64).reshape(-1, 3))
 
 
 def load_ply(filename: str):

@@ -76,3 +76,28 @@ def test_xml_path_tag_extends_resolver(tmp_path):
     </scene>''')
     sc = mi.load_file(str(scene_xml))
     assert len(sc.shapes) == 1
+
+
+def test_native_obj_parser_parity(tmp_path):
+    """The native OBJ parser (ops/native/obj_shim.cpp) produces the same
+    mesh as the pure-Python fallback (ngons, negative indices, wedges)."""
+    import numpy as np
+    import mitsuba3dopplertof_tpu.io.mesh_loaders as ml
+    p = str(tmp_path / "t.obj")
+    open(p, "w").write(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vn 0 0 1\nvt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1/1 2/2/1 3/3/1 4/4/1\n"
+        "f -4/-4/-1 -3/-3/-1 -2/-2/-1\n")
+    native = ml.load_obj(p)
+    old = ml._OBJ_SHIM, ml._OBJ_SHIM_TRIED
+    ml._OBJ_SHIM, ml._OBJ_SHIM_TRIED = None, True
+    try:
+        py = ml.load_obj(p)
+    finally:
+        ml._OBJ_SHIM, ml._OBJ_SHIM_TRIED = old
+    assert np.allclose(native.vertices, py.vertices)
+    assert np.array_equal(native.faces, py.faces)
+    assert np.allclose(native.normals, py.normals)
+    assert np.allclose(native.uvs, py.uvs)
+    assert native.faces.shape == (3, 3)   # quad fan + tri

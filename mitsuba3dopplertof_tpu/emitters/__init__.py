@@ -440,7 +440,8 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         elif tid == EMITTER_ENVMAP:
-            ds, spec = envmap_sample_direction(sa, ref_p, s_x, s_y)
+            ds, spec = envmap_sample_direction(sa, ref_p, s_x, s_y,
+                                               wavelengths=wavelengths)
             ds = ds._replace(emitter=index)
         elif tid == EMITTER_DIRECTIONALAREA:
             # delta-direction area emitter: NEE cannot sample it
@@ -767,8 +768,26 @@ class EnvmapEmitter(Emitter):
         return p
 
 
-def envmap_eval(sa, d: Vec3):
-    """Environment radiance for directions (miss rays / NEE eval)."""
+def _env_spectral(sa, flat, wavelengths):
+    """Per-texel emission spectrum at the hero wavelengths (the envmap
+    analog of the texture atlas's rgb2spec path): radiance =
+    peak * S(coeffs) * D65 / (integral D65 * ybar)."""
+    from ..core.cie import eval_emission_spectrum, d65_y_norm
+    c0 = sa.env_coeff[0][flat]
+    c1 = sa.env_coeff[1][flat]
+    c2 = sa.env_coeff[2][flat]
+    pk = sa.env_coeff[3][flat]
+    inv_n = 1.0 / d65_y_norm()
+    return Vec3(
+        eval_emission_spectrum(c0, c1, c2, pk, wavelengths.x, inv_n),
+        eval_emission_spectrum(c0, c1, c2, pk, wavelengths.y, inv_n),
+        eval_emission_spectrum(c0, c1, c2, pk, wavelengths.z, inv_n))
+
+
+def envmap_eval(sa, d: Vec3, wavelengths=None):
+    """Environment radiance for directions (miss rays / NEE eval);
+    ``wavelengths`` (tpu_spectral): per-texel emission spectra instead of
+    the rgb channels."""
     # to emitter space
     m = sa.env_rot          # (9,) row-major inverse rotation
     ex = m[0] * d.x + m[1] * d.y + m[2] * d.z
@@ -781,10 +800,13 @@ def envmap_eval(sa, d: Vec3):
     xi = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
     yi = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
     flat = yi * W + xi
+    if wavelengths is not None and sa.spectral:
+        return _env_spectral(sa, flat, wavelengths)
     return Vec3(sa.env_img_r[flat], sa.env_img_g[flat], sa.env_img_b[flat])
 
 
-def envmap_sample_direction(sa, ref_p: Vec3, s_x, s_y):
+def envmap_sample_direction(sa, ref_p: Vec3, s_x, s_y,
+                            wavelengths=None):
     """Importance-sample the envmap via the flattened texel CDF; returns
     (DirectionSample, spec=L/pdf)."""
     H, W = sa.env_shape
@@ -817,7 +839,10 @@ def envmap_sample_direction(sa, ref_p: Vec3, s_x, s_y):
     # solid-angle pdf: p(texel) * (W*H) / (2 pi^2 sin(theta))
     pdf = texel_pdf * (W * H) / jnp.maximum(
         2.0 * np.pi * np.pi * st, 1e-8)
-    L = Vec3(sa.env_img_r[idx], sa.env_img_g[idx], sa.env_img_b[idx])
+    if wavelengths is not None and sa.spectral:
+        L = _env_spectral(sa, idx, wavelengths)
+    else:
+        L = Vec3(sa.env_img_r[idx], sa.env_img_g[idx], sa.env_img_b[idx])
     w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
     spec = L * w
     radius = jnp.asarray(sa.bsphere_radius, dtype)

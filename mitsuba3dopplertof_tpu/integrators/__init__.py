@@ -620,7 +620,8 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
             if has_env:
                 miss_env = (~si.valid) & active
                 if sa.env_kind == "envmap":
-                    env_val = em_mod.envmap_eval(sa, ray.d)
+                    env_val = em_mod.envmap_eval(sa, ray.d,
+                                                 wavelengths=wavelengths)
                 else:
                     env_val = Vec3.full((n,), env_r, env_g, env_b)
                 em_val = where3(miss_env, env_val, em_val)

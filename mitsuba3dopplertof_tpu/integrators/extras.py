@@ -73,7 +73,8 @@ class DirectIntegrator(SamplingIntegrator):
             if has_env:
                 miss_env = (~si.valid) & active
                 if sa.env_kind == "envmap":
-                    env_val = em_mod.envmap_eval(sa, ray.d)
+                    env_val = em_mod.envmap_eval(sa, ray.d,
+                                                 wavelengths=wavelengths)
                 else:
                     er, eg, eb = sa.env_radiance
                     env_val = Vec3.full((n,), er, eg, eb)
@@ -155,7 +156,8 @@ class DirectIntegrator(SamplingIntegrator):
             if has_env:
                 miss2 = (~si2.valid) & act_b
                 if sa.env_kind == "envmap":
-                    env_val = em_mod.envmap_eval(sa, ray2.d)
+                    env_val = em_mod.envmap_eval(sa, ray2.d,
+                                                 wavelengths=wavelengths)
                     env_pdf = em_mod.envmap_pdf_direction(sa, ray2.d)
                 else:
                     er, eg, eb = sa.env_radiance

@@ -398,7 +398,8 @@ class PTracerIntegrator(SamplingIntegrator):
                         # radiance carried along d = env texel seen looking
                         # back along the ray; toward the camera = the texel
                         # the camera sees looking at this proxy point
-                        L_ray = envmap_eval(sa, Vec3(-d_c.x, -d_c.y, -d_c.z))
+                        L_ray = envmap_eval(sa, Vec3(-d_c.x, -d_c.y, -d_c.z),
+                                            wavelengths=wavelengths)
                         if kind == 2:
                             # all ortho pixels look along the view axis
                             v_cam = Vec3(jnp.full((n,), view[0]),
@@ -406,7 +407,8 @@ class PTracerIntegrator(SamplingIntegrator):
                                          jnp.full((n,), view[2]))
                         else:
                             v_cam = normalize(o_c - lens_w)
-                        L_cam = envmap_eval(sa, v_cam)
+                        L_cam = envmap_eval(sa, v_cam,
+                                            wavelengths=wavelengths)
                     else:
                         L_ray = L_cam = rad
                     cand = (o_c, d_c, n_in, L_ray * (area_b * math.pi),

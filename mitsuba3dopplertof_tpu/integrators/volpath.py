@@ -463,7 +463,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             miss_env = (~si.valid) & active & ~hit_med
             if has_env:
                 if sa.env_kind == "envmap":
-                    env_val = em_mod.envmap_eval(sa, ray.d)
+                    env_val = em_mod.envmap_eval(sa, ray.d,
+                                                 wavelengths=wavelengths)
                 else:
                     env_val = Vec3.full((n,), env_r, env_g, env_b)
                 em_val = where3(miss_env, env_val, em_val)

@@ -54,7 +54,7 @@ class SceneArrays:
            "tex_atlas_c0", "tex_atlas_c1", "tex_atlas_c2",
            "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
-           "env_rot", "env_rot_fwd", "em_tri_cdf",
+           "env_rot", "env_rot_fwd", "env_coeff", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
            "sggx_grid", "sggx_w2g",
            "bvh", "anim_blas", "chunk_aabb", "mesh_attr", "measured",
@@ -438,6 +438,19 @@ class Scene:
                 env_rot = np.linalg.inv(R).reshape(-1)
             else:
                 env_kind = "constant"
+        env_coeff = np.zeros((4, 1), np.float32)
+        if spectral and env_kind == "envmap":
+            # per-texel emission spectra for the environment (the envmap
+            # analog of the per-texel rgb2spec reflectance atlases):
+            # coeffs fit the chromaticity, peak restores the radiance
+            # (srgb.cpp emission upsampling)
+            from ..core import cie as _cie
+            flat = env_img.reshape(-1, 3).astype(np.float64)
+            peak = np.maximum(flat.max(axis=1), 1e-9)
+            coeffs = _cie.fit_reflectance_coeffs_batch(flat / peak[:, None])
+            env_coeff = np.concatenate(
+                [np.asarray(coeffs, np.float32).T,
+                 peak[None, :].astype(np.float32)], axis=0)   # (4, T)
 
         # --- media table ---------------------------------------------------
         from ..media import N_MED_PARAMS
@@ -808,6 +821,7 @@ class Scene:
             env_cdf=jnp.asarray(env_cdf, jnp.float32),
             env_rot=jnp.asarray(env_rot, jnp.float32),
             env_rot_fwd=jnp.asarray(env_rot_fwd, jnp.float32),
+            env_coeff=jnp.asarray(env_coeff, jnp.float32),
             em_tri_cdf=jnp.asarray(em_tri_cdf, jnp.float32),
             med_params=jnp.asarray(med_params, jnp.float32),
             med_grid=jnp.asarray(med_grid, jnp.float32),

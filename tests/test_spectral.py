@@ -275,3 +275,40 @@ def test_spectral_plastic_upsampled():
         assert cs[0] > 2.5 * cs[1] and cs[0] > 2.5 * cs[2], (name, cs)
         ratio = cs.sum() / cr.sum()
         assert abs(ratio - 1.0) < 0.12, (name, ratio, cs, cr)
+
+
+def test_spectral_envmap_matches_rgb():
+    """Envmap radiance under tpu_spectral uses per-texel emission spectra
+    (the env analog of the rgb2spec texture atlases): a colored envmap
+    render converges to the rgb render up to metamerism, and a white
+    envmap is near-exact."""
+    from mitsuba3dopplertof_tpu.core import transform as tf
+
+    def scene_dict(color):
+        return {
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 3},
+            "sensor": {"type": "perspective", "fov": 60,
+                       "to_world": tf.look_at([0, 1, -3], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 64}},
+            "floor": {"type": "rectangle",
+                      "to_world": tf.rotate([1, 0, 0], -90)
+                      @ tf.scale([2, 2, 1]),
+                      "bsdf": {"type": "diffuse"}},
+            "env": {"type": "envmap",
+                    "radiance": {"type": "rgb", "value": color}}}
+
+    for color, tol in (([1.0, 1.0, 1.0], 0.03), ([0.9, 0.4, 0.15], 0.08)):
+        mi.set_variant("tpu_rgb")
+        a = np.asarray(mi.render(mi.load_dict(scene_dict(color)), spp=64,
+                                 seed=0))
+        mi.set_variant("tpu_spectral")
+        b = np.asarray(mi.render(mi.load_dict(scene_dict(color)), spp=64,
+                                 seed=0))
+        mi.set_variant("tpu_rgb")
+        ratio = b[..., :3].mean() / a[..., :3].mean()
+        assert abs(ratio - 1.0) < tol, (color, ratio)

@@ -126,7 +126,7 @@ def render(scene: Scene, spp: int = 0, seed: int = 0, sensor=None,
 _VARIANT = "tpu_rgb"
 
 _KNOWN_VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono",
-                   "tpu_rgb_polarized"]
+                   "tpu_rgb_polarized", "tpu_spectral_polarized"]
 
 
 def variants():
@@ -140,7 +140,8 @@ def variant():
 def set_variant(*names):
     """Select the rendering variant (the reference's mitsuba.set_variant):
     tpu_rgb (default), tpu_spectral (hero-wavelength triplets with sigmoid
-    spectral upsampling + analytic CIE conversion), tpu_mono (luminance).
+    spectral upsampling + analytic CIE conversion), tpu_mono (luminance),
+    tpu_rgb_polarized (Mueller transport), tpu_spectral_polarized (both).
     Affects scenes compiled afterwards."""
     global _VARIANT
     for n in names:

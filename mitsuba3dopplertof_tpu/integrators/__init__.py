@@ -388,11 +388,34 @@ def _build_sample_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
         if getattr(sa, "polarized", False) and hasattr(integrator,
                                                        "sample_stokes") \
                 and type(integrator).__name__ != "StokesIntegrator":
-            # polarized variant: path-style integrators trace Mueller
-            # throughput; the film image is the S0 component
-            S, valid, state = integrator.sample_stokes(sa, sampler, state,
-                                                       ray, active)
-            out = (S[0], valid, state)
+            # polarized variants: path-style integrators trace Mueller
+            # throughput; the film image is the S0 component. Under
+            # tpu_spectral_polarized the Stokes components carry hero-
+            # wavelength samples, converted to sRGB below like the scalar
+            # spectral path
+            if spectral:
+                from ..core.cie import LAMBDA_MIN, LAMBDA_RANGE
+                if is_doppler:
+                    wls, state = sampler.next_1d_correlate(
+                        state, active, correlate_pixel)
+                else:
+                    wls, state = sampler.next_1d(state, active)
+
+                def hero_p(k):
+                    u = wls + k * (1.0 / 3.0)
+                    u = u - jnp.floor(u)
+                    return LAMBDA_MIN + u * LAMBDA_RANGE
+                wavelengths = Vec3(hero_p(0), hero_p(1), hero_p(2))
+                S, valid, state = integrator.sample_stokes(
+                    sa, sampler, state, ray, active,
+                    wavelengths=wavelengths)
+                from ..core.cie import hero_to_srgb
+                out = (hero_to_srgb(S[0], wavelengths), valid, state)
+                spectral = False        # conversion already applied
+            else:
+                S, valid, state = integrator.sample_stokes(
+                    sa, sampler, state, ray, active)
+                out = (S[0], valid, state)
         elif spectral:
             # hero-wavelength sampling: one uniform draw -> 3 rotated
             # wavelengths riding the Vec3 channels (the reference's
@@ -777,11 +800,13 @@ class PathIntegrator(MonteCarloIntegrator):
                           modulation_weight=None, use_correlate=False,
                           wavelengths=wavelengths)
 
-    def sample_stokes(self, sa, sampler, state, ray, active):
+    def sample_stokes(self, sa, sampler, state, ray, active,
+                      wavelengths=None):
         from .polarized import _path_loop_polarized
         return _path_loop_polarized(self, sa, sampler, state, ray, active,
                                     modulation_weight=None,
-                                    use_correlate=False)
+                                    use_correlate=False,
+                                    wavelengths=wavelengths)
 
 
 @register_plugin("integrator", "dopplertofpath")
@@ -845,14 +870,16 @@ class DopplerToFPathIntegrator(MonteCarloIntegrator):
                           use_correlate=True,
                           wavelengths=wavelengths)
 
-    def sample_stokes(self, sa, sampler, state, ray, active):
+    def sample_stokes(self, sa, sampler, state, ray, active,
+                      wavelengths=None):
         from .polarized import _path_loop_polarized
         wrapped = jnp.where(ray.time < self.time, ray.time,
                             ray.time - self.time)
         ray = ray._replace(time=wrapped)
         return _path_loop_polarized(self, sa, sampler, state, ray, active,
                                     modulation_weight=self.eval_modulation_weight,
-                                    use_correlate=True)
+                                    use_correlate=True,
+                                    wavelengths=wavelengths)
 
 
 @register_plugin("integrator", "velocity")

@@ -207,8 +207,40 @@ def rayleigh_scatter_mueller(d_in: Vec3, d_out: Vec3):
                                    d_out, e_out, fb_out)
 
 
+def conductor_eta_k(sa, lane_bsdf, wavelengths=None):
+    """Per-lane conductor eta/k triplets: the rgb table columns, or — for
+    named-material conductors under the spectral variants — the tabulated
+    eta(lambda)/k(lambda) interpolated at the lane's hero wavelengths
+    (the Mueller-side mirror of bsdfs.eval_pdf_sample's param_spec)."""
+    e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
+                gather_small(sa.bsdf_params[P_ETA + 1], lane_bsdf),
+                gather_small(sa.bsdf_params[P_ETA + 2], lane_bsdf))
+    e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
+                gather_small(sa.bsdf_params[P_K + 1], lane_bsdf),
+                gather_small(sa.bsdf_params[P_K + 2], lane_bsdf))
+    if wavelengths is not None and getattr(sa, "ior_spectra", None):
+        ior_host = jnp.asarray(np.asarray(sa.bsdf_ior_host, np.int32))
+        lane_ior = gather_small(ior_host, lane_bsdf)
+        lam3 = (wavelengths.x, wavelengths.y, wavelengths.z)
+
+        def interp(tab_idx, base):
+            outs = []
+            for c, lam in enumerate(lam3):
+                out = getattr(base, "xyz"[c])
+                for e_i, (wls_t, eta_t, k_t) in enumerate(sa.ior_spectra):
+                    tab = (eta_t, k_t)[tab_idx]
+                    v = jnp.interp(lam, jnp.asarray(wls_t, jnp.float32),
+                                   jnp.asarray(tab, jnp.float32))
+                    out = jnp.where(lane_ior == e_i, v, out)
+                outs.append(out)
+            return Vec3(*outs)
+        e_re = interp(0, e_re)
+        e_im = interp(1, e_im)
+    return e_re, e_im
+
+
 def camera_nee_stokes_add(sa, si, bs, wo_nee, lane_bsdf, lane_type, T_mm,
-                          v_nee):
+                          v_nee, wavelengths=None):
     """Stokes contribution of an NEE connection in camera order: exact
     Mueller for rough-conductor and measured-pBRDF lanes (their polarized
     eval exists for arbitrary direction pairs), ideal-depolarizing
@@ -219,12 +251,7 @@ def camera_nee_stokes_add(sa, si, bs, wo_nee, lane_bsdf, lane_type, T_mm,
                        T_mm[4 * i].z * v_nee.z)
                   for i in range(4))
     if BSDF_ROUGHCONDUCTOR in sa.bsdf_types_present:
-        e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
-                    gather_small(sa.bsdf_params[P_ETA + 1], lane_bsdf),
-                    gather_small(sa.bsdf_params[P_ETA + 2], lane_bsdf))
-        e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
-                    gather_small(sa.bsdf_params[P_K + 1], lane_bsdf),
-                    gather_small(sa.bsdf_params[P_K + 2], lane_bsdf))
+        e_re, e_im = conductor_eta_k(sa, lane_bsdf, wavelengths)
         bs_nee = bs._replace(wo=wo_nee)
         M_nee = _specular_bounce_mueller(si, bs_nee, e_re, e_im, rough=True)
         M_nee = _to_world_mueller(si, M_nee, -wo_nee, si.wi)
@@ -249,7 +276,7 @@ def camera_nee_stokes_add(sa, si, bs, wo_nee, lane_bsdf, lane_type, T_mm,
 
 
 def camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
-                          polarizing_present):
+                          polarizing_present, wavelengths=None):
     """Mueller factor of a sampled bounce in CAMERA order — radiance
     arrives along -bs.wo and leaves along si.wi — world-frame implicit
     bases, renormalized so M[0][0] equals the scalar weight ``wgt``
@@ -263,14 +290,7 @@ def camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
         if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
                    BSDF_THINDIELECTRIC):
             if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR):
-                e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_ETA + 1],
-                                         lane_bsdf),
-                            gather_small(sa.bsdf_params[P_ETA + 2],
-                                         lane_bsdf))
-                e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_K + 1], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_K + 2], lane_bsdf))
+                e_re, e_im = conductor_eta_k(sa, lane_bsdf, wavelengths)
             else:
                 er = gather_small(sa.bsdf_params[P_ETA], lane_bsdf)
                 e_re = Vec3(er, er, er)
@@ -294,7 +314,8 @@ def camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
 
 
 def light_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
-                         polarizing_present, out_local=None):
+                         polarizing_present, out_local=None,
+                         wavelengths=None):
     """Mueller factor of an interaction in PHOTON order — light arrives
     along -si.wi and leaves along ``out_local`` (default: the sampled
     bs.wo) — world-frame implicit bases, renormalized so M[0][0] equals
@@ -313,14 +334,7 @@ def light_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
         if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR, BSDF_DIELECTRIC,
                    BSDF_THINDIELECTRIC):
             if tid in (BSDF_CONDUCTOR, BSDF_ROUGHCONDUCTOR):
-                e_re = Vec3(gather_small(sa.bsdf_params[P_ETA], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_ETA + 1],
-                                         lane_bsdf),
-                            gather_small(sa.bsdf_params[P_ETA + 2],
-                                         lane_bsdf))
-                e_im = Vec3(gather_small(sa.bsdf_params[P_K], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_K + 1], lane_bsdf),
-                            gather_small(sa.bsdf_params[P_K + 2], lane_bsdf))
+                e_re, e_im = conductor_eta_k(sa, lane_bsdf, wavelengths)
             else:
                 er = gather_small(sa.bsdf_params[P_ETA], lane_bsdf)
                 e_re = Vec3(er, er, er)
@@ -346,7 +360,7 @@ def light_bounce_mueller(sa, si, bs, lane_bsdf, lane_type, wgt,
 
 def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
                          ray: Ray, active, modulation_weight=None,
-                         use_correlate=False):
+                         use_correlate=False, wavelengths=None):
     """Mueller-throughput mirror of `_path_loop` (same sampler draws).
 
     Returns (stokes: 4-tuple of Vec3 aligned with stokes_basis(-ray.d),
@@ -417,6 +431,7 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
             if sa.n_emitters > 0:
                 em_val = em_mod.eval_emitter_hit(sa, si.sh_n, -ray.d,
                                                  lane_emitter,
+                                                 wavelengths=wavelengths,
                                                  uv_u=si.uv_u,
                                                  uv_v=si.uv_v)
             else:
@@ -424,7 +439,8 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
             if has_env:
                 miss_env = (~si.valid) & active
                 if sa.env_kind == "envmap":
-                    env_val = em_mod.envmap_eval(sa, ray.d)
+                    env_val = em_mod.envmap_eval(
+                        sa, ray.d, wavelengths=wavelengths)
                 else:
                     env_val = Vec3.full((n,), env_r, env_g, env_b)
                 em_val = where3(miss_env, env_val, em_val)
@@ -466,8 +482,9 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
         active_em = active_next & smooth
         nee, state = draw_2d(state, active, correlate)
         if sa.n_emitters > 0:
-            ds, em_weight = em_mod.sample_direction(sa, si.p, ray.time,
-                                                    nee[0], nee[1])
+            ds, em_weight = em_mod.sample_direction(
+                sa, si.p, ray.time, nee[0], nee[1],
+                wavelengths=wavelengths)
             active_em = active_em & (ds.pdf != 0.0)
             shadow_ray = si.spawn_ray_to(ds.p)
             occluded = ray_test(sa, shadow_ray, active_em)
@@ -489,11 +506,12 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
             lane_tex = gather_small(
                 sa.bsdf_params[P_REFL_TEX], lane_bsdf).astype(jnp.int32)
             tex_mask = lane_tex >= 0
-            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim)
+            tex_refl = eval_texture(sa, lane_tex, si.uv_u, si.uv_v, p=si.p, b_u=si.b_u, b_v=si.b_v, prim=si.prim, wavelengths=wavelengths)
         else:
             tex_mask = tex_refl = None
         bs = bsdf_eval_pdf_sample(sa, lane_bsdf, si.wi, wo_nee,
-                                  s1, s2[0], s2[1], tex_refl, tex_mask)
+                                  s1, s2[0], s2[1], tex_refl, tex_mask,
+                                  wavelengths=wavelengths)
 
         # NEE: diffuse connections depolarize (exact); rough-conductor
         # connections apply the Fresnel Mueller at the NEE half-vector
@@ -504,13 +522,15 @@ def _path_loop_polarized(integrator, sa: SceneArrays, sampler, state,
             scale = jnp.where(nee_ok, mis_em * lw, 0.0)
             v_nee = bs.val_nee * em_weight * scale
             S_add = camera_nee_stokes_add(sa, si, bs, wo_nee, lane_bsdf,
-                                          lane_type, T_mm, v_nee)
+                                          lane_type, T_mm, v_nee,
+                                          wavelengths=wavelengths)
             S_res = tuple(S_res[i] + S_add[i] for i in range(4))
 
         # ---------------- Mueller bounce factor --------------------------
         wgt = where3(active_next, bs.weight, Vec3.ones((n,)))
         M_bounce = camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type,
-                                         wgt, polarizing_present)
+                                         wgt, polarizing_present,
+                                         wavelengths=wavelengths)
 
         T_new = mu.mm_mul(T_mm, M_bounce)
         T_mm = mu.mm_where(active_next, T_new, T_mm)
@@ -571,7 +591,7 @@ class StokesIntegrator(_Integrator):
     rotation aligning the Stokes frame with the sensor's horizontal axis
     (stokes.cpp:99-109)."""
 
-    spectral_mode = None
+    spectral_mode = "hero"       # tpu_spectral_polarized: hero triplets
     is_doppler = False
 
     def __init__(self, props: Properties):
@@ -607,14 +627,16 @@ class StokesIntegrator(_Integrator):
         up = m[:3, :3] @ np.array([0.0, 1.0, 0.0])
         self._sensor_up = tuple(float(x) for x in up)
 
-    def sample(self, sa, sampler, state, ray, active):
+    def sample(self, sa, sampler, state, ray, active, wavelengths=None):
         import mitsuba3dopplertof_tpu as mi
-        if mi.variant() != "tpu_rgb_polarized":
-            raise RuntimeError("stokes: only available under the "
-                               "tpu_rgb_polarized variant "
-                               "(mi.set_variant('tpu_rgb_polarized'))")
+        if not getattr(sa, "polarized", False):
+            raise RuntimeError("stokes: only available under the polarized "
+                               "variants (mi.set_variant("
+                               "'tpu_rgb_polarized' or "
+                               "'tpu_spectral_polarized'))")
         S, valid, state = self.nested.sample_stokes(sa, sampler, state, ray,
-                                                    active)
+                                                    active,
+                                                    wavelengths=wavelengths)
         # rotate into the sensor basis (stokes.cpp:99-109)
         ux, uy, uz = self._sensor_up
         n = ray.d.x.shape[0]
@@ -626,9 +648,17 @@ class StokesIntegrator(_Integrator):
         tgt = _safe_axis(cross(ray.d, up), cur)
         R = mu.rotate_stokes_basis(fwd, cur, tgt)
         S = mu.mm_apply_stokes(R, S)
+        S_aov = S
+        if wavelengths is not None:
+            # tpu_spectral_polarized: each Stokes component carries hero-
+            # wavelength samples; the AOVs convert to sRGB here (linear in
+            # the samples), while the returned spec stays raw — the render
+            # dispatch applies the same conversion to it
+            from ..core.cie import hero_to_srgb
+            S_aov = tuple(hero_to_srgb(s_i, wavelengths) for s_i in S)
         aovs = []
         for i in range(4):
-            aovs += [S[i].x, S[i].y, S[i].z]
+            aovs += [S_aov[i].x, S_aov[i].y, S_aov[i].z]
         return S[0], valid, state, aovs
 
 def _install_render_plumbing():

@@ -599,7 +599,8 @@ class PTracerIntegrator(SamplingIntegrator):
                     M_c = light_bounce_mueller(sa, si, bs, lane_bsdf,
                                                lane_type, bs.val_nee,
                                                polarizing_present,
-                                               out_local=wo_cam)
+                                               out_local=wo_cam,
+                                               wavelengths=wavelengths)
                     conn_val = (M_c[0] * S[0] + M_c[1] * S[1]
                                 + M_c[2] * S[2] + M_c[3] * S[3])
                 else:
@@ -616,7 +617,8 @@ class PTracerIntegrator(SamplingIntegrator):
                     wgt_b = where3(act, bs.weight, Vec3.ones((n,)))
                     M_b = light_bounce_mueller(sa, si, bs, lane_bsdf,
                                                lane_type, wgt_b,
-                                               polarizing_present)
+                                               polarizing_present,
+                                               wavelengths=wavelengths)
                     S_new = mu.mm_apply_stokes(M_b, S)
                     S = tuple(where3(act, S_new[i], S[i]) for i in range(4))
                 # russian roulette after rr_depth bounces (ptracer.cpp

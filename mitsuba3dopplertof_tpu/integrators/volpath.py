@@ -315,12 +315,14 @@ class VolPathIntegrator(MonteCarloIntegrator):
         return _volpath_loop(self, sa, sampler, state, ray, active,
                              wavelengths=wavelengths)
 
-    def sample_stokes(self, sa, sampler, state, ray, active):
-        """Polarized volumetric transport (tpu_rgb_polarized): Mueller
-        surface factors, non-depolarizing transmittance, depolarizing
-        phase scattering — see _volpath_loop(stokes=True)."""
+    def sample_stokes(self, sa, sampler, state, ray, active,
+                      wavelengths=None):
+        """Polarized volumetric transport (tpu_rgb_polarized /
+        tpu_spectral_polarized): Mueller surface factors,
+        non-depolarizing transmittance, depolarizing phase scattering
+        (exact Rayleigh) — see _volpath_loop(stokes=True)."""
         return _volpath_loop(self, sa, sampler, state, ray, active,
-                             stokes=True)
+                             wavelengths=wavelengths, stokes=True)
 
 
 @register_plugin("integrator", "volpathmis")
@@ -650,7 +652,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
                     gather_small(sa.bsdf_type, lane_bsdf))
                 S_add = camera_nee_stokes_add(sa, si, bs, wo_nee,
                                               lane_bsdf, lt_nee, T_mm,
-                                              v_nee)
+                                              v_nee,
+                                              wavelengths=wavelengths)
                 if getattr(sa, "any_rayleigh", False):
                     # exact Rayleigh NEE Mueller at medium events
                     from .polarized import (rayleigh_scatter_mueller,
@@ -679,7 +682,8 @@ def _volpath_loop(integrator, sa, sampler, state, ray: Ray, active,
             ones3 = Vec3.ones((n,))
             wgt_surf = where3(active_next & ~hit_med, bs.weight, ones3)
             M_b = camera_bounce_mueller(sa, si, bs, lane_bsdf, lane_type,
-                                        wgt_surf, polarizing_present)
+                                        wgt_surf, polarizing_present,
+                                        wavelengths=wavelengths)
             # phase scattering: ideal depolarizer for HG/SGGX/tabulated
             # (direction weight 1 — the pdf cancels the eval; sigma_s/
             # albedo rode w_med above); Rayleigh lanes get the exact

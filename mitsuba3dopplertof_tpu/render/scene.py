@@ -162,9 +162,11 @@ class Scene:
         from ..core.properties import Properties
 
         import mitsuba3dopplertof_tpu as _mi0
-        spectral = _mi0.variant() == "tpu_spectral"
+        spectral = _mi0.variant() in ("tpu_spectral",
+                                      "tpu_spectral_polarized")
         mono = _mi0.variant() == "tpu_mono"
-        polarized = _mi0.variant() == "tpu_rgb_polarized"
+        polarized = _mi0.variant() in ("tpu_rgb_polarized",
+                                       "tpu_spectral_polarized")
 
         def _lum(rgb3):
             # ITU-R BT.709 luminance, the reference's luminance() used when

@@ -463,3 +463,49 @@ def test_rayleigh_medium_polarizes_side_scatter():
         assert d_hg < 0.05, d_hg                 # depolarizer
     finally:
         mi.set_variant("tpu_rgb")
+
+
+def test_spectral_polarized_variant():
+    """tpu_spectral_polarized: Mueller transport with hero-wavelength
+    samples and tabulated conductor eta(lambda)/k(lambda). S0 converges
+    to the rgb_polarized render up to metamerism; the polarization signal
+    survives the spectral path."""
+    import numpy as np
+    from mitsuba3dopplertof_tpu.core import transform as tf
+
+    def scene():
+        return mi.load_dict({
+            "type": "scene",
+            "integrator": {"type": "stokes",
+                           "nested": {"type": "path", "max_depth": 3}},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": tf.look_at([0, 1.8, -3], [0, 0, 0],
+                                              [0, 1, 0]),
+                       "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                                "rfilter": {"type": "box"}},
+                       "sampler": {"type": "independent",
+                                   "sample_count": 96}},
+            "floor": {"type": "rectangle",
+                      "to_world": tf.rotate([1, 0, 0], -90)
+                      @ tf.scale([3, 3, 1]),
+                      "bsdf": {"type": "roughconductor", "alpha": 0.15,
+                               "material": "Au"}},
+            "light": {"type": "sphere", "radius": 0.4,
+                      "to_world": tf.translate([2.5, 3, -1]),
+                      "emitter": {"type": "area",
+                                  "radiance": {"type": "rgb",
+                                               "value": 40.0}}}})
+    try:
+        mi.set_variant("tpu_rgb_polarized")
+        a = np.asarray(mi.render(scene(), spp=96, seed=0))
+        mi.set_variant("tpu_spectral_polarized")
+        b = np.asarray(mi.render(scene(), spp=96, seed=0))
+        assert np.isfinite(b).all()
+        # S0 parity up to metamerism + the gold spectral eta/k shift
+        r = b[..., 3:6].sum() / a[..., 3:6].sum()
+        assert abs(r - 1.0) < 0.25, r
+        # linear polarization present in both
+        lp_b = np.abs(b[..., 6:12]).sum()
+        assert lp_b > 1e-3, lp_b
+    finally:
+        mi.set_variant("tpu_rgb")

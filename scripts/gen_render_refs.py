@@ -27,7 +27,8 @@ CHILD = {
     "time_sampling_method": "antithetic", "time": 0.0015,
 }
 
-VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono", "tpu_rgb_polarized"]
+VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono",
+            "tpu_rgb_polarized", "tpu_spectral_polarized"]
 
 
 def render_moments(mi, res: int, spp: int, seed: int = 0):
@@ -60,15 +61,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=4096)
     ap.add_argument("--res", type=int, default=64)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset (default: all)")
     args = ap.parse_args()
+    chosen = (args.variants.split(",") if args.variants else VARIANTS)
 
     import mitsuba3dopplertof_tpu as mi
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "data", "renders")
     os.makedirs(out_dir, exist_ok=True)
-    for variant in VARIANTS:
+    for variant in chosen:
         mi.set_variant(variant)
-        if variant == "tpu_spectral":
+        if variant in ("tpu_spectral", "tpu_spectral_polarized"):
             mean, var = render_empirical(mi, args.res, args.spp)
         else:
             mean, var = render_moments(mi, args.res, args.spp)

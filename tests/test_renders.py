@@ -52,7 +52,8 @@ def run_z_test(img, spp, ref, ref_var,
     return passed / n_pix, alpha, p
 
 
-VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono", "tpu_rgb_polarized"]
+VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono",
+            "tpu_rgb_polarized", "tpu_spectral_polarized"]
 
 
 def _load_ref(variant):

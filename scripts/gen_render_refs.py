@@ -66,6 +66,11 @@ def main():
     args = ap.parse_args()
     chosen = (args.variants.split(",") if args.variants else VARIANTS)
 
+    # references are CPU-canonical (the container pins JAX_PLATFORMS=axon
+    # via sitecustomize; the env-var route alone is not enough)
+    if not os.environ.get("MI_TPU_TESTS"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import mitsuba3dopplertof_tpu as mi
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "data", "renders")

@@ -237,3 +237,22 @@ def test_flip_normals_rectangle_and_sphere():
     lit_s = render(sph)
     dark_s = render(dict(sph, flip_normals=True))
     assert lit_s > 0.05 and dark_s < 0.02 * lit_s, (lit_s, dark_s)
+
+
+def test_loader_error_quality():
+    """Malformed scenes fail with informative errors (reference xml.cpp
+    error paths), never silent acceptance."""
+    import pytest
+    import xml.etree.ElementTree as ET
+    with pytest.raises(RuntimeError, match="nosuchplugin"):
+        mi.load_dict({"type": "scene", "x": {"type": "nosuchplugin"}})
+    with pytest.raises(RuntimeError, match="bogus_key"):
+        mi.load_dict({"type": "scene",
+                      "s": {"type": "rectangle", "bogus_key": 1.0}})
+    with pytest.raises(RuntimeError, match="bork"):
+        mi.load_string('<scene version="3.0.0"><bork/></scene>')
+    with pytest.raises((RuntimeError, ET.ParseError)):
+        mi.load_string('<scene version="3.0.0"><shape type="rectangle">')
+    with pytest.raises(ValueError):
+        mi.load_dict({"type": "scene",
+                      "sensor": {"type": "perspective", "fov": "abc"}})

@@ -198,6 +198,12 @@ def main():
     msps, dt, sp = measure(mi, sc, spp)
     record("deep path max_depth=48 RR 256x256", 12, msps, dt, sp)
 
+    # light tracing on the canonical geometry (scatter-add film path)
+    sc = mi.load_file("/root/reference/configs_example/scene.xml")
+    sc.integrator = mi.load_dict({"type": "ptracer", "max_depth": 4})
+    msps, dt, sp = measure(mi, sc, 256 if not quick else 64)
+    record("ptracer canonical 256x256", 70, msps, dt, sp)
+
     for variant in ("tpu_spectral", "tpu_rgb_polarized"):
         mi.set_variant(variant)
         sc = mi.load_file("/root/reference/configs_example/scene.xml")

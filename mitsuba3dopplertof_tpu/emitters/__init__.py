@@ -345,7 +345,28 @@ def sample_direction(sa, ref_p: Vec3, ref_time, s_x, s_y,
                 outside,
                 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-12), 0.0)
             w = jnp.where(pdf > 0.0, 1.0 / jnp.maximum(pdf, 1e-20), 0.0)
-            spec = inten * w
+            inten_s = inten
+            if int(sa.n_textures) > 0:
+                # textured sphere radiance at the sampled point: object-space
+                # spherical uv (reference sphere.cpp uv convention), matching
+                # the hit path so both MIS strategies see the same texture
+                from ..core.vec import cmat_inverse, cmat_apply_point
+                texid = param(E_RAD_TEX).astype(jnp.int32)
+                cm = tuple(mrow(j) for j in range(12))
+                if int(sa.n_spheres) > 0:
+                    cm_a = tuple(lerp_c(j) for j in range(12))
+                    cm = tuple(jnp.where(s_anim, ca, cs)
+                               for ca, cs in zip(cm_a, cm))
+                pn = cmat_apply_point(cmat_inverse(cm), p)
+                phi_s = jnp.arctan2(pn.y, pn.x)
+                su = phi_s * (0.5 / np.pi)
+                su = jnp.where(su < 0.0, su + 1.0, su)
+                sv = jnp.arccos(jnp.clip(pn.z, -1.0, 1.0)) * (1.0 / np.pi)
+                from ..textures import eval_texture
+                tx = eval_texture(sa, jnp.maximum(texid, 0), su, sv,
+                                  wavelengths=wavelengths)
+                inten_s = where3(texid >= 0, tx, inten)
+            spec = inten_s * w
             ds = DirectionSample(p, nrm, dirn, dist, pdf,
                                  jnp.zeros((n,), bool), index)
         elif tid == EMITTER_AREA_MESH:
@@ -614,9 +635,9 @@ def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter,
     """Radiance of an emitter hit by a ray (reference area.cpp eval:82-90):
     area emitters emit radiance from the front side only. ``towards`` is the
     direction from the surface toward the viewer (-ray.d). ``uv_u/uv_v``
-    (optional): hit uv — textured area emitters (rect/mesh) evaluate their
-    radiance texture there; analytic-sphere emitters keep the texture mean
-    (their NEE sampler does too, keeping both MIS strategies consistent)."""
+    (optional): hit uv — textured area emitters (rect/mesh/sphere) evaluate
+    their radiance texture there (sphere hits carry object-space spherical
+    uv; the NEE sampler computes the same uv at its sampled point)."""
     from ..render.scene import gather_small
     idx = jnp.maximum(lane_emitter, 0)
 
@@ -636,7 +657,8 @@ def eval_emitter_hit(sa, si_n: Vec3, towards: Vec3, lane_emitter,
         texid = param(E_RAD_TEX).astype(jnp.int32)
         use_tex = ((texid >= 0)
                    & ((lane_type == EMITTER_AREA_RECT)
-                      | (lane_type == EMITTER_AREA_MESH)))
+                      | (lane_type == EMITTER_AREA_MESH)
+                      | (lane_type == EMITTER_AREA_SPHERE)))
         from ..textures import eval_texture
         tx = eval_texture(sa, jnp.maximum(texid, 0), uv_u, uv_v,
                           wavelengths=wavelengths)

@@ -268,8 +268,28 @@ class PTracerIntegrator(SamplingIntegrator):
                     nsp = warp.uniform_sphere_c(pos2[0], pos2[1])
                     o_c = c_c + nsp * r_s
                     A = 4.0 * math.pi * r_s * r_s
+                    rad_loc = rad
+                    if int(sa.n_textures) > 0:
+                        # textured radiance at the sampled sphere point:
+                        # object-space spherical uv (sphere.cpp convention),
+                        # same as the camera-path hit/NEE evals
+                        from ..emitters import E_RAD_TEX
+                        from ..textures import eval_texture
+                        from ..core.vec import cmat_inverse, cmat_apply_point
+                        texid = epar(E_RAD_TEX).astype(jnp.int32)
+                        cm = tuple(erow(j) for j in range(12))
+                        pn = cmat_apply_point(cmat_inverse(cm), o_c)
+                        phi_s = jnp.arctan2(pn.y, pn.x)
+                        su_t = phi_s * (0.5 / math.pi)
+                        su_t = jnp.where(su_t < 0.0, su_t + 1.0, su_t)
+                        sv_t = jnp.arccos(
+                            jnp.clip(pn.z, -1.0, 1.0)) * (1.0 / math.pi)
+                        tx = eval_texture(sa, jnp.maximum(texid, 0),
+                                          su_t, sv_t,
+                                          wavelengths=wavelengths)
+                        rad_loc = where3(texid >= 0, tx, rad)
                     cand = (o_c, frame_dir(nsp, loc), nsp,
-                            rad * (A * math.pi), rad * A, ~no)
+                            rad_loc * (A * math.pi), rad_loc * A, ~no)
                 elif tid == EMITTER_AREA_MESH:
                     # triangle-CDF area sampling (reference
                     # Mesh::sample_position); animated emitter meshes are

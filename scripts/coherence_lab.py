@@ -70,7 +70,24 @@ def analyze(sa, ray, t_true, label, rows_list):
     aabb = sa.chunk_aabb
     lo = jnp.min(aabb[:, :3], axis=0)
     hi = jnp.max(aabb[:, 3:], axis=0)
-    key = np.asarray(bin_key(ray, lo, hi))
+    if os.environ.get("MI_LAB_KEY", "") == "firstchunk":
+        # group lanes by the chunk they would test FIRST (min t_lo over
+        # overlapped chunks) — the coherence metric the kernel actually
+        # consumes; ties broken by the production morton key
+        sb_ = aabb.reshape(-1, SUBS, 6)
+        cb_ = jnp.concatenate([jnp.min(sb_[:, :, :3], axis=1),
+                               jnp.max(sb_[:, :, 3:], axis=1)], axis=1)
+        oo = jnp.stack([ray.o.x, ray.o.y, ray.o.z])
+        dd = jnp.stack([ray.d.x, ray.d.y, ray.d.z])
+        t_lo_, t_hi_ = lane_slabs(oo, dd, cb_)
+        live_ = cb_[:, 0] <= cb_[:, 3]
+        ok_ = (t_lo_ <= t_hi_) & (t_hi_ > 0.0) & live_[None]
+        first = jnp.argmin(jnp.where(ok_, t_lo_, _BIG), axis=1)
+        first = jnp.where(jnp.any(ok_, axis=1), first, 1 << 20)
+        sub_key = np.asarray(bin_key(ray, lo, hi)).astype(np.int64)
+        key = np.asarray(first).astype(np.int64) << 32 | sub_key
+    else:
+        key = np.asarray(bin_key(ray, lo, hi))
     perm = np.argsort(key, kind="stable")
 
     o = jnp.stack([ray.o.x, ray.o.y, ray.o.z])[:, perm]

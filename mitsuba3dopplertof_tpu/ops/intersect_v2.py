@@ -381,12 +381,20 @@ def v2_rows() -> int:
     return int(os.environ.get("MI_V2_ROWS", DEF_ROWS))
 
 
-def intersect_v2(sa, ray, any_hit: bool = False, rows_per_block: int = None):
+def intersect_v2(sa, ray, any_hit: bool = False, rows_per_block: int = None,
+                 profile: str = None):
     """Phase-1 closest-hit (or any-hit) over all triangles. Returns
     (t, prim) with prim in the global slot convention; the caller merges
-    spheres and reconstructs the payload with `payload_from_prim`."""
+    spheres and reconstructs the payload with `payload_from_prim`.
+
+    `profile` selects a diagnostic kernel variant ("", "noop", "nodma",
+    "noterm", "count"); it defaults to MI_V2_PROFILE but should be passed
+    explicitly by sweeps so a jitted caller cannot bake a stale env value
+    at trace time."""
     if rows_per_block is None:
         rows_per_block = v2_rows()
+    if profile is None:
+        profile = os.environ.get("MI_V2_PROFILE", "")
     n = ray.o.x.shape[0]
     blk = rows_per_block * LANES
     n_pad = -(-n // blk) * blk
@@ -428,7 +436,7 @@ def intersect_v2(sa, ray, any_hit: bool = False, rows_per_block: int = None):
     interpret = jax.default_backend() == "cpu"
     fn = _compiled_v2(any_hit, has_anim, n_rows,
                       min(rows_per_block, n_rows), c_pad, interpret,
-                      os.environ.get("MI_V2_PROFILE", ""))
+                      profile)
     args = [jnp.asarray(meta.T), sub.T, inst_table, tri, order, tlo] + [
         c.reshape(n_rows, LANES) for c in o] + [
         c.reshape(n_rows, LANES) for c in d] + [

@@ -81,7 +81,8 @@ def analyze(sa, ray, t_true, label, rows_list):
         dd = jnp.stack([ray.d.x, ray.d.y, ray.d.z])
         t_lo_, t_hi_ = lane_slabs(oo, dd, cb_)
         live_ = cb_[:, 0] <= cb_[:, 3]
-        ok_ = (t_lo_ <= t_hi_) & (t_hi_ > 0.0) & live_[None]
+        ok_ = ((t_lo_ <= t_hi_) & (t_hi_ > 0.0) & live_[None]
+               & (t_lo_ <= jnp.asarray(ray.maxt)[:, None]))
         first = jnp.argmin(jnp.where(ok_, t_lo_, _BIG), axis=1)
         first = jnp.where(jnp.any(ok_, axis=1), first, 1 << 20)
         sub_key = np.asarray(bin_key(ray, lo, hi)).astype(np.int64)

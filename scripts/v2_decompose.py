@@ -47,9 +47,19 @@ def timed(fn, *a):
 
 def main():
     rows_list = [8, 32, 128]
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--rows="):
             rows_list = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a == "--rows" and i + 1 < len(argv):
+            i += 1
+            rows_list = [int(x) for x in argv[i].split(",")]
+        else:
+            sys.exit(f"unrecognized argument: {a!r} "
+                     "(usage: --rows 8,32,128 or --rows=8,32,128)")
+        i += 1
 
     ntri, scene = animated_mesh_scene(mi, tf, AnimatedTransform, 144, 140, 16)
     sa = scene.compile()
@@ -102,17 +112,15 @@ def main():
         for rows in rows_list:
             res = {"label": label, "rows": rows}
             for prof in ("", "noop", "nodma", "count"):
-                os.environ["MI_V2_PROFILE"] = prof
-
-                def run(rs=rs, rows=rows):
-                    return v2mod.intersect_v2(sa, rs, rows_per_block=rows)
+                def run(rs=rs, rows=rows, prof=prof):
+                    return v2mod.intersect_v2(sa, rs, rows_per_block=rows,
+                                              profile=prof)
 
                 dt, out = timed(run)
                 name = prof or "full"
                 res[name] = round(dt * 1000, 1)
                 if prof == "count":
                     res["visits"] = round(float(jnp.mean(out[0])), 1)
-            os.environ["MI_V2_PROFILE"] = ""
             print(res, flush=True)
 
 

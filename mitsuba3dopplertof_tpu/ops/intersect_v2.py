@@ -108,6 +108,8 @@ def _build_v2_kernel(any_hit: bool, has_anim: bool, c_pad: int,
             v = r[:]
             blk_ref[6 + ax] = jnp.min(v)
             blk_ref[9 + ax] = jnp.max(v)
+        if profile == "countsub":
+            blk_ref[12] = 0.0
         do.wait()
         dt_.wait()
 
@@ -198,6 +200,8 @@ def _build_v2_kernel(any_hit: bool, has_anim: bool, c_pad: int,
 
                 @pl.when(poss)
                 def _sub_body(s=s):
+                    if profile == "countsub":    # executed-quarter counter
+                        blk_ref[12] = blk_ref[12] + 1.0
                     best_t = t_out[:]
                     best_p = prim_out[:]
                     for j in range(s * CHUNK, (s + 1) * CHUNK):
@@ -287,6 +291,8 @@ def _build_v2_kernel(any_hit: bool, has_anim: bool, c_pad: int,
         if profile == "count":
             t_out[:] = jnp.full(t_out.shape, 1.0, jnp.float32) * \
                 vend.astype(jnp.float32)
+        if profile == "countsub":
+            t_out[:] = jnp.full(t_out.shape, 1.0, jnp.float32) * blk_ref[12]
 
     return kernel
 

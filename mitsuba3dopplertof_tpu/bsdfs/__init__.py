@@ -37,7 +37,7 @@ BSDF_THINDIELECTRIC = 8
 BSDF_BLEND = 9
 BSDF_MASK = 10
 
-N_BSDF_PARAMS = 18
+N_BSDF_PARAMS = 24
 # param columns (meaning depends on type; diffuse uses 0:3 + TWOSIDED)
 P_REFL = 0            # rgb reflectance / specular reflectance
 P_TWOSIDED = 3        # 1.0 if wrapped in `twosided`
@@ -1234,18 +1234,33 @@ class MeasuredPolarized(BSDF):
 
 BSDF_PRINCIPLED = 11
 P_METALLIC = 7       # principled: metallic at the conductor-k slot
-P_SPECTUNE = 8       # principled: 'specular' control
+P_SPECTUNE = 8       # principled: spec_tint weight (slot reused)
+P_PR_SHEEN = 9       # principled: sheen weight
+P_PR_SHEENTINT = 11  # principled: sheen_tint
+P_PR_FLAT = 12       # principled: flatness (fake subsurface blend)
+P_PR_CC = 13         # principled: clearcoat weight
+P_PR_AX = 5          # principled: GGX alpha_x (anisotropic-corrected)
+P_PR_AY = 6          # principled: GGX alpha_y
+P_PR_CCGLOSS = 18    # principled: clearcoat_gloss
+P_PR_STRANS = 19     # principled: spec_trans (BRDF<->BSDF blend)
+P_PR_DSRATE = 20     # principled: diffuse_reflectance_sampling_rate
+P_PR_SSRATE = 21     # principled: main_specular_sampling_rate
+P_PR_CSRATE = 22     # principled: clearcoat_sampling_rate
+P_PR_ROUGH = 23      # principled: raw roughness (retro/fake-ss term)
+BSDF_PRINCIPLED_THIN = 17
 
 
 @register_plugin("bsdf", "principled")
 class Principled(BSDF):
-    """Principled BSDF (reference src/bsdfs/principled.cpp). v1 implements
-    the opaque core: base_color, roughness (GGX, Disney alpha = r^2),
-    metallic with Schlick fresnel, dielectric specular lobe via the
-    'specular' control. Transmission/clearcoat/sheen extensions land next
-    round."""
+    """Principled BSDF (reference src/bsdfs/principled.cpp, Burley 2012 /
+    2015): diffuse + retro-reflection + fake subsurface (flatness), sheen
+    with tint, anisotropic GGX main specular with metallic/spec_tint
+    Schlick blend, GTR1 clearcoat, and the rough-dielectric transmission
+    lobe (spec_trans) with the eta<->specular one-to-one mapping
+    (principled.cpp:224-239)."""
     type_id = BSDF_PRINCIPLED
     flags = FLAG_SMOOTH
+    thin = False
 
     def __init__(self, props: Properties):
         super().__init__(props)
@@ -1254,119 +1269,125 @@ class Principled(BSDF):
         self.tex_index = -1
         self.roughness = props.get_float("roughness", 0.5)
         self.metallic = props.get_float("metallic", 0.0)
-        self.specular = props.get_float("specular", 0.5)
-        for k in ("anisotropic", "sheen", "sheen_tint", "spec_tint",
-                  "clearcoat", "clearcoat_gloss", "spec_trans", "flatness",
-                  "eta", "main_specular_sampling_rate",
-                  "clearcoat_sampling_rate", "diffuse_reflectance_sampling_rate"):
-            if props.has_property(k):
-                props.mark_queried(k)
+        self.anisotropic = props.get_float("anisotropic", 0.0)
+        self.spec_tint = props.get_float("spec_tint", 0.0)
+        self.sheen = props.get_float("sheen", 0.0)
+        self.sheen_tint = props.get_float("sheen_tint", 0.0)
+        self.flatness = props.get_float("flatness", 0.0)
+        self.clearcoat = props.get_float("clearcoat", 0.0)
+        self.clearcoat_gloss = props.get_float("clearcoat_gloss", 0.0)
+        self.spec_trans = props.get_float("spec_trans", 0.0)
+        self.diff_srate = props.get_float(
+            "diffuse_reflectance_sampling_rate", 1.0)
+        self.spec_srate = props.get_float(
+            "main_specular_sampling_rate", 1.0)
+        self.cc_srate = props.get_float("clearcoat_sampling_rate", 1.0)
+        # eta and specular are one-to-one (principled.cpp:222-239)
+        if props.has_property("eta") and props.has_property("specular"):
+            raise ValueError(
+                "principled: specify either 'eta' or 'specular', not both")
+        if props.has_property("eta"):
+            eta = props.get_float("eta")
+            if self.spec_trans > 0.0 and eta == 1.0:
+                eta = 1.001        # eta=1 implausible for transmission
+        elif self.thin:
+            eta = 1.5              # thin: eta default, no specular mapping
+        else:
+            spec = props.get_float("specular", 0.5)
+            if self.spec_trans > 0.0 and spec == 0.0:
+                spec = 1e-3
+            eta = 2.0 / (1.0 - np.sqrt(0.08 * spec)) - 1.0
+        self.eta = float(eta)
 
     def params_row(self):
+        r2 = self.roughness * self.roughness
+        if self.anisotropic > 0.0:
+            aspect = float(np.sqrt(1.0 - 0.9 * self.anisotropic))
+            ax, ay = max(1e-3, r2 / aspect), max(1e-3, r2 * aspect)
+        else:
+            ax = ay = max(1e-3, r2)
         p = np.zeros(N_BSDF_PARAMS)
         p[P_REFL:P_REFL + 3] = self.base_color
         p[P_TWOSIDED] = 1.0 if self.two_sided else 0.0
+        p[P_ETA] = self.eta
+        p[P_PR_AX] = ax
+        p[P_PR_AY] = ay
         p[P_METALLIC] = self.metallic
-        p[P_SPECTUNE] = self.specular
-        p[P_ALPHA] = max(self.roughness * self.roughness, 1e-3)
+        p[P_SPECTUNE] = self.spec_tint
+        p[P_PR_SHEEN] = self.sheen
+        p[P_ALPHA] = max(r2, 1e-3)
+        p[P_PR_SHEENTINT] = self.sheen_tint
+        p[P_PR_FLAT] = self.flatness
+        p[P_PR_CC] = self.clearcoat
+        p[P_PR_CCGLOSS] = self.clearcoat_gloss
+        p[P_PR_STRANS] = self.spec_trans
+        p[P_PR_DSRATE] = self.diff_srate
+        p[P_PR_SSRATE] = self.spec_srate
+        p[P_PR_CSRATE] = self.cc_srate
+        p[P_PR_ROUGH] = self.roughness
         p[P_REFL_TEX] = float(self.tex_index)
         return p
 
 
 @register_plugin("bsdf", "principledthin")
 class PrincipledThin(Principled):
-    """reference src/bsdfs/principledthin.cpp — thin-surface variant; the
-    opaque core is two-sided principled."""
+    """reference src/bsdfs/principledthin.cpp — thin-sheet variant: lobes
+    are GGX specular reflect, specular "transmission" (reflect-and-flip
+    with Burley-2015 scaled roughness, :360-380), diffuse reflect
+    (+retro/fake-ss/sheen) and diffuse transmit (diff_trans in [0,2]).
+    No metallic/clearcoat; thin_fresnel blend; intrinsically two-sided."""
+    type_id = BSDF_PRINCIPLED_THIN
+    thin = True
 
     def __init__(self, props: Properties):
+        self.diff_trans = props.get_float("diff_trans", 0.0)
+        self.dt_srate = props.get_float(
+            "diffuse_transmittance_sampling_rate", 1.0)
+        self.sr_srate = props.get_float(
+            "specular_reflectance_sampling_rate", 1.0)
+        self.st_srate = props.get_float(
+            "specular_transmittance_sampling_rate", 1.0)
         super().__init__(props)
-        self.two_sided = True
 
-
-def _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y,
-                                tex_refl=None, tex_mask=None):
-    base = Vec3(param(P_REFL), param(P_REFL + 1), param(P_REFL + 2))
-    if tex_refl is not None:
-        base = where3(tex_mask, tex_refl, base)
-    metallic = param(P_METALLIC)
-    specular = param(P_SPECTUNE)
-    alpha = param(P_ALPHA)
-    two_sided = param(P_TWOSIDED) > 0.5
-    sgn = jnp.where(two_sided & (wi.z < 0.0), -1.0, 1.0)
-    wi_l = Vec3(wi.x, wi.y, wi.z * sgn)
-    cos_i = wi_l.z
-    ok = cos_i > 0.0
-
-    # F0: dielectric specular level lerped to the tinted metal color
-    f0_d = 0.08 * specular
-    F0 = Vec3(f0_d + metallic * (base.x - f0_d),
-              f0_d + metallic * (base.y - f0_d),
-              f0_d + metallic * (base.z - f0_d))
-
-    prob_spec = jnp.clip(0.25 + 0.75 * metallic, 0.1, 1.0)
-    prob_diff = 1.0 - prob_spec
-
-    def schlick(cos_vh):
-        t = jnp.clip(1.0 - cos_vh, 0.0, 1.0)
-        t5 = t * t * t * t * t
-        return Vec3(F0.x + (1.0 - F0.x) * t5, F0.y + (1.0 - F0.y) * t5,
-                    F0.z + (1.0 - F0.z) * t5)
-
-    def eval_both(wo):
-        cos_o = wo.z
-        both = ok & (cos_o > 0.0)
-        from ..core.vec import normalize as _norm
-        h = _norm(wi_l + wo)
-        D = mf.ggx_D(h, alpha, alpha)
-        G = mf.ggx_G(wi_l, wo, h, alpha, alpha)
-        F = schlick(dot(wi_l, h))
-        spec_scalar = jnp.where(both, D * G / jnp.maximum(4.0 * cos_i, 1e-12),
-                                0.0)
-        diff_scalar = jnp.where(both,
-                                (1.0 - metallic) * INV_PI * cos_o, 0.0)
-        val = F * spec_scalar + base * diff_scalar
-        pdf_spec = jnp.where(both, mf.ggx_pdf_visible(wi_l, h, alpha, alpha)
-                             / jnp.maximum(4.0 * jnp.abs(dot(wo, h)), 1e-12),
-                             0.0)
-        pdf = prob_spec * pdf_spec + prob_diff * jnp.where(
-            both, INV_PI * cos_o, 0.0)
-        return val, pdf
-
-    wo_nee_l = Vec3(wo_nee.x, wo_nee.y, wo_nee.z * sgn)
-    val_nee, pdf_nee = eval_both(wo_nee_l)
-
-    pick_spec = s1 < prob_spec
-    m, _ = mf.ggx_sample_vndf(wi_l, alpha, alpha, s2x, s2y)
-    wo_spec = Vec3(2.0 * dot(wi_l, m) * m.x - wi_l.x,
-                   2.0 * dot(wi_l, m) * m.y - wi_l.y,
-                   2.0 * dot(wi_l, m) * m.z - wi_l.z)
-    wo_diff = warp.cosine_hemisphere_c(s2x, s2y)
-    wo = where3(pick_spec, wo_spec, wo_diff)
-    val_s, pdf_s = eval_both(wo)
-    valid = ok & (wo.z > 0.0) & (pdf_s > 1e-12)
-    weight = val_s * jnp.where(valid, 1.0 / jnp.maximum(pdf_s, 1e-12), 0.0)
-    pdf_out = jnp.where(valid, pdf_s, 0.0)
-    z = jnp.zeros_like(cos_i)
-    false_ = z > 1.0
-    return BSDFSampleResult(val_nee, pdf_nee,
-                            Vec3(wo.x, wo.y, wo.z * sgn), weight, pdf_out,
-                            jnp.ones_like(z), false_, false_)
+    def params_row(self):
+        p = super().params_row()
+        # thin slot reuse: clearcoat slot = diff_trans, gloss = its srate,
+        # csrate slot = spec_trans srate, ssrate slot = spec_refl srate
+        p[P_PR_CC] = self.diff_trans
+        p[P_PR_CCGLOSS] = self.dt_srate
+        p[P_PR_SSRATE] = self.sr_srate
+        p[P_PR_CSRATE] = self.st_srate
+        p[P_TWOSIDED] = 0.0          # symmetric natively (impl mulsigns)
+        return p
 
 
 def _principled_dispatch(param, wi, wo_nee, s1, s2x, s2y,
                          tex_refl=None, tex_mask=None):
-    return _principled_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y,
-                                       tex_refl, tex_mask)
+    import sys
+    from .principled_impl import principled_eval_pdf_sample
+    return principled_eval_pdf_sample(sys.modules[__name__], param, wi,
+                                      wo_nee, s1, s2x, s2y, tex_refl,
+                                      tex_mask)
+
+
+def _principledthin_dispatch(param, wi, wo_nee, s1, s2x, s2y,
+                             tex_refl=None, tex_mask=None):
+    import sys
+    from .principled_impl import principledthin_eval_pdf_sample
+    return principledthin_eval_pdf_sample(sys.modules[__name__], param, wi,
+                                          wo_nee, s1, s2x, s2y, tex_refl,
+                                          tex_mask)
 
 
 _DISPATCH[BSDF_PRINCIPLED] = _principled_dispatch
+_DISPATCH[BSDF_PRINCIPLED_THIN] = _principledthin_dispatch
 
 # types whose P_REFL triple is a reflectance color that the tpu_spectral
 # variant upsamples to sigmoid-polynomial coefficients at scene compile
 # (diffuse albedo, plastic diffuse reflectance, principled base color) and
 # whose eval accepts the (tex_refl, tex_mask) override
 SPECTRAL_UPSAMPLED_TYPES = (BSDF_DIFFUSE, BSDF_PLASTIC, BSDF_ROUGHPLASTIC,
-                            BSDF_PRINCIPLED)
+                            BSDF_PRINCIPLED, BSDF_PRINCIPLED_THIN)
 
 
 def _polarizer_like_dispatch(factor):

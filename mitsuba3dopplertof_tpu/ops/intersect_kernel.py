@@ -432,15 +432,16 @@ def _stream_rows(sa):
 
 
 def _kernel_choice() -> str:
-    """Large-scene kernel selector (MI_STREAM_KERNEL): 'v2' (default) is
-    the two-phase VPU kernel with front-to-back visit lists + early
-    termination (intersect_v2.py); 'v1' the always-streamed two-level
-    kernel (intersect_stream.py); 'mxu' the two-phase MXU formulation
-    (intersect_mxu.py, parity-exact but ~3x slower than v1 at 40k tris on
-    v5e: K=8 contraction at ~6% MXU utilization and f32-HIGHEST is a
-    6-pass emulation)."""
+    """Large-scene kernel selector (MI_STREAM_KERNEL): 'v4' (default) is
+    the 32-tri Woop-unit kernel with XLA-precomputed visit gates and
+    grouped iterations (intersect_v4.py); 'v2' the 128-tri-chunk two-phase
+    VPU kernel (intersect_v2.py); 'v3' the ungrouped 32-tri predecessor;
+    'v1' the always-streamed two-level kernel (intersect_stream.py); 'mxu'
+    the two-phase MXU formulation (intersect_mxu.py, parity-exact but ~3x
+    slower than v1 at 40k tris on v5e: K=8 contraction at ~6% MXU
+    utilization and f32-HIGHEST is a 6-pass emulation)."""
     import os
-    return os.environ.get("MI_STREAM_KERNEL", "v2")
+    return os.environ.get("MI_STREAM_KERNEL", "v4")
 
 
 def intersect_pallas(sa, ray, active=None) -> HitRecord:
@@ -449,9 +450,11 @@ def intersect_pallas(sa, ray, active=None) -> HitRecord:
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
     choice = _kernel_choice()
-    if choice in ("v2", "v3"):
+    if choice in ("v2", "v3", "v4"):
         from .intersect_mxu import payload_from_prim
-        if choice == "v3":
+        if choice == "v4":
+            from .intersect_v4 import intersect_v4 as isect, v4_rows as krows
+        elif choice == "v3":
             from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
@@ -492,8 +495,10 @@ def ray_test_pallas(sa, ray, active=None):
     from .ray_binning import binned, should_bin
     n = ray.o.x.shape[0]
     choice = _kernel_choice()
-    if choice in ("v2", "v3"):
-        if choice == "v3":
+    if choice in ("v2", "v3", "v4"):
+        if choice == "v4":
+            from .intersect_v4 import intersect_v4 as isect, v4_rows as krows
+        elif choice == "v3":
             from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows

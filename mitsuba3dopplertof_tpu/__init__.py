@@ -69,7 +69,8 @@ from .io.dict_loader import load_dict
 from .io.xml import xml_to_dict
 from .io.xml_writer import dict_to_xml
 from .utils.params import traverse, SceneParameters
-from .render.ad import render_grad, value_and_render_grad
+from .render.ad import (render_grad, value_and_render_grad,
+                        render_doppler_grad)
 from .render.scene import Scene
 from .core.properties import Properties, registered_plugins
 from .core.fresolver import file_resolver, resolve_filename
@@ -155,7 +156,7 @@ def set_variant(*names):
 __all__ = ["load_file", "load_string", "load_dict", "render", "Scene", "variant",
            "Properties", "registered_plugins", "variants", "set_variant",
            "xml_to_dict", "dict_to_xml", "traverse", "SceneParameters",
-           "render_grad", "value_and_render_grad",
+           "render_grad", "value_and_render_grad", "render_doppler_grad",
            "util", "cornell_box", "Thread", "TensorXf", "Point3f",
            "Vector3f", "Color3f", "ScalarPoint3f", "ScalarVector3f",
            "ScalarColor3f", "Point2f", "ScalarPoint2f",

@@ -146,5 +146,62 @@ def value_and_render_grad(scene, loss_fn: Callable, spp: int = 16,
     return img, val, grads
 
 
-__all__ = ["render_grad", "value_and_render_grad", "DIFF_FIELDS",
-           "GEOM_DIFF_FIELDS"]
+# Doppler integrator scalars that the traced pass body reads directly
+# (integrators/__init__.py eval_modulation_weight + the ray-time wrap), so
+# jax.grad differentiates straight through them. Note these are the
+# *derived* parameters — the hetero_offset/hetero_frequency sugar is
+# resolved at construction (dopplertofpath.cpp:30-38), so differentiate
+# sensor_phase_offset / hetero_frequency themselves.
+DOPPLER_DIFF_ATTRS = ("sensor_phase_offset", "w_g", "g_0", "g_1",
+                      "hetero_frequency", "time")
+
+
+def render_doppler_grad(scene, wrt=("sensor_phase_offset",),
+                        image_ref=None, loss_fn: Optional[Callable] = None,
+                        spp: int = 16, seed: int = 0, sensor=None,
+                        max_lanes: int = DEFAULT_GRAD_LANES):
+    """Gradient of a scalar loss of the Doppler-ToF image w.r.t. the
+    integrator's modulation parameters (DOPPLER_DIFF_ATTRS) — the Doppler
+    adjoint the reference does not have (its AD family is not
+    Doppler-aware, SURVEY.md §3.5). The correlated sampler's draws are
+    pure functions of integer RNG state, so they are naturally detached;
+    only the modulation weight and the ray-time wrap carry derivatives.
+
+    Returns (loss_value, {attr: d loss / d attr})."""
+    integ = scene.integrator
+    if not getattr(integ, "is_doppler", False):
+        raise ValueError("render_doppler_grad needs a doppler integrator")
+    for k in wrt:
+        if k not in DOPPLER_DIFF_ATTRS:
+            raise ValueError(f"non-differentiable doppler attr {k!r}; "
+                             f"choose from {DOPPLER_DIFF_ATTRS}")
+    f, _ = _render_image_fn(integ, scene, sensor, spp, seed, max_lanes)
+
+    if loss_fn is None:
+        if image_ref is None:
+            raise ValueError("render_doppler_grad: pass image_ref or "
+                             "loss_fn")
+        ref = jnp.asarray(image_ref)
+
+        def loss_fn(img):
+            d = img - ref
+            return 0.5 * jnp.sum(d * d)
+
+    params = {k: jnp.float32(getattr(integ, k)) for k in wrt}
+
+    def objective(p):
+        old = {k: getattr(integ, k) for k in p}
+        for k, v in p.items():
+            setattr(integ, k, v)
+        try:
+            # the pass body is re-traced here, reading the tracer attrs
+            return loss_fn(f({}))
+        finally:
+            for k, v in old.items():
+                setattr(integ, k, v)
+
+    return jax.value_and_grad(objective)(params)
+
+
+__all__ = ["render_grad", "value_and_render_grad", "render_doppler_grad",
+           "DIFF_FIELDS", "GEOM_DIFF_FIELDS", "DOPPLER_DIFF_ATTRS"]

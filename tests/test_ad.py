@@ -96,3 +96,79 @@ def test_gradient_descent_recovers_reflectance(setup):
              p["bsdf_params"] - lr * g["bsdf_params"]}
     rec = float(p["bsdf_params"][P_REFL, 0])
     assert abs(rec - 0.5) < 0.05, rec
+
+
+# ---------------------------------------------------------------------------
+# Doppler adjoint (render_doppler_grad) — beyond-reference capability: the
+# reference's AD family is not Doppler-aware (SURVEY.md §3.5)
+# ---------------------------------------------------------------------------
+
+DOPPLER_XML = '''
+<scene version="3.0.0">
+  <integrator type="dopplertofpath">
+    <integer name="max_depth" value="3"/>
+    <float name="w_g" value="30"/>
+    <float name="hetero_frequency" value="1.0"/>
+    <float name="sensor_phase_offset" value="0.7"/>
+    <string name="time_sampling_method" value="antithetic"/>
+    <integer name="path_correlation_depth" value="2"/>
+  </integrator>
+  <sensor type="perspective"><float name="fov" value="45"/>
+    <float name="shutter_open" value="0.0"/>
+    <float name="shutter_close" value="0.0015"/>
+    <film type="hdrfilm"><integer name="width" value="8"/>
+      <integer name="height" value="8"/><rfilter type="box"/></film>
+    <sampler type="correlated"><integer name="sample_count" value="8"/>
+      <integer name="time_correlate_number" value="2"/>
+      <integer name="path_correlate_number" value="2"/></sampler>
+  </sensor>
+  <shape type="rectangle">
+    <transform name="to_world"><translate z="2"/></transform>
+    <bsdf type="twosided"><bsdf type="diffuse">
+      <rgb name="reflectance" value="0.5,0.5,0.5"/></bsdf></bsdf>
+  </shape>
+  <emitter type="point">
+    <transform name="to_world"><translate z="1"/></transform>
+    <rgb name="intensity" value="5"/>
+  </emitter>
+</scene>'''
+
+
+@pytest.mark.parametrize("attr,eps", [("sensor_phase_offset", 1e-3),
+                                      ("w_g", 1e-2),
+                                      ("g_1", 1e-3)])
+def test_doppler_modulation_gradient_matches_fd(attr, eps):
+    """d loss / d (modulation parameter) against central finite
+    differences with common random numbers (same seed -> the FD of the
+    deterministic estimator equals the derivative of the smooth
+    modulation weight)."""
+    from mitsuba3dopplertof_tpu.render.ad import render_doppler_grad
+    scene = mi.load_string(DOPPLER_XML)
+    target = np.asarray(mi.render(scene, spp=8, seed=3))
+    integ = scene.integrator
+
+    val, g = render_doppler_grad(scene, wrt=(attr,), image_ref=target,
+                                 spp=8, seed=0)
+    ad = float(g[attr])
+
+    base = getattr(integ, attr)
+
+    def loss_at(v):
+        setattr(integ, attr, v)
+        try:
+            img = np.asarray(mi.render(scene, spp=8, seed=0))
+        finally:
+            setattr(integ, attr, base)
+        d = img - target
+        return 0.5 * float(np.sum(d * d))
+
+    fd = (loss_at(base + eps) - loss_at(base - eps)) / (2 * eps)
+    assert abs(fd - ad) <= 2e-2 * max(abs(fd), abs(ad), 1e-3), (attr, fd, ad)
+
+
+def test_doppler_grad_rejects_unknown_attr():
+    from mitsuba3dopplertof_tpu.render.ad import render_doppler_grad
+    scene = mi.load_string(DOPPLER_XML)
+    with pytest.raises(ValueError):
+        render_doppler_grad(scene, wrt=("low_frequency_component_only",),
+                            image_ref=np.zeros((8, 8, 3), np.float32))

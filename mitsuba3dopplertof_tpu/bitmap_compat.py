@@ -138,6 +138,19 @@ class Bitmap:
                else np.repeat(self.data, 3, -1))
         write_bitmap(path, img[..., :3])
 
+    def resample(self, size, rfilter=None, bc=("clamp", "clamp"),
+                 clamp=None) -> "Bitmap":
+        """Filtered up/down-sampling to size=(width, height) — the role of
+        reference Bitmap::resample (bitmap.cpp:251-324): separable
+        reconstruction-filter resampling, 2-lobed Lanczos by default,
+        per-axis boundary conditions in {clamp, repeat, mirror, zero,
+        one}, optional value clamping."""
+        from .io.resample import resample as _resample
+        out = Bitmap(_resample(self.data, size, rfilter, bc, clamp),
+                     srgb_gamma=self._gamma)
+        out._component = self._component
+        return out
+
     def write_async(self, path: str) -> None:
         import threading
         threading.Thread(target=self.write, args=(path,),
@@ -147,7 +160,10 @@ class Bitmap:
     def __array__(self, dtype=None):
         d = self.data
         if self._component == ComponentFormat.UInt8:
-            d = (np.clip(d, 0, 1) * 255 + 0.5).astype(np.uint8)
+            # ordered dither, mean-preserving — the reference applies its
+            # dither-matrix256 during Struct conversion to 8-bit
+            from .io.resample import dither_quantize
+            d = dither_quantize(d)
         elif self._component == ComponentFormat.Float16:
             d = d.astype(np.float16)
         return d.astype(dtype) if dtype is not None else d

@@ -286,13 +286,20 @@ def write_exr_rgb(path: str, img: np.ndarray, half: bool = True):
               half=half)
 
 
-def write_png(path: str, img: np.ndarray, gamma: bool = True):
+def write_png(path: str, img: np.ndarray, gamma: bool = True,
+              dither: bool = True):
     import imageio.v3 as iio
     x = np.asarray(img, np.float64)
     if gamma:
         x = np.where(x <= 0.0031308, x * 12.92,
                      1.055 * np.maximum(x, 1e-9) ** (1 / 2.4) - 0.055)
-    iio.imwrite(path, (np.clip(x, 0, 1) * 255 + 0.5).astype(np.uint8))
+    if dither:
+        # ordered quantization (reference dither-matrix256 role): kills
+        # banding in smooth gradients while preserving the mean
+        from .resample import dither_quantize
+        iio.imwrite(path, dither_quantize(x))
+    else:
+        iio.imwrite(path, (np.clip(x, 0, 1) * 255 + 0.5).astype(np.uint8))
 
 
 __all__ = ["read_exr", "read_exr_rgb", "write_exr", "write_exr_rgb",

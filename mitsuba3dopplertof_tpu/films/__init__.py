@@ -22,6 +22,7 @@ import math
 from typing import List, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.properties import Properties, register_plugin
@@ -207,6 +208,35 @@ def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
     return block
 
 
+def block_splat_scatter(block, px, py, values: List, active,
+                        W: int, H: int, row0: int = 0):
+    """Scatter-free random-pixel splat (the light-tracer's ImageBlock::put,
+    reference imageblock.cpp:119-127): sort the records by flat pixel id,
+    segment-sum via cumulative sums, and add the dense per-pixel image.
+
+    XLA scatter-adds serialize on this TPU (~30-90M elems/s) and their
+    latency is unstable; one variadic sort + cumsum + a sort-based
+    searchsorted is both faster and deterministic. ``values`` is a list of
+    C (N,) channel arrays added to block[c, row0+py, px]."""
+    C = len(values)
+    n = px.shape[0]
+    npix = W * H
+    pid = jnp.where(active, py * W + px, npix).astype(jnp.int32)
+    ops = [pid] + [jnp.where(active, v, 0.0).astype(jnp.float32)
+                   for v in values]
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    pid_s = sorted_ops[0]
+    # end index (exclusive) of every pixel's segment in the sorted order
+    ends = jnp.searchsorted(pid_s, jnp.arange(npix, dtype=jnp.int32),
+                            side="right", method="sort")
+    for c in range(C):
+        csum = jnp.cumsum(sorted_ops[1 + c])
+        tot = jnp.concatenate([jnp.zeros(1, csum.dtype), csum])[ends]
+        per_pix = jnp.diff(jnp.concatenate([jnp.zeros(1, tot.dtype), tot]))
+        block = block.at[c, row0:row0 + H].add(per_pix.reshape(H, W))
+    return block
+
+
 def develop(block, has_alpha: bool, weight_idx: int = None):
     """value / weight per channel (reference hdrfilm.cpp:305+); the weight
     channel itself is dropped. Returns (H, W, C-1) with AOV channels (if
@@ -223,4 +253,4 @@ def develop(block, has_alpha: bool, weight_idx: int = None):
 
 
 __all__ = ["Film", "HDRFilm", "SpecFilm", "block_create",
-           "block_splat_wavefront", "develop"]
+           "block_splat_wavefront", "block_splat_scatter", "develop"]

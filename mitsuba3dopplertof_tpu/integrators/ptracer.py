@@ -41,7 +41,7 @@ from ..emitters import (EMITTER_POINT, EMITTER_AREA_RECT, EMITTER_CONSTANT,
                         EMITTER_PROJECTOR, EMITTER_DIRECTIONALAREA,
                         E_POS, E_INTENSITY, E_AREA, E_CUTOFF, E_BEAM,
                         envmap_eval)
-from ..films import develop
+from ..films import develop, block_splat_scatter
 from . import SamplingIntegrator, DEFAULT_MAX_LANES
 
 # emitter types with a finite (non-delta) emitting surface: these have a
@@ -490,11 +490,8 @@ class PTracerIntegrator(SamplingIntegrator):
                         val = hero_to_srgb(val, wavelengths)
                     px = jnp.clip((sx * W).astype(jnp.int32), 0, W - 1)
                     py = jnp.clip((sy * H).astype(jnp.int32), 0, H - 1)
-                    okf = jnp.where(ok, 1.0, 0.0)
-                    block = block.at[0, py, px].add(val.x * okf)
-                    block = block.at[1, py, px].add(val.y * okf)
-                    block = block.at[2, py, px].add(val.z * okf)
-                    return block
+                    return block_splat_scatter(
+                        block, px, py, [val.x, val.y, val.z], ok, W, H)
                 if lens is not None:
                     # film coordinate through the lens: intersect the
                     # vertex->lens ray with the focus plane, then invert
@@ -529,11 +526,8 @@ class PTracerIntegrator(SamplingIntegrator):
                     val = hero_to_srgb(val, wavelengths)
                 px = jnp.clip((sx * W).astype(jnp.int32), 0, W - 1)
                 py = jnp.clip((sy * H).astype(jnp.int32), 0, H - 1)
-                okf = jnp.where(ok, 1.0, 0.0)
-                block = block.at[0, py, px].add(val.x * okf)
-                block = block.at[1, py, px].add(val.y * okf)
-                block = block.at[2, py, px].add(val.z * okf)
-                return block
+                return block_splat_scatter(
+                    block, px, py, [val.x, val.y, val.z], ok, W, H)
 
             # direct emitter->sensor connection for surface emitters
             # (reference sample_visible_emitters, ptracer.cpp:80-81):

@@ -936,9 +936,11 @@ def _roughdielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
     valid_t = (~pick_reflect) & (wo_u.z < 0.0)
     valid = valid_r | valid_t
 
-    g2 = mf.ggx_G(wi_u, where3(wo_u.z >= 0.0, wo_u,
-                               Vec3(wo_u.x, wo_u.y, -wo_u.z)), m_u,
-                  alpha, alpha)
+    # G2 with the UNflipped wo: smith_g1's sign rule dot(v,m)*v.z>0 holds
+    # for refracted directions (dot<0, v.z<0) as in the reference
+    # microfacet.h; flipping wo.z broke it for ~3% of the transmission
+    # population (weight forced to 0 -> energy loss)
+    g2 = mf.ggx_G(wi_u, wo_u, m_u, alpha, alpha)
     g1 = mf.ggx_smith_g1(wi_u, m_u, alpha, alpha)
     wscale = jnp.where(valid, g2 / jnp.maximum(g1, 1e-12), 0.0)
     factor = jnp.where(pick_reflect, 1.0, eta_ti * eta_ti)
@@ -987,8 +989,8 @@ def _roughdielectric_eval_pdf_sample(param, wi, wo_nee, s1, s2x, s2y):
     F_t, _, _, _ = fresnel_dielectric(
         jnp.where(out_side, wi_m, -wi_m), eta)
     D_t = mf.ggx_D(h_t, alpha, alpha)
-    G_t = mf.ggx_G(wi_u, Vec3(wo_nee_u.x, wo_nee_u.y, -wo_nee_u.z), h_t,
-                   alpha, alpha)
+    # unflipped wo for the same reason as the sampled-weight G2 above
+    G_t = mf.ggx_G(wi_u, wo_nee_u, h_t, alpha, alpha)
     denom_nee = wi_m + eta_it * wo_m
     inv_d2 = 1.0 / jnp.maximum(denom_nee * denom_nee, 1e-12)
     trans_scalar = jnp.where(

@@ -352,15 +352,18 @@ def principled_eval_pdf_sample(P, param, wi: Vec3, wo_nee: Vec3, s1, s2x,
         pick_cc, ok_cc, jnp.where(pick_st, ok_st, ok_sr)))
 
     pdf_s = mixture_pdf(wo)
-    # macro/micro-incompatible samples keep their true mixture pdf (the
-    # reference histograms them in chi2; only their weight is zeroed via
-    # `result & active`, principled.cpp:488-492)
-    valid = active0 & (pdf_s > 1e-12)
-    ok_w = valid & sel_ok
+    # a sample whose SELECTED lobe failed the macro/micro side test is a
+    # REJECTION (the reference zero-weights it via `result & active`,
+    # principled.cpp:488-492, and its chi2 BSDFAdapter drops zero-weight
+    # samples from the histogram). Mark it by zeroing the returned pdf
+    # too: its landing density is not mixture_pdf(wo), so keeping it
+    # countable breaks any density consumer (chi2; MIS never sees it
+    # since the weight is zero as well).
+    ok_w = active0 & sel_ok & (pdf_s > 1e-12)
     val_s = eval_f(wo)
     inv_pdf = jnp.where(ok_w, 1.0 / jnp.maximum(pdf_s, 1e-12), 0.0)
     weight = Vec3(val_s.x * inv_pdf, val_s.y * inv_pdf, val_s.z * inv_pdf)
-    pdf_out = jnp.where(valid, pdf_s, 0.0)
+    pdf_out = jnp.where(ok_w, pdf_s, 0.0)
 
     bs_eta = jnp.where(pick_st & ok_w, eta_it_m, 1.0)
     z = jnp.zeros_like(cos_i)
@@ -545,13 +548,12 @@ def principledthin_eval_pdf_sample(P, param, wi: Vec3, wo_nee: Vec3, s1,
     sel_ok = jnp.where(pick_sr, ok_sr, jnp.where(pick_st, ok_st, True))
 
     pdf_s = mixture_pdf(wo_t)
-    # see principled: incompatible samples keep their pdf, lose weight
-    valid = active0 & (pdf_s > 1e-12)
-    ok_w = valid & sel_ok
+    # see principled: a selection-rejected sample zeroes weight AND pdf
+    ok_w = active0 & sel_ok & (pdf_s > 1e-12)
     val_s = eval_f(wo_t)
     inv_pdf = jnp.where(ok_w, 1.0 / jnp.maximum(pdf_s, 1e-12), 0.0)
     weight = Vec3(val_s.x * inv_pdf, val_s.y * inv_pdf, val_s.z * inv_pdf)
-    pdf_out = jnp.where(valid, pdf_s, 0.0)
+    pdf_out = jnp.where(ok_w, pdf_s, 0.0)
 
     z = jnp.zeros_like(cos_i)
     false_ = z > 1.0

@@ -43,10 +43,15 @@ def _chi2_bsdf(sa, wi_tuple, seed, sample_count=200_000, res=15):
                             jnp.asarray(s[:, 2]))
         out = np.stack([np.asarray(r.wo.x), np.asarray(r.wo.y),
                         np.asarray(r.wo.z)], axis=-1)
-        # failed samples (pdf 0) are dropped from the histogram — the
-        # reference BSDFAdapter's rejection (chi2.py); the pdf side
-        # integrates below 1 by the same fraction. Zero-WEIGHT samples
-        # (e.g. G2-shadowed) stay: their density is still pdf
+        # REJECTED samples (pdf 0) are dropped from the histogram — the
+        # reference BSDFAdapter zero-weights rejections and drops every
+        # zero-weight sample (chi2.py:506-514). Samplers here mark the
+        # same rejections by zeroing bs.pdf (a rejected sample's landing
+        # density does NOT match pdf(), so keeping it breaks the GOF for
+        # wide-roughness mixtures). Zero-WEIGHT samples with pdf > 0
+        # (e.g. G2-shadowed but countable) stay: their density is pdf,
+        # and dropping them loses real mass (roughdielectric alpha=0.3
+        # fails at stat>4000 under a blanket weight==0 drop).
         out[np.asarray(r.pdf) <= 0.0] = np.nan
         return out
 
@@ -59,8 +64,12 @@ def _chi2_bsdf(sa, wi_tuple, seed, sample_count=200_000, res=15):
         r = eval_pdf_sample(sa, lane, wiN(n), wo, z, z, z)
         return np.asarray(r.pdf_nee)
 
+    # ires=16: the midpoint pdf quadrature at ires=8 under-integrates the
+    # steep transmission-horizon band of wide rough mixtures (principled
+    # spec_trans measured a persistent +25 chi2 excess across seeds that
+    # vanishes at ires=16 — quadrature error, not sampling bias)
     return ChiSquareTest(SphericalDomain(), sample, pdf,
-                         sample_count=sample_count, res=res)
+                         sample_count=sample_count, res=res, ires=16)
 
 
 WI = (0.3, 0.2, float(np.sqrt(1.0 - 0.09 - 0.04)))
@@ -143,6 +152,31 @@ def test_roughdielectric_sample_eval_consistency():
         wgt = np.asarray(r.weight.x)[ok]
         err = np.abs(ratio - wgt) / np.maximum(wgt, 1e-3)
         assert np.quantile(err, 0.99) < 1e-2, (side, np.quantile(err, 0.99))
+
+
+def test_roughdielectric_no_spurious_zero_weights():
+    """Regression: the sampled-weight G2 and the transmission eval G both
+    z-flipped the refracted wo, which broke smith_g1's dot(v,m)*v.z sign
+    rule for ~3% of transmission samples — weight (and eval) forced to 0,
+    a correlated energy loss the eval/pdf consistency test could NOT see
+    (both sides of the identity were zeroed). An accepted sample
+    (pdf > 0) must carry nonzero weight: G2 is continuous and vanishes
+    only on a measure-zero set."""
+    sa = _scene_with("""<bsdf type="roughdielectric">
+        <float name="alpha" value="0.3"/>
+        <float name="int_ior" value="1.5"/></bsdf>""")
+    n = 100_000
+    wiN = Vec3(jnp.full(n, jnp.float32(WI[0])),
+               jnp.full(n, jnp.float32(WI[1])),
+               jnp.full(n, jnp.float32(WI[2])))
+    s = _rng(n, 3, seed=99)
+    lane = jnp.zeros(n, jnp.int32)
+    r = eval_pdf_sample(sa, lane, wiN, wiN, jnp.asarray(s[:, 0]),
+                        jnp.asarray(s[:, 1]), jnp.asarray(s[:, 2]))
+    w = np.asarray(r.weight.x)
+    pdf = np.asarray(r.pdf)
+    frac_zero = ((w == 0.0) & (pdf > 0.0)).mean()
+    assert frac_zero < 1e-4, frac_zero
 
 
 def test_roughconductor_beckmann_chi2():

@@ -51,6 +51,16 @@ from test_chi2_bsdfs import _scene_with, _chi2_bsdf, _rng, WI
         <float name="clearcoat_gloss" value="0.3"/>
         <float name="spec_trans" value="0.4"/>
         <float name="specular" value="0.6"/></bsdf>""", 35),
+    # reference test02_chi2_spec_trans_outside (principled_test strategy):
+    # regression for the zero-weight-sample histogram protocol — before the
+    # BSDFAdapter-faithful rejection this failed at p=0.0000
+    ("ref_test02_outside", """<bsdf type="principled">
+        <float name="roughness" value="0.6"/>
+        <float name="metallic" value="0.2"/>
+        <float name="anisotropic" value="0.4"/>
+        <float name="clearcoat" value="0.8"/>
+        <float name="spec_trans" value="0.7"/>
+        <float name="eta" value="1.3296"/></bsdf>""", 61),
 ])
 def test_principled_lobe_chi2(name, xml, seed):
     t = _chi2_bsdf(_scene_with(xml), WI, seed=seed)

@@ -93,9 +93,10 @@ class PointEmitter(Emitter):
 @register_plugin("emitter", "area")
 class AreaEmitter(Emitter):
     """reference src/emitters/area.cpp — radiance over the host shape;
-    a nested texture makes the radiance spatially varying (evaluated at
-    the surface uv on hits and at NEE sample points; analytic-sphere
-    emitters keep the texture mean)."""
+    a nested texture makes the radiance spatially varying, evaluated at
+    the surface uv on hits and at NEE sample points for every emitter
+    shape incl. analytic spheres (object-space spherical uv,
+    tests/test_textured_emitter.py)."""
     type_id = EMITTER_AREA_RECT
     delta = False
 

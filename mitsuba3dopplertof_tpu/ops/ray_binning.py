@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.vec import Vec3
 from ..render.types import Ray
@@ -49,9 +50,75 @@ def _part1by2(x):
     return x
 
 
-def bin_key(ray: Ray, lo, hi) -> jnp.ndarray:
+def first_super(ray: Ray, super_aabb) -> jnp.ndarray:
+    """Index of the nearest super-chunk AABB each ray enters (int32; S =
+    rows of ``super_aabb`` sorts last for rays that enter none).
+
+    This is the cheap proxy for "which part of the scene does this ray's
+    traversal start in": rays grouped by it agree on the PREFIX of their
+    front-to-back visit lists, which is exactly what shrinks a lane
+    block's visit-list union (scripts/coherence_lab.py: bounce-ray block
+    unions are 8-15x the per-ray ideal under origin-Morton order alone).
+    Runs as a fori loop over supers so no (N, S) buffer materializes."""
+    S = super_aabb.shape[0]
+    inv_x = 1.0 / jnp.where(ray.d.x == 0.0, 1e-30, ray.d.x)
+    inv_y = 1.0 / jnp.where(ray.d.y == 0.0, 1e-30, ray.d.y)
+    inv_z = 1.0 / jnp.where(ray.d.z == 0.0, 1e-30, ray.d.z)
+    n = ray.o.x.shape[0]
+
+    def body(s, carry):
+        best_t, best_i = carry
+        box = super_aabb[s]
+        t0x = (box[0] - ray.o.x) * inv_x
+        t1x = (box[3] - ray.o.x) * inv_x
+        t0y = (box[1] - ray.o.y) * inv_y
+        t1y = (box[4] - ray.o.y) * inv_y
+        t0z = (box[2] - ray.o.z) * inv_z
+        t1z = (box[5] - ray.o.z) * inv_z
+        t_lo = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.maximum(jnp.minimum(t0z, t1z), 0.0))
+        t_hi = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.minimum(jnp.maximum(t0z, t1z), ray.maxt))
+        hit = (t_lo <= t_hi) & (box[0] <= box[3])
+        t_ent = jnp.where(hit, t_lo, jnp.float32(np.inf))
+        better = t_ent < best_t
+        return (jnp.where(better, t_ent, best_t),
+                jnp.where(better, jnp.int32(s), best_i))
+
+    _, first = jax.lax.fori_loop(
+        0, S, body, (jnp.full((n,), jnp.inf, jnp.float32),
+                     jnp.full((n,), S, jnp.int32)))
+    return first
+
+
+def super_boxes(chunk_aabb, max_supers: int = 64):
+    """Union consecutive (Morton-ordered) chunk AABBs into <= max_supers
+    super boxes for the first_super prepass."""
+    C = chunk_aabb.shape[0]
+    width = -(-C // max_supers)
+    S = -(-C // width)
+    pad = S * width - C
+    lo = jnp.concatenate([chunk_aabb[:, :3],
+                          jnp.full((pad, 3), np.inf, jnp.float32)])
+    hi = jnp.concatenate([chunk_aabb[:, 3:],
+                          jnp.full((pad, 3), -np.inf, jnp.float32)])
+    lo = lo.reshape(S, width, 3).min(axis=1)
+    hi = hi.reshape(S, width, 3).max(axis=1)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def bin_key(ray: Ray, lo, hi, super_aabb=None) -> jnp.ndarray:
     """Coherence sort key per lane. ``lo``/``hi``: (3,) scene bounds.
     Lanes with maxt<=0 get the dead key (sort last, cull everything).
+
+    With ``super_aabb`` (opt-in, MI_BIN_FIRSTSUPER=1), the top bits group
+    rays by the super-chunk their traversal enters first (see
+    first_super). Paired-ratio A/B (round 4) measured this 16-18% slower
+    than the legacy key on both camera and bounce rays of the 40k bench
+    scene — kept as a lab knob for scenes where traversal-prefix sharing
+    may yet dominate (e.g. heavily occluded interiors).
 
     The octant sits above the origin Morton code: it makes a block's d
     same-sign per axis, the slab test's precondition. Finer direction bits
@@ -70,17 +137,23 @@ def bin_key(ray: Ray, lo, hi) -> jnp.ndarray:
         t = jnp.clip((p - lo[ax]) / ext[ax], 0.0, 1.0)
         return (t * 127.0).astype(jnp.int32)
 
-    morton = (_part1by2(q(ray.o.x, 0))
-              | (_part1by2(q(ray.o.y, 1)) << 1)
-              | (_part1by2(q(ray.o.z, 2)) << 2))
     ax_ = jnp.abs(ray.d.x)
     ay_ = jnp.abs(ray.d.y)
-    az_ = jnp.abs(ray.d.z)
-    s = ax_ + ay_ + az_
+    s = ax_ + ay_ + jnp.abs(ray.d.z)
     inv = 1.0 / jnp.maximum(s, 1e-30)
     db = (((ax_ * inv * 7.9999).astype(jnp.int32) << 3)
           | (ay_ * inv * 7.9999).astype(jnp.int32))
-    key = (octant << 27) | (morton << 6) | db
+    morton = (_part1by2(q(ray.o.x, 0))
+              | (_part1by2(q(ray.o.y, 1)) << 1)
+              | (_part1by2(q(ray.o.z, 2)) << 2))
+    if super_aabb is None:
+        key = (octant << 27) | (morton << 6) | db
+    else:
+        # full 21-bit morton kept (coarsening it regresses bounce rays,
+        # whose origins sit ON the geometry); the 6 direction sub-bits
+        # give way to the first-super group id
+        fs = jnp.minimum(first_super(ray, super_aabb), 63)
+        key = (fs << 24) | (octant << 21) | morton
     return jnp.where(ray.maxt <= 0.0, _DEAD_KEY, key)
 
 
@@ -114,12 +187,18 @@ def binned(sa, ray: Ray, active, run):
     restore outputs) instead of per-field sorts, `time` is dropped for
     static scenes, and the package enables the persistent XLA compilation
     cache so the cost is paid once per scene shape ever."""
+    import os
     n = ray.o.x.shape[0]
     aabb = sa.chunk_aabb
     lo = jnp.min(aabb[:, :3], axis=0)
     hi = jnp.max(aabb[:, 3:], axis=0)
     maxt = ray.maxt if active is None else jnp.where(active, ray.maxt, -1.0)
-    key = bin_key(ray._replace(maxt=maxt), lo, hi)
+    # first-super grouping is OPT-IN: paired-ratio A/B on v5e (round 4,
+    # _keylab.py, 40k animated scene) measured it 16-18% SLOWER than the
+    # legacy key on both camera and bounce populations — the group id
+    # fragments origin locality more than prefix-sharing buys back
+    sup = super_boxes(aabb) if os.environ.get("MI_BIN_FIRSTSUPER") else None
+    key = bin_key(ray._replace(maxt=maxt), lo, hi, super_aabb=sup)
     lane = jnp.arange(n, dtype=jnp.int32)
     carry_time = bool(sa.anim_ranges)
     ops = (key, lane, ray.o.x, ray.o.y, ray.o.z,
@@ -136,4 +215,4 @@ def binned(sa, ray: Ray, active, run):
     return list(restored[1:])
 
 
-__all__ = ["binned", "bin_key", "should_bin"]
+__all__ = ["binned", "bin_key", "should_bin", "first_super", "super_boxes"]

@@ -180,7 +180,8 @@ def main():
     msps, dt, sp = measure(mi, sc, 1024 if not quick else 128)
     record("canonical dopplertofpath 256x256", 70, msps, dt, sp)
 
-    for nu, nv, label in [(32, 32, "2k"), (72, 70, "10k"), (144, 140, "40k")]:
+    for nu, nv, label in [(32, 32, "2k"), (72, 70, "10k"), (144, 140, "40k"),
+                          (360, 140, "100k")]:
         ntri, sc = animated_mesh_scene(mi, tf, AnimatedTransform, nu, nv, spp)
         msps, dt, sp = measure(mi, sc, spp)
         record(f"animated mesh {label} dopplertofpath 256x256",
@@ -189,6 +190,13 @@ def main():
     ntri, sc = static_mesh_scene(mi, tf, 160, 158, spp)
     msps, dt, sp = measure(mi, sc, spp)
     record("static mesh 50k path 256x256", ntri, msps, dt, sp)
+
+    # bundled hero validation scene (10.7k-tri animated knot + animated
+    # mirror + textures + envmap + heterogeneous smoke)
+    from mitsuba3dopplertof_tpu.utils.hero_scene import load_hero_scene
+    sc = load_hero_scene(res=256, spp=spp)
+    msps, dt, sp = measure(mi, sc, spp)
+    record("hero scene dopplertofpath 256x256", 11616, msps, dt, sp)
 
     sc = volpath_scene(mi, tf, spp)
     msps, dt, sp = measure(mi, sc, spp)

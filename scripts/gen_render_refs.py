@@ -31,9 +31,19 @@ VARIANTS = ["tpu_rgb", "tpu_spectral", "tpu_mono",
             "tpu_rgb_polarized", "tpu_spectral_polarized"]
 
 
-def render_moments(mi, res: int, spp: int, seed: int = 0):
-    scene = mi.load_file(CANONICAL, resx=res, resy=res)
-    minteg = mi.load_dict({"type": "moment", "child": dict(CHILD)})
+def _load_scene(mi, scene_name: str, res: int, spp: int):
+    if scene_name == "hero":
+        from mitsuba3dopplertof_tpu.utils.hero_scene import hero_scene_dict
+        d = hero_scene_dict(spp=spp, res=res)
+        child = d.pop("integrator")
+        return mi.load_dict(d | {"integrator": child}), child
+    return mi.load_file(CANONICAL, resx=res, resy=res), dict(CHILD)
+
+
+def render_moments(mi, res: int, spp: int, seed: int = 0,
+                   scene_name: str = "canonical"):
+    scene, child = _load_scene(mi, scene_name, res, spp)
+    minteg = mi.load_dict({"type": "moment", "child": child})
     img = np.asarray(minteg.render(scene, spp=spp, seed=seed))
     n = img.shape[-1] // 2
     mean, m2 = img[..., :n], img[..., n:]
@@ -63,8 +73,15 @@ def main():
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--variants", default=None,
                     help="comma-separated subset (default: all)")
+    ap.add_argument("--scene", default="canonical",
+                    choices=["canonical", "hero"],
+                    help="hero writes ref_hero_<variant>.npz (generate "
+                    "on-chip with MI_TPU_TESTS=1; the hero scene is too "
+                    "slow for CPU golden generation)")
     args = ap.parse_args()
     chosen = (args.variants.split(",") if args.variants else VARIANTS)
+    if args.scene == "hero" and args.variants is None:
+        chosen = ["tpu_rgb"]
 
     # references are CPU-canonical (the container pins JAX_PLATFORMS=axon
     # via sitecustomize; the env-var route alone is not enough)
@@ -75,13 +92,15 @@ def main():
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "data", "renders")
     os.makedirs(out_dir, exist_ok=True)
+    prefix = "ref_" if args.scene == "canonical" else f"ref_{args.scene}_"
     for variant in chosen:
         mi.set_variant(variant)
         if variant in ("tpu_spectral", "tpu_spectral_polarized"):
             mean, var = render_empirical(mi, args.res, args.spp)
         else:
-            mean, var = render_moments(mi, args.res, args.spp)
-        path = os.path.join(out_dir, f"ref_{variant}.npz")
+            mean, var = render_moments(mi, args.res, args.spp,
+                                       scene_name=args.scene)
+        path = os.path.join(out_dir, f"{prefix}{variant}.npz")
         np.savez_compressed(path, mean=mean.astype(np.float32),
                             var=var.astype(np.float32),
                             spp=np.int64(args.spp), res=np.int64(args.res))

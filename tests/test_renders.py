@@ -110,3 +110,29 @@ def test_z_test_accepts_fresh_realization():
         fake = ref + rng.normal(0, 1, ref.shape) * sigma / np.sqrt(spp)
         frac, _, _ = run_z_test(fake, spp, ref, var)
         assert frac >= ACCEPT_FRACTION
+
+
+@pytest.mark.skipif(not os.environ.get("MI_TPU_TESTS"),
+                    reason="hero golden renders on the chip only (the "
+                    "full-feature scene is minutes per render on CPU; "
+                    "CPU e2e coverage lives in test_hero_scene.py)")
+def test_render_hero_golden():
+    """Scene-scale golden: the bundled hero validation scene (animated
+    knot + mirror + textures + envmap + hetero smoke) Z-tested against
+    its moment-integrator reference (scripts/gen_render_refs.py --scene
+    hero, generated on-chip)."""
+    path = os.path.join(REF_DIR, "ref_hero_tpu_rgb.npz")
+    if not os.path.exists(path):
+        pytest.skip("missing ref_hero_tpu_rgb.npz "
+                    "(gen_render_refs.py --scene hero on chip)")
+    d = np.load(path)
+    ref, var, res = d["mean"], d["var"], int(d["res"])
+    from mitsuba3dopplertof_tpu.utils.hero_scene import load_hero_scene
+    spp = max(16, SPP_BUDGET // (res * res))
+    scene = load_hero_scene(res=res, spp=spp)
+    img = np.asarray(mi.render(scene, spp=spp, seed=7))
+    assert img.shape == ref.shape, (img.shape, ref.shape)
+    frac, alpha, p = run_z_test(img, spp, ref, var)
+    assert frac >= ACCEPT_FRACTION, (
+        f"hero: Z-test rejected — {100 * (1 - frac):.3f}% of pixels "
+        f"failed (min p={p.min():.2e}, alpha={alpha:.2e})")

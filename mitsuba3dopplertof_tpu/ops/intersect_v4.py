@@ -57,7 +57,11 @@ from .intersect_v2 import scene_box_exit
 from .intersect_v3 import _woop_records, _unit_visit_order, REC_ROWS
 
 GROUP = 8                   # units per while-loop iteration
-DEF_ROWS = 8
+# 32-row lane blocks: the fori-repeat lab (round 4, _kernrep.py, 40k+64k
+# animated scenes) measured r32 fastest for BOTH camera and bounce
+# populations — per-block loop overhead amortizes 4x vs r8 while the
+# visit-list union grows only ~15%
+DEF_ROWS = 32
 _BIG = np.float32(3.0e38)
 
 

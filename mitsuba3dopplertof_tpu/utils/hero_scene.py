@@ -3,6 +3,14 @@ renderer must handle at once — a 10k+-triangle procedural mesh, bitmap +
 checkerboard textures, an environment emitter, a heterogeneous medium, and
 TWO animated instances under the Doppler integrator.
 
+Medium note: `dopplertofpath` is surface-only in the reference too (its
+sample() takes `const Medium*` unused, dopplertofpath.cpp:82) — under the
+default integrator the smoke exercises the loader/volume/null-boundary
+paths only. Pass ``integrator={"type": "volpath", ...}`` for radiometric
+medium transport (the reference's animation pipeline renders its radiance
+pairs exactly this way); tests/test_hero_scene.py asserts the smoke is
+live under volpath.
+
 The reference validates per-scene against bundled assets
 (doppler_tutorials/src/utils/common_configs.py — cornell-box,
 living-room-2, kitchen, ...) that are not shipped in the snapshot; this

@@ -11,7 +11,10 @@ either. The evidence this artifact pins instead:
      through a box-downsampling pyramid at the MC rate (~2^k per level)
      with no systematic floor — a bias in any subsystem the scene
      exercises (traversal incl. animated instances, textures, envmap NEE,
-     hetero media, doppler reweighting) would surface as a floor;
+     null-boundary handling, doppler reweighting; the smoke medium is
+     radiometrically live under volpath only — dopplertofpath is
+     surface-only in the reference too, dopplertofpath.cpp:82) would
+     surface as a floor;
   2. backend cross-check: the TPU render must agree with the CPU render
      of the same (scene, seed) — different XLA backend, same sampler —
      within the per-pixel MC error measured in (1);
@@ -72,13 +75,18 @@ def main():
     half_a = P[0::2].mean(axis=0)
     half_b = P[1::2].mean(axis=0)
 
-    # pyramid: half-mean relRMSE level by level; MC noise halves per level
+    # pyramid: half-mean RMSE level by level; MC noise halves per level.
+    # Normalize by the LEVEL-0 signal RMS: the doppler image is signed
+    # with spatial oscillation, so per-level RMS shrinks under box
+    # averaging and a per-level relRMSE would plateau even as the
+    # absolute error keeps falling.
+    sig0 = float(np.sqrt(np.mean(mean ** 2)))
     rows = []
-    a, b, m = half_a, half_b, mean
+    a, b = half_a, half_b
     for lvl in range(6):
-        r = rel_rmse(a, b)
-        rows.append((lvl, a.shape[0], r))
-        a, b, m = down2(a), down2(b), down2(m)
+        r = float(np.sqrt(np.mean((a - b) ** 2)))
+        rows.append((lvl, a.shape[0], r / max(sig0, 1e-12)))
+        a, b = down2(a), down2(b)
 
     # backend cross-check at 64x64 (CPU render of the same scene+seed)
     cpu_file = os.path.join(CACHE, "cpu_64_16.npy")
@@ -116,7 +124,9 @@ def main():
                 "(utils/hero_scene.py): cornell box, 10.7k-tri ANIMATED "
                 "torus knot (roughplastic), ANIMATED mirror sphere, "
                 "bitmap+checkerboard textures, envmap through the open "
-                "front, heterogeneous smoke volume, dopplertofpath + "
+                "front, heterogeneous smoke volume (null boundary; "
+                "radiometrically live under volpath — dopplertofpath is "
+                "surface-only, as in the reference), dopplertofpath + "
                 f"correlated sampler, {res}x{res}, {K} passes x {spp} "
                 "spp.\n\nNo external reference renderer ships assets of "
                 "this class (the reference's living-room-2/kitchen "
@@ -124,14 +134,18 @@ def main():
                 "pins convergence, backend agreement and a regression "
                 "anchor rather than cross-renderer parity (that is the "
                 "canonical-scene gate's job, QUALITY.md).\n\n")
-        f.write("| pyramid level | res | half-mean relRMSE |\n|---|---|---|\n")
+        f.write("| pyramid level | res | half-mean RMSE "
+                "(% of level-0 signal RMS) |\n|---|---|---|\n")
         for lvl, r_, rr in rows:
             f.write(f"| {lvl} | {r_}x{r_} | {100 * rr:.2f}% |\n")
         f.write("\nReading: the two half-means are independent "
-                f"{K // 2}x{spp}-spp estimates; their relRMSE must fall "
-                "~2x per box-downsampling level if the error is pure MC "
-                "noise. A systematic disagreement between subsystem "
-                "code paths would appear as a floor at coarse levels.\n\n")
+                f"{K // 2}x{spp}-spp estimates; their RMSE (normalized "
+                "by the FULL-RES signal RMS — the signed doppler image "
+                "box-averages toward zero, so per-level normalization "
+                "would plateau artificially) must fall ~2x per "
+                "box-downsampling level if the error is pure MC noise. "
+                "A systematic disagreement between subsystem code paths "
+                "would appear as a floor at coarse levels.\n\n")
         f.write(f"Signal RMS: {sig:.5f}. {note}\n\n")
         f.write("Converged mean stored in QUALITY_HERO_ref.npz (float16) "
                 "as the cross-round regression anchor: future rounds "

@@ -75,3 +75,21 @@ def test_hero_scene_renders():
     assert img.shape == (16, 16, 3)
     assert np.isfinite(img).all()
     assert (np.abs(img) > 0).mean() > 0.5   # most pixels carry signal
+
+
+@pytest.mark.slow
+def test_hero_smoke_is_live_under_volpath():
+    """dopplertofpath is surface-only (parity with the reference,
+    dopplertofpath.cpp:82 ignores the medium) — the smoke column must be
+    radiometrically ACTIVE under volpath: removing it changes the image."""
+    base = hero_scene_dict(spp=4, res=16,
+                           integrator={"type": "volpath", "max_depth": 4})
+    nosmoke = hero_scene_dict(spp=4, res=16,
+                              integrator={"type": "volpath", "max_depth": 4})
+    del nosmoke["smoke"]
+    a = np.asarray(mi.render(mi.load_dict(base), seed=0, spp=4))
+    b = np.asarray(mi.render(mi.load_dict(nosmoke), seed=0, spp=4))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # same seed, same sampler: any difference is the medium's transport
+    rel = np.abs(a - b).mean() / max(b.mean(), 1e-9)
+    assert rel > 1e-3, rel

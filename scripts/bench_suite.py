@@ -206,16 +206,21 @@ def main():
     msps, dt, sp = measure(mi, sc, spp)
     record("deep path max_depth=48 RR 256x256", 12, msps, dt, sp)
 
-    # light tracing on the canonical geometry (scatter-add film path)
+    # light tracing on the canonical geometry (sorted segment-sum splat)
     sc = mi.load_file("/root/reference/configs_example/scene.xml")
     sc.integrator = mi.load_dict({"type": "ptracer", "max_depth": 4})
-    msps, dt, sp = measure(mi, sc, 256 if not quick else 64)
+    msps, dt, sp = measure(mi, sc, 1024 if not quick else 64)
     record("ptracer canonical 256x256", 70, msps, dt, sp)
 
+    # variant rows at the SAME 1024 spp as the headline: at 256 spp the
+    # ~0.4s fixed per-render cost (host pass loop + dispatch + transfers)
+    # halved the apparent throughput and read as a fake 2.2x variant gap
+    # (round-3 BENCH_TABLE); at matched workload spectral/polarized
+    # measure within a few % of tpu_rgb
     for variant in ("tpu_spectral", "tpu_rgb_polarized"):
         mi.set_variant(variant)
         sc = mi.load_file("/root/reference/configs_example/scene.xml")
-        msps, dt, sp = measure(mi, sc, 256 if not quick else 64)
+        msps, dt, sp = measure(mi, sc, 1024 if not quick else 64)
         record(f"canonical dopplertofpath {variant}", 70, msps, dt, sp)
     mi.set_variant("tpu_rgb")
 

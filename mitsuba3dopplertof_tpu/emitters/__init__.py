@@ -780,6 +780,8 @@ class EnvmapEmitter(Emitter):
         self.texel_pdf = (weights / max(total, 1e-20)).astype(np.float32)
         self.texel_cdf = np.cumsum(self.texel_pdf.reshape(-1)).astype(
             np.float32)
+        self.texel_alias, self.texel_aprob = build_alias(
+            self.texel_pdf.reshape(-1))
 
     @property
     def radiance(self):
@@ -828,15 +830,43 @@ def envmap_eval(sa, d: Vec3, wavelengths=None):
     return Vec3(sa.env_img_r[flat], sa.env_img_g[flat], sa.env_img_b[flat])
 
 
+def build_alias(p: np.ndarray):
+    """Vose alias table for the discrete pmf ``p`` (host-side, O(n)).
+    Sampling is then exact with TWO gathers (prob + alias) instead of a
+    log2(n)-round binary search over the CDF — per-lane searchsorted
+    chains serialize on the TPU scalar core and dominated envmap NEE in
+    the hero scene."""
+    n = p.size
+    scaled = p.astype(np.float64) * n
+    alias = np.arange(n, dtype=np.int32)
+    prob = np.ones(n, np.float32)
+    small = [i for i in range(n) if scaled[i] < 1.0]
+    large = [i for i in range(n) if scaled[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    for i in small + large:
+        prob[i] = 1.0
+    return alias, prob
+
+
 def envmap_sample_direction(sa, ref_p: Vec3, s_x, s_y,
                             wavelengths=None):
-    """Importance-sample the envmap via the flattened texel CDF; returns
-    (DirectionSample, spec=L/pdf)."""
+    """Importance-sample the envmap texel pmf via its alias table (exact,
+    O(1) — see build_alias); returns (DirectionSample, spec=L/pdf)."""
     H, W = sa.env_shape
     n = ref_p.x.shape[0]
     dtype = ref_p.x.dtype
-    idx = jnp.searchsorted(sa.env_cdf, s_x, side="right")
-    idx = jnp.clip(idx, 0, H * W - 1).astype(jnp.int32)
+    N = H * W
+    j = jnp.clip((s_x * N).astype(jnp.int32), 0, N - 1)
+    # an extra decorrelated uniform for the alias threshold, derived the
+    # same way as the in-texel jitters below
+    t = (s_y * 15485863.0) % 1.0
+    idx = jnp.where(t < sa.env_aprob[j], j, sa.env_alias[j]).astype(jnp.int32)
     yi = idx // W
     xi = idx - yi * W
     # jitter within the texel using s_y split into two halves

@@ -54,6 +54,7 @@ class SceneArrays:
            "tex_atlas_c0", "tex_atlas_c1", "tex_atlas_c2",
            "sph_m0c", "sph_m1c", "sph_t0", "sph_t1", "sph_inst",
            "env_img_r", "env_img_g", "env_img_b", "env_pdf", "env_cdf",
+           "env_alias", "env_aprob",
            "env_rot", "env_rot_fwd", "env_coeff", "em_tri_cdf",
            "med_params", "inst_int_medium", "med_grid", "med_w2g",
            "sggx_grid", "sggx_w2g",
@@ -425,6 +426,8 @@ class Scene:
         env_img = np.zeros((1, 1, 3), np.float32)
         env_pdf = np.ones(1, np.float32)
         env_cdf = np.ones(1, np.float32)
+        env_alias = np.zeros(1, np.int32)
+        env_aprob = np.ones(1, np.float32)
         env_rot = np.eye(3).reshape(-1)
         env_rot_fwd = np.eye(3).reshape(-1)
         if env is not None:
@@ -435,6 +438,8 @@ class Scene:
                 env_img = env.image
                 env_pdf = env.texel_pdf.reshape(-1)
                 env_cdf = env.texel_cdf
+                env_alias = env.texel_alias
+                env_aprob = env.texel_aprob
                 R = env.to_world[:3, :3]
                 env_rot_fwd = R.reshape(-1)
                 env_rot = np.linalg.inv(R).reshape(-1)
@@ -821,6 +826,8 @@ class Scene:
             env_img_b=jnp.asarray(env_img[..., 2].reshape(-1), jnp.float32),
             env_pdf=jnp.asarray(env_pdf, jnp.float32),
             env_cdf=jnp.asarray(env_cdf, jnp.float32),
+            env_alias=jnp.asarray(env_alias, jnp.int32),
+            env_aprob=jnp.asarray(env_aprob, jnp.float32),
             env_rot=jnp.asarray(env_rot, jnp.float32),
             env_rot_fwd=jnp.asarray(env_rot_fwd, jnp.float32),
             env_coeff=jnp.asarray(env_coeff, jnp.float32),

@@ -622,7 +622,7 @@ def _path_loop(integrator, sa: SceneArrays, sampler, state, ray: Ray, active,
         with jax.named_scope("RayIntersect"):
             si = ray_intersect(sa, ray, active)
 
-        if sa.n_textures > 0:
+        if sa.any_nmap:
             si = _apply_normal_maps(sa, si)
 
         path_length = path_length + jnp.where(si.valid, si.t * eta, 0.0)

@@ -49,7 +49,7 @@ class DirectIntegrator(SamplingIntegrator):
         from ..render.types import DirectionSample
 
         si = ray_intersect(sa, ray, active)
-        if sa.n_textures > 0:
+        if sa.any_nmap:
             from . import _apply_normal_maps
             si = _apply_normal_maps(sa, si)
         result = Vec3.zeros((n,))

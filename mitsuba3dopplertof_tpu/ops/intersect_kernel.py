@@ -26,6 +26,7 @@ BVH variant swaps in behind the same signature for large ones.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -453,14 +454,18 @@ def intersect_pallas(sa, ray, active=None) -> HitRecord:
     if choice in ("v2", "v3", "v4"):
         from .intersect_mxu import payload_from_prim
         if choice == "v4":
-            from .intersect_v4 import intersect_v4 as isect, v4_rows as krows
+            from .intersect_v4 import (intersect_v4 as isect,
+                                       intersect_v4_2r, v4_rows as krows)
         elif choice == "v3":
             from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
         if should_bin(sa, n, krows(), LANES):
-            t, prim = binned(sa, ray, active,
-                             lambda r: list(isect(sa, r)))
+            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "2") != "1":
+                t, prim = intersect_v4_2r(sa, ray, active)
+            else:
+                t, prim = binned(sa, ray, active,
+                                 lambda r: list(isect(sa, r)))
         else:
             t, prim = isect(sa, ray)
         hit_s = payload_from_prim(sa, ray, t, prim)
@@ -497,16 +502,20 @@ def ray_test_pallas(sa, ray, active=None):
     choice = _kernel_choice()
     if choice in ("v2", "v3", "v4"):
         if choice == "v4":
-            from .intersect_v4 import intersect_v4 as isect, v4_rows as krows
+            from .intersect_v4 import (intersect_v4 as isect,
+                                       intersect_v4_2r, v4_rows as krows)
         elif choice == "v3":
             from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
         if should_bin(sa, n, krows(), LANES):
-            (occ_i,) = binned(
-                sa, ray, active,
-                lambda r: [isect(sa, r, any_hit=True)[1] >= 0])
-            occ = occ_i > 0
+            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "2") != "1":
+                occ = intersect_v4_2r(sa, ray, active, any_hit=True)[1] >= 0
+            else:
+                (occ_i,) = binned(
+                    sa, ray, active,
+                    lambda r: [isect(sa, r, any_hit=True)[1] >= 0])
+                occ = occ_i > 0
         else:
             occ = isect(sa, ray, any_hit=True)[1] >= 0
     elif choice == "mxu":

@@ -66,21 +66,32 @@ _BIG = np.float32(3.0e38)
 
 
 def _build_v4_kernel(any_hit: bool, has_anim: bool, c_pad: int,
-                     profile: str = ""):
+                     profile: str = "", seeded: bool = False,
+                     cap: int = 0, report_end: bool = False):
     n_groups = c_pad // GROUP
+    eff_groups = min(n_groups, cap) if cap else n_groups
 
     def kernel(meta_ref,     # (2, n_units) SMEM [anim slot | -1, slot0]
                inst_ref,     # (n_anim, 26) SMEM animated instance records
                tri_hbm,      # (n_units, REC_ROWS, 128) ANY/HBM Woop records
                order_hbm,    # (nb8/8, 8, c_pad) ANY/HBM visit order
                tlo_hbm,      # (nb8/8, 8, c_pad) ANY/HBM sorted entry dists
-               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-               time_ref, maxt_ref,          # (rows, 128) VMEM; maxt is maxt'
-               t_out, prim_out,             # (rows, 128) VMEM outputs
-               order_smem, tlo_smem,        # (8, c_pad) SMEM scratch
-               tri_smem,                    # (2, GROUP, REC_ROWS, 128) SMEM
-               slab_ref,                    # (1,) SMEM: cached slab index
-               sem_o, sem_t, sem_tri):      # DMA sems (sem_tri: (2, GROUP))
+               *rest):
+        # rest: ox oy oz dx dy dz time maxt [t_in p_in] t_out prim_out
+        #       [bound_out] order_smem tlo_smem tri_smem slab_ref sems
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         time_ref, maxt_ref) = rest[:8]
+        k = 8
+        if seeded:
+            t_in_ref, p_in_ref = rest[k:k + 2]
+            k += 2
+        t_out, prim_out = rest[k:k + 2]
+        k += 2
+        if report_end:
+            bound_out = rest[k]
+            k += 1
+        (order_smem, tlo_smem, tri_smem, slab_ref,
+         sem_o, sem_t, sem_tri) = rest[k:]
         i = pl.program_id(0)
         slab = jax.lax.div(i, 8)
         row = jax.lax.rem(i, 8)
@@ -99,8 +110,15 @@ def _build_v4_kernel(any_hit: bool, has_anim: bool, c_pad: int,
             dt_.wait()
             slab_ref[0] = slab
 
-        t_out[:] = jnp.full(t_out.shape, jnp.inf, jnp.float32)
-        prim_out[:] = jnp.full(prim_out.shape, -1, jnp.int32)
+        if seeded:
+            # round-2 seeding: start from round-1 results so finished
+            # (deadened) lanes pass through and survivors keep their
+            # current-best hit as the strict-improvement threshold
+            t_out[:] = t_in_ref[:]
+            prim_out[:] = p_in_ref[:]
+        else:
+            t_out[:] = jnp.full(t_out.shape, jnp.inf, jnp.float32)
+            prim_out[:] = jnp.full(prim_out.shape, -1, jnp.int32)
 
         def t_term():
             """Block-wide improvement bound, monotonically non-increasing
@@ -189,7 +207,7 @@ def _build_v4_kernel(any_hit: bool, has_anim: bool, c_pad: int,
         def cond(carry):
             g, bound = carry
             tg = tlo_smem[row, jnp.minimum(g * GROUP, c_pad - 1)]
-            return (g < n_groups) & (tg <= bound)
+            return (g < eff_groups) & (tg <= bound)
 
         def body(carry):
             g, bound = carry
@@ -207,6 +225,14 @@ def _build_v4_kernel(any_hit: bool, has_anim: bool, c_pad: int,
         for q in range(GROUP):
             dma(gend, q).wait()
 
+        if report_end:
+            # entry distance of the first unit this block did NOT visit
+            # (the _BIG pad key when the list was exhausted): a lane whose
+            # own termination value is below it can never improve — the
+            # per-lane done test for the two-round traversal
+            nxt = tlo_smem[row, jnp.minimum(gend * GROUP, c_pad - 1)]
+            bound_out[:] = jnp.full(bound_out.shape, nxt, jnp.float32)
+
         if profile == "count":
             t_out[:] = jnp.full(t_out.shape, 1.0, jnp.float32) * \
                 gend.astype(jnp.float32)
@@ -214,11 +240,13 @@ def _build_v4_kernel(any_hit: bool, has_anim: bool, c_pad: int,
     return kernel
 
 
-@functools.lru_cache(maxsize=16)
+@functools.lru_cache(maxsize=32)
 def _compiled_v4(any_hit: bool, has_anim: bool, n_rows: int,
                  rows_per_block: int, c_pad: int, interpret: bool,
-                 profile: str = ""):
-    kernel = _build_v4_kernel(any_hit, has_anim, c_pad, profile)
+                 profile: str = "", seeded: bool = False, cap: int = 0,
+                 report_end: bool = False):
+    kernel = _build_v4_kernel(any_hit, has_anim, c_pad, profile,
+                              seeded, cap, report_end)
     grid = (n_rows // rows_per_block,)
     lane = pl.BlockSpec((rows_per_block, LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -228,14 +256,16 @@ def _compiled_v4(any_hit: bool, has_anim: bool, n_rows: int,
         pl.BlockSpec(memory_space=pl.ANY),            # Woop records (HBM)
         pl.BlockSpec(memory_space=pl.ANY),            # visit order (HBM)
         pl.BlockSpec(memory_space=pl.ANY),            # entry dists (HBM)
-    ] + [lane] * 8
+    ] + [lane] * (10 if seeded else 8)
     out_shape = [jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32),
                  jax.ShapeDtypeStruct((n_rows, LANES), jnp.int32)]
+    if report_end:
+        out_shape.append(jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[lane, lane],
+        out_specs=[lane] * len(out_shape),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((8, c_pad), jnp.int32),
@@ -256,62 +286,176 @@ def v4_rows() -> int:
     return int(os.environ.get("MI_V4_ROWS", DEF_ROWS))
 
 
-def intersect_v4(sa, ray, any_hit: bool = False, rows_per_block: int = None,
-                 profile: str = None):
-    """Phase-1 closest-hit (or any-hit) over all triangles, 32-tri Woop
-    visit units in groups of 4 per loop iteration. Returns (t, prim) in
-    the global slot convention; the caller merges spheres and reconstructs
-    the payload with `payload_from_prim`."""
-    if rows_per_block is None:
-        rows_per_block = v4_rows()
-    if profile is None:
-        profile = os.environ.get("MI_V4_PROFILE", "")
-    n = ray.o.x.shape[0]
-    blk = rows_per_block * LANES
-    n_pad = -(-n // blk) * blk
-    n_rows = n_pad // LANES
-
+def _v4_tables(sa):
     segments, meta32 = _chunked_layout(sa.n_static_tris, sa.anim_ranges)
     n_units = meta32.shape[0]
     tri = _woop_records(sa, segments, n_units)
     inst_table = _inst_table(sa)
     has_anim = bool(sa.anim_ranges)
-
     box = sa.chunk_aabb
     if box is None:
         box = jnp.concatenate(
             [jnp.full((n_units, 3), -_BIG),
              jnp.full((n_units, 3), _BIG)], axis=1)
     c_pad = -(-n_units // 128) * 128
+    return meta32, tri, inst_table, has_anim, box, n_units, c_pad
 
-    def pad(x, fill=None):
-        if n_pad == n:
-            return x
-        if fill is None:      # edge-replicate keeps block ray bounds tight
-            tail = jnp.broadcast_to(x[-1], (n_pad - n,)).astype(x.dtype)
-        else:
-            tail = jnp.full((n_pad - n,), fill, x.dtype)
-        return jnp.concatenate([x, tail], axis=0)
 
-    o = (pad(ray.o.x), pad(ray.o.y), pad(ray.o.z))
-    d = (pad(ray.d.x), pad(ray.d.y), pad(ray.d.z))
+def _pad_to(x, n_pad, fill=None):
+    n = x.shape[0]
+    if n_pad == n:
+        return x
+    if fill is None:          # edge-replicate keeps block ray bounds tight
+        tail = jnp.broadcast_to(x[-1], (n_pad - n,)).astype(x.dtype)
+    else:
+        tail = jnp.full((n_pad - n,), fill, x.dtype)
+    return jnp.concatenate([x, tail], axis=0)
+
+
+def _v4_call(tables, oxyz, dxyz, time, maxt, any_hit, rows_per_block,
+             profile="", seed=None, cap=0, report_end=False):
+    """One kernel launch over already-ordered (N,) ray columns. ``maxt``
+    must already be the deadened per-lane maxt (inactive lanes < 0);
+    the scene-box exit clamp and visit-order precompute happen here.
+    Returns (t, prim[, first_unvisited_tlo]) at n_pad length."""
+    meta32, tri, inst_table, has_anim, box, n_units, c_pad = tables
+    n = oxyz[0].shape[0]
+    blk = rows_per_block * LANES
+    n_pad = -(-n // blk) * blk
+    n_rows = n_pad // LANES
+
+    o = tuple(_pad_to(c, n_pad) for c in oxyz)
+    d = tuple(_pad_to(c, n_pad) for c in dxyz)
     exit_t = scene_box_exit(box, o, d)
-    maxtp = jnp.minimum(pad(jnp.minimum(ray.maxt, _BIG), fill=-1.0), exit_t)
-
+    maxtp = jnp.minimum(_pad_to(jnp.minimum(maxt, _BIG), n_pad, fill=-1.0),
+                        exit_t)
     x = jnp.stack(list(o) + [jnp.ones((n_pad,), jnp.float32)]
                   + list(d) + [maxtp], axis=0)
     order, tlo = _unit_visit_order(box, n_units, c_pad, x, min(blk, n_pad))
 
     interpret = jax.default_backend() == "cpu"
     fn = _compiled_v4(any_hit, has_anim, n_rows,
-                      min(rows_per_block, n_rows), c_pad, interpret, profile)
+                      min(rows_per_block, n_rows), c_pad, interpret,
+                      profile, seed is not None, cap, report_end)
     args = [jnp.asarray(meta32.T), inst_table, tri, order, tlo] + [
         c.reshape(n_rows, LANES) for c in o] + [
         c.reshape(n_rows, LANES) for c in d] + [
-        pad(ray.time).reshape(n_rows, LANES),
+        _pad_to(time, n_pad).reshape(n_rows, LANES),
         maxtp.reshape(n_rows, LANES)]
-    t_o, prim_o = fn(*args)
-    return t_o.reshape(-1)[:n], prim_o.reshape(-1)[:n]
+    if seed is not None:
+        t_in, p_in = seed
+        args += [_pad_to(t_in, n_pad, fill=jnp.inf).reshape(n_rows, LANES),
+                 _pad_to(p_in, n_pad, fill=-1).reshape(n_rows, LANES)]
+    outs = fn(*args)
+    return tuple(o_.reshape(-1)[:n] for o_ in outs) + (maxtp[:n],)
 
 
-__all__ = ["intersect_v4", "payload_from_prim"]
+def intersect_v4(sa, ray, any_hit: bool = False, rows_per_block: int = None,
+                 profile: str = None):
+    """Phase-1 closest-hit (or any-hit) over all triangles, 32-tri Woop
+    visit units in groups of 8 per loop iteration. Returns (t, prim) in
+    the global slot convention; the caller merges spheres and reconstructs
+    the payload with `payload_from_prim`."""
+    if rows_per_block is None:
+        rows_per_block = v4_rows()
+    if profile is None:
+        profile = os.environ.get("MI_V4_PROFILE", "")
+    tables = _v4_tables(sa)
+    t_o, prim_o, _ = _v4_call(
+        tables, (ray.o.x, ray.o.y, ray.o.z), (ray.d.x, ray.d.y, ray.d.z),
+        ray.time, ray.maxt, any_hit, rows_per_block, profile)
+    return t_o, prim_o
+
+
+def v4_cap() -> int:
+    return int(os.environ.get("MI_V4_CAP", "16"))
+
+
+def v4_rows2() -> int:
+    return int(os.environ.get("MI_V4_ROWS2", "8"))
+
+
+def intersect_v4_2r(sa, ray, active=None, any_hit: bool = False,
+                    rows_per_block: int = None, rows2: int = None,
+                    cap: int = None):
+    """Two-round bound-tightening traversal (binning included).
+
+    The single-round kernel's waste is the BLOCK termination bound: it is
+    a max over 4096 lanes, so one miss/far lane forces the whole block
+    through its full front-to-back list (measured 40k-tri scene,
+    _countlab.py: blocks visit 236-340 units vs a per-lane ideal of ~17).
+    Round 1 walks at most ``cap`` groups per block and reports the entry
+    distance of the first unit it did NOT visit; a lane whose own
+    termination value (closest hit so far, or clamped maxt for misses)
+    lies below that bound is provably finished. Survivors — typically a
+    small minority — are re-sorted to the front (finished lanes deadened
+    to sort last with empty visit lists), and a second, uncapped launch
+    with smaller blocks and now-tight per-block bounds finishes them,
+    seeded with round-1 bests so revisits stay idempotent.
+
+    Reference role: Embree/OptiX ordered BVH traversal with early-out
+    (scene_embree.inl:203-299, scene_optix.inl:552-570); the two-round
+    split is the TPU-native substitute for their per-ray stacks.
+
+    Returns (t, prim) in ORIGINAL lane order.
+    """
+    from .ray_binning import bin_key
+    if rows_per_block is None:
+        rows_per_block = v4_rows()
+    if rows2 is None:
+        rows2 = v4_rows2()
+    if cap is None:
+        cap = v4_cap()
+    n = ray.o.x.shape[0]
+    tables = _v4_tables(sa)
+    box = tables[4]
+    lo = jnp.min(box[:, :3], axis=0)
+    hi = jnp.max(box[:, 3:], axis=0)
+
+    maxt0 = ray.maxt if active is None else jnp.where(active, ray.maxt,
+                                                      -1.0)
+    key = bin_key(ray._replace(maxt=maxt0), lo, hi)
+    lane = jnp.arange(n, dtype=jnp.int32)
+    carry_time = bool(sa.anim_ranges)
+    ops = (key, lane, ray.o.x, ray.o.y, ray.o.z,
+           ray.d.x, ray.d.y, ray.d.z, maxt0) + (
+        (ray.time,) if carry_time else ())
+    s = jax.lax.sort(ops, num_keys=1)
+    key_s, lane_s = s[0], s[1]
+    o_s, d_s, maxt_s = s[2:5], s[5:8], s[8]
+    time_s = s[9] if carry_time else ray.time
+
+    t1, prim1, bound1, maxtp1 = _v4_call(
+        tables, o_s, d_s, time_s, maxt_s, any_hit, rows_per_block,
+        cap=cap, report_end=True)
+
+    # per-lane done test: every unvisited unit's (block-conservative,
+    # hence per-lane-conservative) entry distance is >= bound1; a unit
+    # can only produce t >= its entry distance, and improving requires
+    # strict t < term — so bound1 >= term means finished
+    if any_hit:
+        term = jnp.where(prim1 >= 0, -_BIG, maxtp1)
+    else:
+        term = jnp.minimum(t1, maxtp1)
+    done = bound1 >= term
+
+    key2 = jnp.where(done, key_s | jnp.int32(1 << 30), key_s)
+    maxt2 = jnp.where(done, -1.0, maxt_s)
+    ops2 = (key2, lane_s, o_s[0], o_s[1], o_s[2],
+            d_s[0], d_s[1], d_s[2], maxt2, t1, prim1) + (
+        (time_s,) if carry_time else ())
+    s2 = jax.lax.sort(ops2, num_keys=1)
+    lane_s2 = s2[1]
+    o_s2, d_s2, maxt_s2 = s2[2:5], s2[5:8], s2[8]
+    t1_p, prim1_p = s2[9], s2[10]
+    time_s2 = s2[11] if carry_time else ray.time
+
+    t2, prim2, _ = _v4_call(
+        tables, o_s2, d_s2, time_s2, maxt_s2, any_hit, rows2,
+        seed=(t1_p, prim1_p))
+
+    back = jax.lax.sort((lane_s2, t2, prim2), num_keys=1)
+    return back[1], back[2]
+
+
+__all__ = ["intersect_v4", "intersect_v4_2r", "payload_from_prim"]

@@ -69,7 +69,7 @@ class SceneArrays:
         "n_spheres", "sphere_animated", "env_kind", "env_shape", "env_index",
         "mesh_em_meta", "sensor_medium", "n_media", "spectral",
         "polarized", "any_hetero", "any_sggx", "any_sggx_grid",
-        "any_rayleigh", "any_flip",
+        "any_rayleigh", "any_flip", "any_nmap",
         "tab_phase_tables", "measured_pol_wls", "ior_spectra",
         "bsdf_ior_host", "max_optical_depth_hint",
     ]
@@ -800,6 +800,8 @@ class Scene:
             inst_nsign=jnp.asarray(
                 inst_nsign if inst_nsign else [1.0], jnp.float32),
             any_flip=any(s < 0.0 for s in inst_nsign),
+            any_nmap=any(getattr(b, "nmap_index", -1) >= 0
+                         for b in bsdf_objs),
             bsdf_type=jnp.asarray(bsdf_type),
             bsdf_params=jnp.asarray(bsdf_params, jnp.float32),
             emitter_type=jnp.asarray(emitter_type),

@@ -122,43 +122,74 @@ def block_create(width: int, height: int, n_channels: int, dtype=jnp.float32):
     return jnp.zeros((n_channels, height, width), dtype=dtype)
 
 
+def filter_reach(rfilter) -> int:
+    """Max pixel-offset a sample's filter footprint can reach (the K of
+    the (2K+1)^2 shifted-image splat decomposition)."""
+    if rfilter.is_box:
+        return 0
+    count = int(math.ceil(2.0 * float(rfilter.radius)))
+    return count // 2 + (count % 2)
+
+
 def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
                           active, W: int, H: int, spp: int,
-                          pad_rows: int = 0):
+                          pad_rows: int = 0, row0=0, strip_rows: int = None):
     """Accumulate a pixel-major wavefront into the block.
 
-    ``pos_x/pos_y``: continuous sample positions (N,) relative to the lane
-    range (lane i belongs to pixel i // spp, pixel rows [0, H)). ``values``:
-    list of C (N,) channel arrays. ``block`` has H + 2*pad_rows rows;
+    ``pos_x/pos_y``: continuous GLOBAL sample positions (N,). ``values``:
+    list of C (N,) channel arrays. ``block`` has rows + 2*pad_rows rows;
     ``pad_rows > 0`` keeps cross-row filter taps for shard-boundary merging
     (parallel/render.py) instead of clipping them.
+
+    Strip mode (``strip_rows`` set): the wavefront covers only pixel rows
+    [row0, row0 + strip_rows) of the frame — lane i belongs to global
+    pixel row0*W + i // spp. ``row0`` may be a traced scalar (the fused
+    strip-pass loop); requires ``pad_rows >= filter_reach(rfilter)`` so
+    cross-strip taps land in canvas rows without data-dependent clipping
+    (they are either merged by the neighboring strip's own writes — both
+    strips add into the same canvas — or fall into the discarded pad,
+    matching the full-frame path's border clipping).
 
     Implements the reference's filter-footprint weighting
     (imageblock.cpp:263-344, continuous JIT path) without scatters.
     """
     C = block.shape[0]
-    HC = H + 2 * pad_rows       # canvas rows
+    HC = block.shape[1]         # canvas rows
     n = pos_x.shape[0]
     values = [jnp.where(active, v, 0.0) for v in values]
 
-    pix_x = (jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(spp)) % jnp.uint32(W)
-    pix_y = (jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(spp)) // jnp.uint32(W)
-    pix_x = pix_x.astype(jnp.int32)
-    pix_y = pix_y.astype(jnp.int32)
+    strip = strip_rows is not None
+    rows = strip_rows if strip else H
+    lpix = jnp.arange(n, dtype=jnp.uint32) // jnp.uint32(spp)
+    pix_x = (lpix % jnp.uint32(W)).astype(jnp.int32)
+    pix_y = (lpix // jnp.uint32(W)).astype(jnp.int32)
+    if strip:
+        pix_y = pix_y + jnp.int32(row0)
 
     def segsum(v):
-        return v.reshape(H * W, spp).sum(axis=-1).reshape(H, W)
+        return v.reshape(rows * W, spp).sum(axis=-1).reshape(rows, W)
+
+    def window_add(blk, imgs, y0, x0: int, w: int):
+        """blk[:, y0:y0+rows, x0:x0+w] += imgs (y0 may be traced)."""
+        if not strip:
+            return blk.at[:, y0:y0 + rows, x0:x0 + w].add(imgs)
+        win = jax.lax.dynamic_slice(blk, (0, y0, x0), (C, rows, w))
+        return jax.lax.dynamic_update_slice(blk, win + imgs, (0, y0, x0))
+
+    y_base = pad_rows + jnp.int32(row0) if strip else pad_rows
 
     if rfilter.is_box:
         # samples land in their own pixel (the integrator passes pixel
         # centers for box, reference imageblock.cpp:471)
-        for c in range(C):
-            block = block.at[c, pad_rows:pad_rows + H].add(segsum(values[c]))
-        return block
+        imgs = jnp.stack([segsum(v) for v in values])
+        return window_add(block, imgs, y_base, 0, W)
 
     radius = float(rfilter.radius)
     count = int(math.ceil(2.0 * radius))
     K = count // 2 + (count % 2)  # max |offset| from own pixel
+    if strip and pad_rows < K:
+        raise ValueError(
+            f"strip splat needs pad_rows >= {K} for this filter")
 
     pos_fx = pos_x - 0.5
     pos_fy = pos_y - 0.5
@@ -195,13 +226,21 @@ def block_splat_wavefront(block, rfilter, pos_x, pos_y, values: List,
             # dense per-pixel partial image, then shifted add: a sample in
             # source row r lands at canvas row pad_rows + r + δ; clip to the
             # canvas (with pad_rows >= K no y-clipping occurs)
+            sx0 = max(0, -dx_off)
+            wdt = W - abs(dx_off)
+            if strip:
+                imgs = jnp.stack([segsum(v * wgt)[:, sx0:sx0 + wdt]
+                                  for v in values])
+                block = window_add(block, imgs, y_base + dy_off,
+                                   max(0, dx_off), wdt)
+                continue
             dlo_y = max(0, pad_rows + dy_off)
             dhi_y = min(pad_rows + H + dy_off, HC)
             slo_y = dlo_y - (pad_rows + dy_off)
             dst_y = slice(dlo_y, dhi_y)
             src_y = slice(slo_y, slo_y + (dhi_y - dlo_y))
             dst_x = slice(max(0, dx_off), W + min(0, dx_off))
-            src_x = slice(max(0, -dx_off), max(0, -dx_off) + W - abs(dx_off))
+            src_x = slice(sx0, sx0 + wdt)
             for c in range(C):
                 img = segsum(values[c] * wgt)
                 block = block.at[c, dst_y, dst_x].add(img[src_y, src_x])

@@ -41,7 +41,8 @@ from ..render.scene import SceneArrays, ray_intersect, ray_test, gather_small
 from ..samplers import TIME_SAMPLING_METHODS, TIME_ANTITHETIC
 from ..bsdfs import eval_pdf_sample as bsdf_eval_pdf_sample, FLAG_SMOOTH
 from .. import emitters as em_mod
-from ..films import block_create, block_splat_wavefront, develop
+from ..films import (block_create, block_splat_wavefront, develop,
+                     filter_reach)
 from ..sensors import sample_ray_kind as sensor_sample_ray_kind
 
 # Default lane budget per pass (HBM-derived chunking; the reference's
@@ -158,34 +159,76 @@ class SamplingIntegrator(Integrator):
         spp = sampler.sample_count
 
         W, H = film.crop_size
-        # wavefront sizing: largest divisor of spp with W*H*d <= max_lanes
+        # Wavefront sizing. Preferred split: STRIP passes — each pass
+        # renders the next few pixel ROWS at FULL spp (lane = global
+        # pixel*spp + s). A sorted lane block then holds a handful of
+        # pixels' complete sample sets instead of ~64 pixels' slices,
+        # which shrinks the traversal kernels' per-block visit-list
+        # unions several-fold (the round-5 union lab: camera blocks at
+        # 16 spp/pass needed ~210 of 1264 scene units; per-pixel sample
+        # sets nearly coincide). RNG/stratification are windowed from
+        # one global wavefront (sampler.seed(lane0)/advance_window), so
+        # the partitioning is invisible to every sampling contract.
+        # Fallback (MI_SPP_SLICE_PASSES=1, explicit samples_per_pass, or
+        # spp*W > max_lanes): the reference-style spp slicing, largest
+        # divisor of spp with W*H*d <= max_lanes (integrator.cpp:227-245).
         spp_per_pass = spp if self.samples_per_pass < 0 else min(
             self.samples_per_pass, spp)
-        while W * H * spp_per_pass > max_lanes and spp_per_pass > 1:
-            d = spp_per_pass - 1
-            while spp % d != 0:
-                d -= 1
-            spp_per_pass = d
-        n_passes = spp // spp_per_pass
+        rows_per_pass = max_lanes // max(W * spp, 1)
+        strip_mode = (self.samples_per_pass < 0
+                      and W * H * spp > max_lanes and rows_per_pass >= 1
+                      and not os.environ.get("MI_SPP_SLICE_PASSES"))
+        if strip_mode:
+            spp_per_pass = spp
+            rows_per_pass = min(rows_per_pass, H)
+            n_passes = -(-H // rows_per_pass)
+            n_lanes = rows_per_pass * W * spp
+        else:
+            while W * H * spp_per_pass > max_lanes and spp_per_pass > 1:
+                d = spp_per_pass - 1
+                while spp % d != 0:
+                    d -= 1
+                spp_per_pass = d
+            n_passes = spp // spp_per_pass
+            n_lanes = W * H * spp_per_pass
 
         sampler.set_samples_per_wavefront(spp_per_pass)
-        state = sampler.seed(seed, W * H * spp_per_pass)
+        state = sampler.seed(seed, n_lanes)
 
         sa = scene.compile()
         n_channels = film.channel_count + len(self.aov_names())
-        block = block_create(W, H, n_channels)
-        pass_fn = self._get_pass_fn(sensor, sampler, film, W, H, spp_per_pass)
+        if strip_mode:
+            # canvas: filter-reach pads + virtual rows rounding H up to
+            # whole strips (ragged last strip renders inactive lanes);
+            # develop slices the [pad, pad+H) center back out
+            pad_k = filter_reach(film.rfilter)
+            block = block_create(W, pad_k * 2 + n_passes * rows_per_pass,
+                                 n_channels)
+        else:
+            pad_k = 0
+            block = block_create(W, H, n_channels)
+        strip_rows = rows_per_pass if strip_mode else None
+        pass_fn = self._get_pass_fn(sensor, sampler, film, W, H,
+                                    spp_per_pass, strip_rows, pad_k)
 
         start_pass = 0
         if checkpoint_path is not None and os.path.exists(checkpoint_path):
             ck = np.load(checkpoint_path)
+            ck_strip = ("strip" in ck.files) and bool(ck["strip"])
             if (int(ck["seed"]) == seed and int(ck["spp"]) == spp
+                    and ck_strip == strip_mode
                     and ck["block"].shape == tuple(block.shape)):
                 start_pass = int(ck["pass_idx"])
                 block = jnp.asarray(ck["block"])
-                # replay sampler advancement (cheap scalar updates)
-                for _ in range(start_pass):
-                    state = sampler.advance(state)
+                if strip_mode:
+                    # windowed streams depend only on (seed, lane): jump
+                    # straight to the resume strip's lane window
+                    state = sampler.seed(seed, n_lanes,
+                                         lane0=start_pass * n_lanes)
+                else:
+                    # replay sampler advancement (cheap scalar updates)
+                    for _ in range(start_pass):
+                        state = sampler.advance(state)
 
         from ..core import logger as _log
         self._cancel = False
@@ -209,10 +252,11 @@ class SamplingIntegrator(Integrator):
             # saves the (small) film/state copies, so drop it there
             from ..ops.ray_binning import should_bin as _should_bin
             from ..ops.intersect_kernel import _stream_rows, LANES as _LANES
-            donate = not _should_bin(sa, W * H * spp_per_pass,
-                                     _stream_rows(sa), _LANES)
+            donate = not _should_bin(sa, n_lanes, _stream_rows(sa), _LANES)
             multi = self._get_multi_pass_fn(sensor, sampler, film, W, H,
-                                            spp_per_pass, donate=donate)
+                                            spp_per_pass, donate=donate,
+                                            strip_rows=strip_rows,
+                                            pad_rows=pad_k)
             t0 = _time.time()
             done = 0
             group = 1
@@ -234,7 +278,8 @@ class SamplingIntegrator(Integrator):
             t_first = None
             for p in range(start_pass, n_passes):
                 block, state = pass_fn(sa, block, state)
-                state = sampler.advance(state)
+                state = (sampler.advance_window(state) if strip_mode
+                         else sampler.advance(state))
                 if p == start_pass:
                     jax.block_until_ready(block)
                     t_first = _time.time() - t_start
@@ -242,7 +287,8 @@ class SamplingIntegrator(Integrator):
                         and ((p + 1) % checkpoint_every == 0
                              or p + 1 == n_passes)):
                     np.savez(checkpoint_path, block=np.asarray(block),
-                             pass_idx=p + 1, seed=seed, spp=spp)
+                             pass_idx=p + 1, seed=seed, spp=spp,
+                             strip=strip_mode)
                 reporter.update((p + 1 - start_pass)
                                 / max(n_passes - start_pass, 1))
                 if p + 1 < n_passes and self.should_stop(t_start):
@@ -266,12 +312,16 @@ class SamplingIntegrator(Integrator):
                          "steady-state %.3fs/pass, total %.3fs",
                          t_first, per_pass, total)
 
+        if strip_mode:
+            # slice the image region back out of the padded strip canvas
+            block = block[:, pad_k:pad_k + H]
         if develop_film:
             return develop(block, film.has_alpha, film.weight_index)
         return block
 
     def _get_multi_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass,
-                           donate: bool = True):
+                           donate: bool = True, strip_rows: int = None,
+                           pad_rows: int = 0):
         """One compiled program running a DYNAMIC number of fused passes:
         the fori_loop bound is a traced argument, so a single compilation
         serves any group size. The render loop dispatches adaptively-sized
@@ -279,18 +329,20 @@ class SamplingIntegrator(Integrator):
         device watchdog and kill the TPU worker."""
         key = ("multi", id(sensor), id(sampler), id(film), W, H,
                spp_per_pass, sampler.sample_count,
-               sampler.samples_per_wavefront, donate)
+               sampler.samples_per_wavefront, donate, strip_rows)
         cache = self._pass_fn_cache if hasattr(self, "_pass_fn_cache") else {}
         self._pass_fn_cache = cache
         if key not in cache:
             raw = self._get_pass_fn(sensor, sampler, film, W, H,
-                                    spp_per_pass).raw
+                                    spp_per_pass, strip_rows, pad_rows).raw
+            strip = strip_rows is not None
 
             def run_passes(sa, block, state, n):
                 def body(_, carry):
                     blk, st = carry
                     blk, st = raw(sa, blk, st)
-                    return blk, sampler.advance(st)
+                    return blk, (sampler.advance_window(st) if strip
+                                 else sampler.advance(st))
                 return jax.lax.fori_loop(0, n, body, (block, state))
 
             dn = (() if (not donate or os.environ.get("MI_NO_DONATE"))
@@ -298,18 +350,20 @@ class SamplingIntegrator(Integrator):
             cache[key] = jax.jit(run_passes, donate_argnums=dn)
         return cache[key]
 
-    def _get_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass):
+    def _get_pass_fn(self, sensor, sampler, film, W, H, spp_per_pass,
+                     strip_rows: int = None, pad_rows: int = 0):
         # sample_count participates: interval stratification divides [0,1)
         # into sample_count/Tc strata at TRACE time (correlated.cpp:109-125)
         key = (id(sensor), id(sampler), id(film), W, H, spp_per_pass,
-               sampler.sample_count, sampler.samples_per_wavefront)
+               sampler.sample_count, sampler.samples_per_wavefront,
+               strip_rows)
         cache = getattr(self, "_pass_fn_cache", None)
         if cache is None:
             cache = {}
             self._pass_fn_cache = cache
         if key not in cache:
             cache[key] = _build_pass_fn(self, sensor, sampler, film, W, H,
-                                        spp_per_pass)
+                                        spp_per_pass, strip_rows, pad_rows)
         return cache[key]
 
 
@@ -482,21 +536,35 @@ def _build_sample_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
     return sample_wavefront
 
 
-def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
-    """Build + jit the single-pass wavefront program."""
+def _build_pass_fn(integrator, sensor, sampler, film, W, H, spp_per_pass,
+                   strip_rows: int = None, pad_rows: int = 0):
+    """Build + jit the single-pass wavefront program. With ``strip_rows``
+    the pass covers pixel rows [row0, row0 + strip_rows) at full spp,
+    where row0 derives from the sampler state's lane window (strip-pass
+    rendering; see SamplingIntegrator.render)."""
     sample_fn = _build_sample_fn(integrator, sensor, sampler, film, W, H,
                                  spp_per_pass)
     rfilter = film.rfilter
-    n = W * H * spp_per_pass
+    strip = strip_rows is not None
+    n = (strip_rows * W if strip else W * H) * spp_per_pass
 
     def pass_fn_raw(sa: SceneArrays, block, state):
-        lane = jnp.arange(n, dtype=jnp.uint32)
+        lane = state.lane
+        if strip:
+            # ragged last strip: lanes past the real frame are inactive
+            active = lane < jnp.uint32(W * H * spp_per_pass)
+            row0 = (lane[0] // jnp.uint32(W * spp_per_pass)).astype(
+                jnp.int32)
+        else:
+            active = jnp.ones((n,), bool)
+            row0 = 0
         values, put_x, put_y, active, state = sample_fn(
-            sa, state, lane, jnp.ones((n,), bool))
+            sa, state, lane, active)
         with jax.named_scope("ImageBlockPut"):
             block = block_splat_wavefront(block, rfilter, put_x, put_y,
                                           values, active, W, H,
-                                          spp_per_pass)
+                                          spp_per_pass, pad_rows=pad_rows,
+                                          row0=row0, strip_rows=strip_rows)
         return block, state
 
     pass_fn = jax.jit(pass_fn_raw, donate_argnums=(1, 2))

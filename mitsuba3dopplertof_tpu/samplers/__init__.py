@@ -131,6 +131,26 @@ class Sampler:
                              state.permutation_seed, idx, jnp.uint32(0),
                              state.lane, state.seed_value)
 
+    def advance_window(self, state: SamplerStateT) -> SamplerStateT:
+        """Advance to the next WINDOW of the global wavefront (strip-pass
+        rendering: each pass covers the next pixel rows at full spp).
+        Unlike ``advance``, the seed value stays fixed and the lane ids
+        shift — every stream is exactly what a single giant wavefront
+        would have produced for those lanes, so strip partitioning cannot
+        perturb correlation groups or stratification."""
+        n = state.lane.shape[0]
+        lane = state.lane + jnp.uint32(n)
+        rng, rng_time, rng_path = self._streams(state.seed_value, lane)
+        spw = np.uint32(self.samples_per_wavefront)
+        sequence_idx = spw * (lane // spw)
+        seed_u = state.seed_value - jnp.uint32(np.uint32(self.base_seed))
+        perm_seed, _ = sample_tea_32(
+            jnp.full(lane.shape, self.base_seed, jnp.uint32),
+            sequence_idx + seed_u)
+        return SamplerStateT(rng, rng_time, rng_path, perm_seed,
+                             jnp.uint32(0), jnp.uint32(0),
+                             lane, state.seed_value)
+
     def current_sample_index(self, state: SamplerStateT, n: int):
         """reference sampler.cpp:94-103."""
         offs = state.lane % jnp.uint32(self.samples_per_wavefront)

@@ -1,43 +1,49 @@
-"""Paired end-to-end A/B of MI_V4_ROWS on the 40k animated bench scene."""
+"""End-to-end large-scene bench rows (round 5): 40k/100k animated doppler,
+50k static path, each median-of-3 after warm. Usage: _e2e_rows.py [row...]
+with rows from {40k,100k,50k}."""
 import sys, time
 
 import numpy as np
-import jax
 
 sys.path.insert(0, '/root/repo')
-sys.path.insert(0, '/root/repo/scripts')
 import mitsuba3dopplertof_tpu as mi
 from mitsuba3dopplertof_tpu.core import transform as tf
 from mitsuba3dopplertof_tpu.core.transform import AnimatedTransform
-from bench_suite import animated_mesh_scene
+sys.path.insert(0, '/root/repo/scripts')
+from bench_suite import animated_mesh_scene, static_mesh_scene
 
-SPP = 128
-PAIRS = 3
+SPP = 256
+RES = 256
 
-scenes = {}
-for rows in (8, 32):
-    import os
-    os.environ["MI_V4_ROWS"] = str(rows)
-    ntri, sc = animated_mesh_scene(mi, tf, AnimatedTransform, 144, 140, SPP)
-    img = np.asarray(mi.render(sc, seed=0, spp=SPP))   # compile + warm
-    print(f"r{rows} warm ok, mean {img.mean():.5f}", flush=True)
-    scenes[rows] = sc
 
-def run(rows, seed):
-    import os
-    os.environ["MI_V4_ROWS"] = str(rows)
-    t0 = time.perf_counter()
-    img = np.asarray(mi.render(scenes[rows], seed=seed, spp=SPP))
-    return time.perf_counter() - t0
-
-ratios = []
-for i in range(PAIRS):
-    t8 = run(8, i + 1)
-    t32 = run(32, i + 1)
-    n_samp = 256 * 256 * SPP / 1e6
-    print(f"pair {i}: r8 {t8:.1f}s ({n_samp / t8:.2f} Ms/s)  "
-          f"r32 {t32:.1f}s ({n_samp / t32:.2f} Ms/s)  ratio {t32 / t8:.3f}",
+def run(name, ntri, sc):
+    t0 = time.time()
+    img = np.asarray(mi.render(sc, spp=SPP, seed=0))
+    print(f"{name}: warm {time.time() - t0:.0f}s mean {img.mean():.6f}",
           flush=True)
-    ratios.append(t32 / t8)
-print(f"median r32/r8 ratio: {np.median(ratios):.3f}", flush=True)
+    assert np.isfinite(img).all()
+    ts = []
+    for i in range(3):
+        t0 = time.time()
+        np.asarray(mi.render(sc, spp=SPP, seed=1 + i))
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    print(f"{name} ({ntri} tris): {dt:.2f}s "
+          f"({RES * RES * SPP / dt / 1e6:.2f} Ms/s) "
+          f"spread {(max(ts) - min(ts)) / dt * 100:.0f}%", flush=True)
+
+
+want = sys.argv[1:] or ["40k", "100k", "50k"]
+for w in want:
+    if w == "40k":
+        ntri, sc = animated_mesh_scene(mi, tf, AnimatedTransform,
+                                       144, 140, SPP)
+        run("40k animated doppler", ntri, sc)
+    elif w == "100k":
+        ntri, sc = animated_mesh_scene(mi, tf, AnimatedTransform,
+                                       360, 140, SPP)
+        run("100k animated doppler", ntri, sc)
+    elif w == "50k":
+        ntri, sc = static_mesh_scene(mi, tf, 160, 158, SPP)
+        run("50k static path", ntri, sc)
 print("done", flush=True)

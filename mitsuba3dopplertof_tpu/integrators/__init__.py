@@ -175,7 +175,10 @@ class SamplingIntegrator(Integrator):
         spp_per_pass = spp if self.samples_per_pass < 0 else min(
             self.samples_per_pass, spp)
         rows_per_pass = max_lanes // max(W * spp, 1)
-        strip_mode = (self.samples_per_pass < 0
+        # timeout renders keep spp slicing: their partial film must be a
+        # full (noisy) image, not a strip region (reference semantics,
+        # integrator.cpp:248-255 + tests/test_observability.py)
+        strip_mode = (self.samples_per_pass < 0 and self.timeout <= 0.0
                       and W * H * spp > max_lanes and rows_per_pass >= 1
                       and not os.environ.get("MI_SPP_SLICE_PASSES"))
         if strip_mode:

@@ -461,7 +461,12 @@ def intersect_pallas(sa, ray, active=None) -> HitRecord:
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
         if should_bin(sa, n, krows(), LANES):
-            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "2") != "1":
+            # single-round default: under strip-pass populations (round 5)
+            # the capped round 1 + survivor resort measured +17 ms per
+            # closest-hit / +31 ms per any-hit vs one uncapped walk
+            # (_passdecomp.py); MI_V4_ROUNDS=2 re-enables the two-round
+            # scheme for fat spp-sliced unions
+            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "1") == "2":
                 t, prim = intersect_v4_2r(sa, ray, active)
             else:
                 t, prim = binned(sa, ray, active,
@@ -509,7 +514,7 @@ def ray_test_pallas(sa, ray, active=None):
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
         if should_bin(sa, n, krows(), LANES):
-            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "2") != "1":
+            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "1") == "2":
                 occ = intersect_v4_2r(sa, ray, active, any_hit=True)[1] >= 0
             else:
                 (occ_i,) = binned(

@@ -129,6 +129,15 @@ VARIANTS = {
     "r8noop": lambda r, ah: v4.intersect_v4(sa, r, any_hit=ah,
                                             rows_per_block=8,
                                             profile="noop"),
+    "lite-c8": lambda r, ah: v4.intersect_v4_2lite(sa, r, any_hit=ah,
+                                                   rows_per_block=32,
+                                                   cap=8),
+    "lite-c16": lambda r, ah: v4.intersect_v4_2lite(sa, r, any_hit=ah,
+                                                    rows_per_block=32,
+                                                    cap=16),
+    "lite-c4": lambda r, ah: v4.intersect_v4_2lite(sa, r, any_hit=ah,
+                                                   rows_per_block=32,
+                                                   cap=4),
 }
 
 want = sys.argv[1:] or ["r32", "r16", "r8", "r32noop", "r8noop"]

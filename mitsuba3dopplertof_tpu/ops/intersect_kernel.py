@@ -455,19 +455,25 @@ def intersect_pallas(sa, ray, active=None) -> HitRecord:
         from .intersect_mxu import payload_from_prim
         if choice == "v4":
             from .intersect_v4 import (intersect_v4 as isect,
-                                       intersect_v4_2r, v4_rows as krows)
+                                       intersect_v4_2r, intersect_v4_2lite,
+                                       v4_rows as krows)
         elif choice == "v3":
             from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
         if should_bin(sa, n, krows(), LANES):
-            # single-round default: under strip-pass populations (round 5)
-            # the capped round 1 + survivor resort measured +17 ms per
-            # closest-hit / +31 ms per any-hit vs one uncapped walk
-            # (_passdecomp.py); MI_V4_ROUNDS=2 re-enables the two-round
-            # scheme for fat spp-sliced unions
-            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "1") == "2":
+            # MI_V4_ROUNDS: "1" single uncapped walk, "lite" the in-place
+            # capped round 1 + seeded round 2 (no resort — see
+            # intersect_v4_2lite), "2" the full resorting two-round
+            # scheme. Under strip-pass populations (round 5) "2" measured
+            # +17 ms per closest-hit / +31 ms per any-hit vs "1"
+            # (_passdecomp.py).
+            rounds = os.environ.get("MI_V4_ROUNDS", "1")
+            if choice == "v4" and rounds == "2":
                 t, prim = intersect_v4_2r(sa, ray, active)
+            elif choice == "v4" and rounds == "lite":
+                t, prim = binned(sa, ray, active,
+                                 lambda r: list(intersect_v4_2lite(sa, r)))
             else:
                 t, prim = binned(sa, ray, active,
                                  lambda r: list(isect(sa, r)))
@@ -508,14 +514,22 @@ def ray_test_pallas(sa, ray, active=None):
     if choice in ("v2", "v3", "v4"):
         if choice == "v4":
             from .intersect_v4 import (intersect_v4 as isect,
-                                       intersect_v4_2r, v4_rows as krows)
+                                       intersect_v4_2r, intersect_v4_2lite,
+                                       v4_rows as krows)
         elif choice == "v3":
             from .intersect_v3 import intersect_v3 as isect, v3_rows as krows
         else:
             from .intersect_v2 import intersect_v2 as isect, v2_rows as krows
         if should_bin(sa, n, krows(), LANES):
-            if choice == "v4" and os.environ.get("MI_V4_ROUNDS", "1") == "2":
+            rounds = os.environ.get("MI_V4_ROUNDS", "1")
+            if choice == "v4" and rounds == "2":
                 occ = intersect_v4_2r(sa, ray, active, any_hit=True)[1] >= 0
+            elif choice == "v4" and rounds == "lite":
+                (occ_i,) = binned(
+                    sa, ray, active,
+                    lambda r: [intersect_v4_2lite(
+                        sa, r, any_hit=True)[1] >= 0])
+                occ = occ_i > 0
             else:
                 (occ_i,) = binned(
                     sa, ray, active,

@@ -313,10 +313,12 @@ def _pad_to(x, n_pad, fill=None):
 
 
 def _v4_call(tables, oxyz, dxyz, time, maxt, any_hit, rows_per_block,
-             profile="", seed=None, cap=0, report_end=False):
+             profile="", seed=None, cap=0, report_end=False, precomp=None):
     """One kernel launch over already-ordered (N,) ray columns. ``maxt``
     must already be the deadened per-lane maxt (inactive lanes < 0);
-    the scene-box exit clamp and visit-order precompute happen here.
+    the scene-box exit clamp and visit-order precompute happen here
+    (pass ``precomp=(order, tlo)`` to reuse tables across rounds — any
+    conservative superset of the live lanes' reachable units is valid).
     Returns (t, prim[, first_unvisited_tlo]) at n_pad length."""
     meta32, tri, inst_table, has_anim, box, n_units, c_pad = tables
     n = oxyz[0].shape[0]
@@ -329,9 +331,13 @@ def _v4_call(tables, oxyz, dxyz, time, maxt, any_hit, rows_per_block,
     exit_t = scene_box_exit(box, o, d)
     maxtp = jnp.minimum(_pad_to(jnp.minimum(maxt, _BIG), n_pad, fill=-1.0),
                         exit_t)
-    x = jnp.stack(list(o) + [jnp.ones((n_pad,), jnp.float32)]
-                  + list(d) + [maxtp], axis=0)
-    order, tlo = _unit_visit_order(box, n_units, c_pad, x, min(blk, n_pad))
+    if precomp is not None:
+        order, tlo = precomp
+    else:
+        x = jnp.stack(list(o) + [jnp.ones((n_pad,), jnp.float32)]
+                      + list(d) + [maxtp], axis=0)
+        order, tlo = _unit_visit_order(box, n_units, c_pad, x,
+                                       min(blk, n_pad))
 
     interpret = jax.default_backend() == "cpu"
     fn = _compiled_v4(any_hit, has_anim, n_rows,
@@ -369,6 +375,68 @@ def intersect_v4(sa, ray, any_hit: bool = False, rows_per_block: int = None,
 
 def v4_cap() -> int:
     return int(os.environ.get("MI_V4_CAP", "16"))
+
+
+def intersect_v4_2lite(sa, ray, any_hit: bool = False,
+                       rows_per_block: int = None, cap: int = None):
+    """Two-round bound tightening WITHOUT resorting (round 5).
+
+    The single-round kernel's waste is the tail: a block whose monotone
+    termination bound is set by one far/miss lane walks its whole
+    front-to-back list. Round 1 walks at most ``cap`` groups per block
+    and reports the entry distance of the first unit it did NOT visit;
+    a lane whose own termination value lies below that bound is provably
+    finished (any unvisited unit can only produce t >= its entry
+    distance). Finished lanes are deadened (maxt = -1) so they drop out
+    of the block bound, and round 2 re-runs the SAME blocks with the
+    SAME visit tables (no second sort, no second visit-order
+    precompute), seeded with round-1 bests — revisits are idempotent
+    under the strict-improvement hit test. A block whose lanes all
+    finished starts with bound = -1 < every entry key and exits without
+    visiting a unit.
+
+    vs ``intersect_v4_2r`` (kept for fat spp-sliced unions): no lane
+    permutation, so survivors stay thinly spread — the win is bounded by
+    how concentrated the tail blocks are, but the fixed overhead is two
+    cheap kernel launches instead of three variadic sorts + a second
+    precompute. Reference role: per-ray BVH early-out
+    (scene_embree.inl:203-299).
+
+    Expects pre-sorted rays (call through ``ray_binning.binned``).
+    Returns (t, prim) in input lane order."""
+    if rows_per_block is None:
+        rows_per_block = v4_rows()
+    if cap is None:
+        cap = v4_cap()
+    tables = _v4_tables(sa)
+    box, n_units, c_pad = tables[4], tables[5], tables[6]
+    oxyz = (ray.o.x, ray.o.y, ray.o.z)
+    dxyz = (ray.d.x, ray.d.y, ray.d.z)
+    n = oxyz[0].shape[0]
+    blk = rows_per_block * LANES
+    n_pad = -(-n // blk) * blk
+    o = tuple(_pad_to(c, n_pad) for c in oxyz)
+    d = tuple(_pad_to(c, n_pad) for c in dxyz)
+    exit_t = scene_box_exit(box, o, d)
+    maxtp = jnp.minimum(
+        _pad_to(jnp.minimum(ray.maxt, _BIG), n_pad, fill=-1.0), exit_t)
+    x = jnp.stack(list(o) + [jnp.ones((n_pad,), jnp.float32)]
+                  + list(d) + [maxtp], axis=0)
+    pre = _unit_visit_order(box, n_units, c_pad, x, min(blk, n_pad))
+
+    t1, prim1, bound1, maxtp1 = _v4_call(
+        tables, oxyz, dxyz, ray.time, ray.maxt, any_hit, rows_per_block,
+        cap=cap, report_end=True, precomp=pre)
+    if any_hit:
+        term = jnp.where(prim1 >= 0, -_BIG, maxtp1)
+    else:
+        term = jnp.minimum(t1, maxtp1)
+    done = bound1 >= term
+    maxt2 = jnp.where(done, -1.0, ray.maxt)
+    t2, prim2, _ = _v4_call(
+        tables, oxyz, dxyz, ray.time, maxt2, any_hit, rows_per_block,
+        seed=(t1, prim1), precomp=pre)
+    return t2, prim2
 
 
 def v4_rows2() -> int:
@@ -458,4 +526,5 @@ def intersect_v4_2r(sa, ray, active=None, any_hit: bool = False,
     return back[1], back[2]
 
 
-__all__ = ["intersect_v4", "intersect_v4_2r", "payload_from_prim"]
+__all__ = ["intersect_v4", "intersect_v4_2r", "intersect_v4_2lite",
+           "payload_from_prim"]

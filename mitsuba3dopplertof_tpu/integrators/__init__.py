@@ -370,6 +370,26 @@ class SamplingIntegrator(Integrator):
         return cache[key]
 
 
+def _scene_depolarizing(sa) -> bool:
+    """True when polarized transport provably equals scalar transport, so
+    the Mueller 4x4 chain (~1.6x arithmetic) can be skipped wholesale:
+    every BSDF is an exact depolarizer (diffuse=0 / null=1, Mueller
+    m = f*E00 — one ideal-depolarizer bounce zeroes S1..S3 and S0 follows
+    the scalar estimator term-for-term), all emitters in this framework
+    emit unpolarized (reference parity), media transmittance is diagonal,
+    and every phase function except Rayleigh depolarizes. The polarized
+    variant's film image is the S0 component, so on such scenes the
+    scalar integrator IS the polarized result (S1..S3 identically 0).
+    Disable with MI_NO_DEPOL_FASTPATH=1 (A/B harness)."""
+    if os.environ.get("MI_NO_DEPOL_FASTPATH"):
+        return False
+    if set(sa.bsdf_types_present) - {0, 1}:
+        return False
+    if getattr(sa, "any_rayleigh", False):
+        return False
+    return True
+
+
 def _build_sample_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
     """Build the per-lane wavefront sampling body — pixel decode, sampler
     draws, camera ray, integrator dispatch (rgb / spectral-hero / polarized
@@ -444,7 +464,8 @@ def _build_sample_fn(integrator, sensor, sampler, film, W, H, spp_per_pass):
                 "velocity / depth do)")
         if getattr(sa, "polarized", False) and hasattr(integrator,
                                                        "sample_stokes") \
-                and type(integrator).__name__ != "StokesIntegrator":
+                and type(integrator).__name__ != "StokesIntegrator" \
+                and not _scene_depolarizing(sa):
             # polarized variants: path-style integrators trace Mueller
             # throughput; the film image is the S0 component. Under
             # tpu_spectral_polarized the Stokes components carry hero-
